@@ -1,0 +1,123 @@
+"""Stage 3 — canonicalization via iterative connected components.
+
+The reference merges objects that arrive from different profile files
+under one UUID (cimpy/cimimport.py:215-231). Generalized to explicit
+``sameAs`` links, the merge becomes connected components over the
+same-entity graph; the canonical id of a component is its minimum
+entity id (deterministic election, mirroring the reference's
+min-priority profile pick, cimpy/cimexport.py:196-214).
+
+Algorithm: min-label propagation to fixpoint — a driver loop of
+``min(neighbor_label)`` joins with ``localCheckpoint`` per iteration
+to cut lineage (SURVEY.md §4). Converges in O(component diameter)
+rounds; same-entity components in practice are tiny (alias chains),
+so 3–5 rounds. For adversarially long chains at 100 TB scale the
+upgrade path is large-star/small-star contraction (O(log n) rounds,
+Kiveris et al., "Connected Components in MapReduce and Beyond"),
+which drops into the same driver-loop skeleton; iterations are
+bounded and fixpoint is asserted either way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def canonical_map(
+    entities: DataFrame, same_links: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """(entity_id, canonical_id) for every declared entity.
+
+    `entities`: one row per declared entity (column ``entity_id``).
+    `same_links`: (src, dst) sameAs pairs (directed, raw).
+    """
+    spark = entities.sparkSession
+    # Undirected, deduped link set; restrict to declared entities is
+    # not required (labels for undeclared alias endpoints are simply
+    # dropped at the end by the final join).
+    fwd = same_links.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    edges = (
+        fwd.union(fwd.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    vertices = (
+        entities.select(F.col("entity_id").alias("a"))
+        .union(edges.select("a"))
+        .distinct()
+    )
+    labels = vertices.select("a", F.col("a").alias("comp")).localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        # candidate label for each vertex = min(own, min over neighbors)
+        neighbor = edges.join(labels, "a").select(
+            F.col("b").alias("a"), F.col("comp")
+        )
+        new_labels = (
+            labels.select("a", "comp")
+            .union(neighbor)
+            .groupBy("a")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "a")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"canonical_map did not converge in {max_iter} iterations")
+
+    return entities.join(
+        labels.select(F.col("a").alias("entity_id"), F.col("comp").alias("canonical_id")),
+        "entity_id",
+    ).select("entity_id", "canonical_id")
+
+
+def canonical_edges(edges: DataFrame, cmap: DataFrame) -> DataFrame:
+    """Rewrite (src, pred, dst) to canonical ids and dedupe.
+
+    Two broadcast joins against the canonical map (small dimension);
+    dedupe mirrors the reference's list-append dedupe
+    (cimpy/cimimport.py:296-299).
+    """
+    src_map = F.broadcast(
+        cmap.select(F.col("entity_id").alias("src"), F.col("canonical_id").alias("csrc"))
+    )
+    dst_map = F.broadcast(
+        cmap.select(F.col("entity_id").alias("dst"), F.col("canonical_id").alias("cdst"))
+    )
+    return (
+        edges.join(src_map, "src")
+        .join(dst_map, "dst")
+        .select(
+            F.col("csrc").alias("src"), F.col("pred"), F.col("cdst").alias("dst")
+        )
+        .dropDuplicates(["src", "pred", "dst"])
+    )
+
+
+def canonical_nodes(triples: DataFrame, cmap: DataFrame) -> DataFrame:
+    """Long-format node attributes after canonical merge.
+
+    Output: (entity_id, attr, value) — one row per canonical entity ×
+    attribute, value elected first-wins by stable (conv_id, turn_idx)
+    turn order (the distributed analog of the reference setting
+    attributes in file order, cimpy/cimimport.py:215-231). min_by on a
+    struct keeps it a single hash aggregation (no window sort).
+    """
+    attrs = triples.filter(F.col("obj_kind").isin("literal", "enum", "type"))
+    merged = attrs.join(
+        F.broadcast(cmap.select(F.col("entity_id").alias("subj"), "canonical_id")),
+        "subj",
+    )
+    return merged.groupBy(
+        F.col("canonical_id").alias("entity_id"), F.col("pred").alias("attr")
+    ).agg(F.min_by("obj", F.struct("conv_id", "turn_idx")).alias("value"))

@@ -1,0 +1,104 @@
+"""Stage 2 — entity linking.
+
+The reference resolves ``rdf:resource="#uuid"`` by O(1) dict lookup,
+dropping (and counting) references whose target was never declared
+(cimpy/cimimport.py:277-288). Distributed, the dict lookup becomes an
+equi-join of reference triples against the declared-entity dictionary:
+
+- the dictionary (distinct declared subjects) is tiny relative to the
+  triple stream → **broadcast** it so linking stays shuffle-free;
+- when the dictionary outgrows the broadcast threshold, fall back to a
+  **salted** shuffled hash join (``salted_join``) so hub entities (a
+  few ids referenced from a large fraction of conversations) don't pin
+  one reducer — AQE skew-join covers sort-merge skew, but explicit
+  salting also protects the hash-join path.
+
+Unresolved references go to a quarantine DataFrame with grouped counts
+(cimpy/cimimport.py:281-288 analog), never an error.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def declared_entities(triples: DataFrame) -> DataFrame:
+    """Mention dictionary: (entity_id, type) of declared entities.
+
+    First declaration wins the type (reference instantiates once per
+    rdf:ID, cimpy/cimimport.py:141); deterministic election by
+    (conv_id, turn_idx) using min_by on a struct — one shuffle on
+    entity_id, map-side partial aggregation applies.
+    """
+    decls = triples.filter(F.col("pred") == "rdf_type")
+    return decls.groupBy(F.col("subj").alias("entity_id")).agg(
+        F.min_by("obj", F.struct("conv_id", "turn_idx")).alias("type")
+    )
+
+
+def link_references(
+    triples: DataFrame, entities: DataFrame, broadcast_dict: bool = True
+) -> tuple[DataFrame, DataFrame]:
+    """Resolve ref-kind triples against the entity dictionary.
+
+    Returns ``(edges, quarantine)``:
+    - edges: distinct (src, pred, dst) whose dst exists — dedupe
+      mirrors the reference's append-with-dedupe for many-valued
+      references (cimpy/cimimport.py:294-300);
+    - quarantine: dangling references with grouped counts
+      (cimpy/cimimport.py:281-288).
+    """
+    refs = triples.filter(
+        (F.col("obj_kind") == "ref") & (F.col("pred") != "sameAs")
+    ).select(
+        F.col("subj").alias("src"), "pred", F.col("obj").alias("dst")
+    )
+    dict_df = entities.select(F.col("entity_id").alias("dst"))
+    if broadcast_dict:
+        dict_df = F.broadcast(dict_df)
+
+    edges = refs.join(dict_df, "dst", "left_semi").dropDuplicates(["src", "pred", "dst"])
+    dangling = refs.join(dict_df, "dst", "left_anti")
+    quarantine = dangling.groupBy("dst").agg(F.count(F.lit(1)).alias("n_refs"))
+    return edges, quarantine
+
+
+def reverse_edges(edges: DataFrame) -> DataFrame:
+    """Derived reverse edges by projection swap — no stored reverse
+    state, no join (reference maintains bidirectional pointers
+    imperatively, cimpy/cimimport.py:313-332)."""
+    return edges.select(
+        F.col("dst").alias("src"),
+        F.concat(F.lit("rev_"), F.col("pred")).alias("pred"),
+        F.col("src").alias("dst"),
+    )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the big side's key, replicate the
+    small side across salt buckets, join on (key, salt).
+
+    Used when the entity dictionary is too large to broadcast and hot
+    entities (hub mentions) would skew a plain shuffled join. The salt
+    on the big side is a deterministic hash of the whole row's key +
+    a per-row uniform component via ``pmod(xxhash64(...), buckets)``.
+    """
+    salted_big = big.withColumn(
+        "__salt", F.pmod(F.xxhash64(*big.columns), F.lit(salt_buckets))
+    )
+    salted_small = small.crossJoin(
+        F.broadcast(
+            big.sparkSession.range(salt_buckets).select(
+                F.col("id").cast("int").alias("__salt")
+            )
+        )
+    )
+    out = salted_big.join(salted_small, [key, "__salt"], how)
+    return out.drop("__salt")

@@ -1,0 +1,46 @@
+"""Stage-1 extraction unit tests (mirrors the reference's import
+golden strategy, tests/test_import.py:17-36, on the synthetic
+transcript fixture)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cimpy_spark.fixtures.events_transcripts import transcripts_from_events
+from cimpy_spark.operators.extract import extract_triples, extraction_metrics
+from tests.conftest import SF_TINY
+
+
+def test_transcripts_shape_and_order(spark):
+    t = transcripts_from_events(spark, SF_TINY)
+    assert t.columns == ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    # (conv_id, turn_idx) unique and dense from 0 — stable turn ordering
+    dup = t.groupBy("conv_id", "turn_idx").count().filter("count > 1").count()
+    assert dup == 0
+    mins = t.groupBy("conv_id").agg(F.min("turn_idx").alias("m")).filter("m != 0")
+    assert mins.count() == 0
+
+
+def test_extract_kinds(spark):
+    t = transcripts_from_events(spark, SF_TINY)
+    triples = extract_triples(t).cache()
+    kinds = {r["obj_kind"] for r in triples.select("obj_kind").distinct().collect()}
+    assert kinds == {"type", "literal", "enum", "ref"}
+    # decl turns: 1 type + 3 attr triples each
+    n_decl_turns = t.filter(F.col("text").contains("«decl")).count()
+    n_type = triples.filter(F.col("pred") == "rdf_type").count()
+    assert n_type == n_decl_turns
+    # enum suffix rule: only the part after the last '.' is kept
+    enums = triples.filter(F.col("obj_kind") == "enum")
+    bad = enums.filter(~F.col("obj").rlike("^V[0-9]$")).count()
+    assert bad == 0
+    triples.unpersist()
+
+
+def test_unknown_patterns_counted_not_raised(spark):
+    t = transcripts_from_events(spark, SF_TINY)
+    m = {r["pattern_kind"]: r["n"] for r in extraction_metrics(t).collect()}
+    assert m.get("unknown_pattern", 0) > 0
+    # unknown patterns yield no triples
+    triples = extract_triples(t)
+    assert triples.filter(F.col("pred").startswith("unk")).count() == 0
