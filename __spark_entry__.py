@@ -15,11 +15,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from cimpy_spark.fixtures import oracles  # noqa: E402
 from cimpy_spark.fixtures.events_transcripts import (  # noqa: E402
     transcripts_from_events,
     transcripts_sql,
     triples_oracle_sql,
 )
+from cimpy_spark import pipeline as P  # noqa: E402
 from cimpy_spark.operators.extract import extract_triples, extraction_metrics  # noqa: E402
 
 
@@ -47,11 +49,89 @@ def _q_extract_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extraction_metrics(transcripts_from_events(spark, sf_dir))
 
 
+_GRAPH_CACHE: dict[tuple[int, str], P.KGResult] = {}
+
+
+def _graph(spark: SparkSession, sf_dir: str) -> P.KGResult:
+    """Memoized pipeline build: the driver evaluates every queries()
+    entry in one session, and most KG queries are views over the same
+    graph — build it once per (session, sf_dir)."""
+    key = (id(spark), sf_dir)
+    if key not in _GRAPH_CACHE:
+        res = P.build_graph(transcripts_from_events(spark, sf_dir))
+        # cache the small dimension tables too; cmap is consumed by
+        # three downstream views
+        res.cmap = res.cmap.cache()
+        res.edges = res.edges.cache()
+        res.nodes = res.nodes.cache()
+        _GRAPH_CACHE[key] = res
+    return _GRAPH_CACHE[key]
+
+
+def _q_entities(spark, sf_dir):
+    return _graph(spark, sf_dir).entities
+
+
+def _q_link_edges(spark, sf_dir):
+    return _graph(spark, sf_dir).edges
+
+
+def _q_link_quarantine(spark, sf_dir):
+    return _graph(spark, sf_dir).quarantine
+
+
+def _q_reverse_edges(spark, sf_dir):
+    from cimpy_spark.operators.link import reverse_edges
+
+    return reverse_edges(_graph(spark, sf_dir).edges)
+
+
+def _q_canonical_map(spark, sf_dir):
+    return _graph(spark, sf_dir).cmap
+
+
+def _q_canonical_edges(spark, sf_dir):
+    return _graph(spark, sf_dir).canon_edges
+
+
+def _q_nodes(spark, sf_dir):
+    return _graph(spark, sf_dir).nodes.select(
+        "entity_id", "attr", "value"
+    )
+
+
+def _q_typed_attrs(spark, sf_dir):
+    return P.typed_attrs(_graph(spark, sf_dir).nodes)
+
+
+def _q_node_degree(spark, sf_dir):
+    return P.node_degree(_graph(spark, sf_dir).canon_edges)
+
+
+def _q_multihop(spark, sf_dir):
+    return P.multihop(_graph(spark, sf_dir).canon_edges)
+
+
+def _q_type_dispatch(spark, sf_dir):
+    return P.type_dispatch(_graph(spark, sf_dir).entities)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_transcripts": _q_transcripts,
         "kg_extract_triples": _q_extract,
         "kg_extract_metrics": _q_extract_metrics,
+        "kg_entities": _q_entities,
+        "kg_link_edges": _q_link_edges,
+        "kg_link_quarantine": _q_link_quarantine,
+        "kg_reverse_edges": _q_reverse_edges,
+        "kg_canonical_map": _q_canonical_map,
+        "kg_canonical_edges": _q_canonical_edges,
+        "kg_nodes": _q_nodes,
+        "kg_typed_attrs": _q_typed_attrs,
+        "kg_node_degree": _q_node_degree,
+        "kg_multihop": _q_multihop,
+        "kg_type_dispatch": _q_type_dispatch,
     }
 
 
@@ -72,4 +152,15 @@ def oracle_sql() -> dict[str, str]:
               count(*) AS n
             FROM events GROUP BY 1
         """,
+        "kg_entities": oracles.entities_sql(),
+        "kg_link_edges": oracles.link_edges_sql(),
+        "kg_link_quarantine": oracles.link_quarantine_sql(),
+        "kg_reverse_edges": oracles.reverse_edges_sql(),
+        "kg_canonical_map": oracles.canonical_map_sql(),
+        "kg_canonical_edges": oracles.canonical_edges_sql(),
+        "kg_nodes": oracles.nodes_sql(),
+        "kg_typed_attrs": oracles.typed_attrs_sql(),
+        "kg_node_degree": oracles.node_degree_sql(),
+        "kg_multihop": oracles.multihop_sql(),
+        "kg_type_dispatch": oracles.type_dispatch_sql(),
     }

@@ -49,7 +49,15 @@ def _text_sql(idiv: str) -> str:
     ent = f"CAST(event_id % {N_ENT} AS STRING)"
     typ = f"CAST((event_id % {N_ENT}) % 5 AS STRING)"
     tgt = f"CAST(((event_id % {N_ENT}) * 7 + 3) % {N_ENT} AS STRING)"
-    alias_tgt = f"CAST(((event_id % {N_ENT}) * 3 + 1) % {N_ENT} AS STRING)"
+    # alias target = previous id within a block of 8 (block leader
+    # aliases itself): components are chains of ≤8 entities, so the
+    # canonical merge is non-trivial (multi-hop) but bounded at every
+    # scale — mirrors real cross-profile merge clusters, not one
+    # giant component.
+    alias_tgt = (
+        f"CAST((event_id % {N_ENT}) - "
+        f"(CASE WHEN (event_id % {N_ENT}) % 8 = 0 THEN 0 ELSE 1 END) AS STRING)"
+    )
     pred = (
         f"CASE {d} % 3 WHEN 0 THEN 'connects_to' "
         f"WHEN 1 THEN 'feeds' ELSE 'controls' END"
@@ -178,8 +186,8 @@ def triples_oracle_sql(idiv: str = "//", events_rel: str = "events") -> str:
     """
     same = f"""
     SELECT 'E' || CAST(ent AS STRING), 'sameAs',
-           'E' || CAST((ent * 3 + 1) % {N_ENT} AS STRING), 'ref',
-           conv_id, turn_idx, role
+           'E' || CAST(ent - (CASE WHEN ent % 8 = 0 THEN 0 ELSE 1 END) AS STRING),
+           'ref', conv_id, turn_idx, role
     FROM t WHERE m = 3 AND d % 5 = 0
     """
     return (

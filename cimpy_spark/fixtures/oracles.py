@@ -1,0 +1,223 @@
+"""DuckDB-dialect oracle SQL for the KG pipeline queries.
+
+Each oracle derives the *expected* result straight from `events`
+columns (closed-form, no text parsing), independently of the Spark
+implementation — the analog of the reference's pickled import golden
+(tests/create_pickle_dump.py:10-24). Composable CTE fragments keep
+the per-query SQL readable.
+"""
+
+from __future__ import annotations
+
+from cimpy_spark.fixtures.events_transcripts import N_ENT
+
+# Per-event derived fields (DuckDB dialect: // integer division).
+T_CTE = f"""
+t AS (
+  SELECT event_id AS e,
+         event_id // 4 AS d,
+         event_id % {N_ENT} AS ent,
+         event_id % 4 AS m,
+         'c' || CAST(user_id AS STRING) AS conv_id,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS INT) AS turn_idx,
+         CASE event_id % 4 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+              WHEN 2 THEN 'tool' ELSE 'system' END AS role
+  FROM events
+)
+"""
+
+# All extracted triples (same shape the Spark extractor emits).
+TRIPLES_CTE = f"""
+triples AS (
+  SELECT 'E' || CAST(ent AS STRING) AS subj, 'rdf_type' AS pred,
+         'T' || CAST(ent % 5 AS STRING) AS obj, 'type' AS obj_kind,
+         conv_id, turn_idx, role FROM t WHERE m = 0
+  UNION ALL
+  SELECT 'E' || CAST(ent AS STRING), 'p_int', CAST(d % 97 AS STRING),
+         'literal', conv_id, turn_idx, role FROM t WHERE m = 0
+  UNION ALL
+  SELECT 'E' || CAST(ent AS STRING), 'p_bool',
+         CASE WHEN d % 2 = 0 THEN 'true' ELSE 'false' END,
+         'literal', conv_id, turn_idx, role FROM t WHERE m = 0
+  UNION ALL
+  SELECT 'E' || CAST(ent AS STRING), 'p_enum', 'V' || CAST(d % 3 AS STRING),
+         'enum', conv_id, turn_idx, role FROM t WHERE m = 0
+  UNION ALL
+  SELECT 'E' || CAST(ent AS STRING), 'q_str', 's' || CAST(d % 23 AS STRING),
+         'literal', conv_id, turn_idx, role FROM t WHERE m = 1
+  UNION ALL
+  SELECT 'E' || CAST(ent AS STRING), 'q_int', CAST(d % 41 AS STRING),
+         'literal', conv_id, turn_idx, role FROM t WHERE m = 1
+  UNION ALL
+  SELECT 'E' || CAST(ent AS STRING),
+         CASE d % 3 WHEN 0 THEN 'connects_to' WHEN 1 THEN 'feeds' ELSE 'controls' END,
+         CASE WHEN d % 11 = 0 THEN 'X' || CAST(d % 50 AS STRING)
+              ELSE 'E' || CAST((ent * 7 + 3) % {N_ENT} AS STRING) END,
+         'ref', conv_id, turn_idx, role FROM t WHERE m = 2
+  UNION ALL
+  SELECT 'E' || CAST(ent AS STRING), 'sameAs',
+         'E' || CAST(ent - (CASE WHEN ent % 8 = 0 THEN 0 ELSE 1 END) AS STRING),
+         'ref', conv_id, turn_idx, role FROM t WHERE m = 3 AND d % 5 = 0
+)
+"""
+
+# Declared entity dictionary, first-declaration-wins type (type is a
+# pure function of the id in this fixture, so DISTINCT suffices).
+ENTITIES_CTE = """
+entities AS (
+  SELECT DISTINCT 'E' || CAST(ent AS STRING) AS entity_id,
+         'T' || CAST(ent % 5 AS STRING) AS type
+  FROM t WHERE m = 0
+)
+"""
+
+REFS_CTE = """
+refs AS (
+  SELECT subj AS src, pred, obj AS dst
+  FROM triples WHERE obj_kind = 'ref' AND pred <> 'sameAs'
+)
+"""
+
+EDGES_CTE = """
+edges AS (
+  SELECT DISTINCT r.src, r.pred, r.dst
+  FROM refs r JOIN entities en ON r.dst = en.entity_id
+)
+"""
+
+# Undirected sameAs link set + min-label connected components via
+# recursive transitive closure (components are tiny alias chains).
+CMAP_CTE = """
+same_pairs AS (
+  SELECT DISTINCT subj AS a, obj AS b FROM triples WHERE pred = 'sameAs'
+),
+same_sym AS (
+  SELECT a, b FROM same_pairs UNION SELECT b, a FROM same_pairs
+),
+reach(a, b) AS (
+  SELECT entity_id, entity_id FROM entities
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN same_sym e ON r.b = e.a
+),
+cmap AS (
+  SELECT a AS entity_id, min(b) AS canonical_id FROM reach GROUP BY a
+)
+"""
+
+CANON_EDGES_CTE = """
+canon_edges AS (
+  SELECT DISTINCT cs.canonical_id AS src, e.pred, cd.canonical_id AS dst
+  FROM edges e
+  JOIN cmap cs ON e.src = cs.entity_id
+  JOIN cmap cd ON e.dst = cd.entity_id
+)
+"""
+
+# Canonical node attributes, first-wins by stable (conv_id, turn_idx).
+NODES_CTE = """
+nodes AS (
+  SELECT entity_id, attr, value FROM (
+    SELECT c.canonical_id AS entity_id, tr.pred AS attr, tr.obj AS value,
+           row_number() OVER (
+             PARTITION BY c.canonical_id, tr.pred
+             ORDER BY tr.conv_id, tr.turn_idx
+           ) AS rn
+    FROM triples tr
+    JOIN cmap c ON tr.subj = c.entity_id
+    WHERE tr.obj_kind IN ('literal', 'enum', 'type')
+  ) WHERE rn = 1
+)
+"""
+
+
+def _with(*ctes: str) -> str:
+    return "WITH RECURSIVE " + ",\n".join(c.strip().rstrip() for c in ctes)
+
+
+PIPELINE_CTES = _with(T_CTE, TRIPLES_CTE, ENTITIES_CTE, REFS_CTE, EDGES_CTE,
+                      CMAP_CTE, CANON_EDGES_CTE, NODES_CTE)
+
+
+def entities_sql() -> str:
+    return _with(T_CTE, ENTITIES_CTE) + "\nSELECT entity_id, type FROM entities"
+
+
+def link_edges_sql() -> str:
+    return (
+        _with(T_CTE, TRIPLES_CTE, ENTITIES_CTE, REFS_CTE, EDGES_CTE)
+        + "\nSELECT src, pred, dst FROM edges"
+    )
+
+
+def link_quarantine_sql() -> str:
+    return (
+        _with(T_CTE, TRIPLES_CTE, ENTITIES_CTE, REFS_CTE)
+        + """
+        SELECT r.dst, count(*) AS n_refs
+        FROM refs r LEFT JOIN entities en ON r.dst = en.entity_id
+        WHERE en.entity_id IS NULL
+        GROUP BY r.dst
+        """
+    )
+
+
+def reverse_edges_sql() -> str:
+    return (
+        _with(T_CTE, TRIPLES_CTE, ENTITIES_CTE, REFS_CTE, EDGES_CTE)
+        + "\nSELECT dst AS src, 'rev_' || pred AS pred, src AS dst FROM edges"
+    )
+
+
+def canonical_map_sql() -> str:
+    return (
+        _with(T_CTE, TRIPLES_CTE, ENTITIES_CTE, CMAP_CTE)
+        + "\nSELECT entity_id, canonical_id FROM cmap"
+    )
+
+
+def canonical_edges_sql() -> str:
+    return PIPELINE_CTES + "\nSELECT src, pred, dst FROM canon_edges"
+
+
+def nodes_sql() -> str:
+    return PIPELINE_CTES + "\nSELECT entity_id, attr, value FROM nodes"
+
+
+def typed_attrs_sql() -> str:
+    return PIPELINE_CTES + """
+    SELECT entity_id,
+           max(CASE WHEN attr = 'rdf_type' THEN value END) AS type,
+           CAST(max(CASE WHEN attr = 'p_int' THEN value END) AS INT) AS p_int,
+           CAST(max(CASE WHEN attr = 'p_bool' THEN value END) AS BOOLEAN) AS p_bool,
+           max(CASE WHEN attr = 'p_enum' THEN value END) AS p_enum,
+           max(CASE WHEN attr = 'q_str' THEN value END) AS q_str,
+           CAST(max(CASE WHEN attr = 'q_int' THEN value END) AS INT) AS q_int
+    FROM nodes GROUP BY entity_id
+    """
+
+
+def node_degree_sql() -> str:
+    return PIPELINE_CTES + """
+    , outd AS (SELECT src AS entity_id, count(*) AS out_deg FROM canon_edges GROUP BY src)
+    , ind AS (SELECT dst AS entity_id, count(*) AS in_deg FROM canon_edges GROUP BY dst)
+    SELECT COALESCE(o.entity_id, i.entity_id) AS entity_id,
+           COALESCE(o.out_deg, 0) AS out_deg,
+           COALESCE(i.in_deg, 0) AS in_deg
+    FROM outd o FULL OUTER JOIN ind i ON o.entity_id = i.entity_id
+    """
+
+
+def multihop_sql() -> str:
+    return PIPELINE_CTES + """
+    SELECT DISTINCT e1.src AS a, e1.dst AS b, e2.dst AS c
+    FROM canon_edges e1
+    JOIN canon_edges e2 ON e1.dst = e2.src
+    WHERE e1.pred = 'connects_to' AND e2.pred = 'feeds'
+    """
+
+
+def type_dispatch_sql() -> str:
+    return (
+        _with(T_CTE, ENTITIES_CTE)
+        + "\nSELECT type, count(*) AS n_entities FROM entities GROUP BY type"
+    )

@@ -7,15 +7,16 @@ same-entity graph; the canonical id of a component is its minimum
 entity id (deterministic election, mirroring the reference's
 min-priority profile pick, cimpy/cimexport.py:196-214).
 
-Algorithm: min-label propagation to fixpoint — a driver loop of
-``min(neighbor_label)`` joins with ``localCheckpoint`` per iteration
-to cut lineage (SURVEY.md §4). Converges in O(component diameter)
-rounds; same-entity components in practice are tiny (alias chains),
-so 3–5 rounds. For adversarially long chains at 100 TB scale the
-upgrade path is large-star/small-star contraction (O(log n) rounds,
-Kiveris et al., "Connected Components in MapReduce and Beyond"),
-which drops into the same driver-loop skeleton; iterations are
-bounded and fixpoint is asserted either way.
+Algorithm: min-label propagation with **pointer jumping** — each
+round takes (a) the min over neighbor labels and (b) the label of the
+label (path halving), a driver loop with ``localCheckpoint`` per
+iteration to cut lineage (SURVEY.md §4). Pointer jumping doubles the
+distance a minimum travels per round, so convergence is O(log
+diameter) instead of O(diameter) — the property that matters at
+10^12-turn scale where adversarial alias chains exist (same recipe
+as the Hash-to-Min family, Rastogi et al., "Finding Connected
+Components in Map-Reduce in Logarithmic Rounds"). Iterations are
+bounded and the fixpoint is asserted.
 """
 
 from __future__ import annotations
@@ -51,17 +52,34 @@ def canonical_map(
     labels = vertices.select("a", F.col("a").alias("comp")).localCheckpoint(eager=True)
 
     for _ in range(max_iter):
-        # candidate label for each vertex = min(own, min over neighbors)
+        # (a) candidate label = min(own, min over neighbors)
         neighbor = edges.join(labels, "a").select(
             F.col("b").alias("a"), F.col("comp")
         )
-        new_labels = (
+        relaxed = (
             labels.select("a", "comp")
             .union(neighbor)
             .groupBy("a")
             .agg(F.min("comp").alias("comp"))
-            .localCheckpoint(eager=True)
         )
+        # (b) pointer jumping: comp ← label(comp). Labels are always
+        # vertex ids, so the self-join hits; left join + coalesce
+        # guards the (impossible) miss.
+        jumped = (
+            relaxed.alias("x")
+            .join(
+                relaxed.select(
+                    F.col("a").alias("comp"), F.col("comp").alias("comp2")
+                ).alias("y"),
+                "comp",
+                "left",
+            )
+            .select(
+                F.col("a"),
+                F.coalesce(F.col("comp2"), F.col("comp")).alias("comp"),
+            )
+        )
+        new_labels = jumped.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "a")

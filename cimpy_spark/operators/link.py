@@ -58,7 +58,11 @@ def link_references(
     if broadcast_dict:
         dict_df = F.broadcast(dict_df)
 
-    edges = refs.join(dict_df, "dst", "left_semi").dropDuplicates(["src", "pred", "dst"])
+    edges = (
+        refs.join(dict_df, "dst", "left_semi")
+        .dropDuplicates(["src", "pred", "dst"])
+        .select("src", "pred", "dst")
+    )
     dangling = refs.join(dict_df, "dst", "left_anti")
     quarantine = dangling.groupBy("dst").agg(F.count(F.lit(1)).alias("n_refs"))
     return edges, quarantine

@@ -1,0 +1,108 @@
+"""End-to-end KG pipeline: extract → link → canonicalize → views.
+
+This is the distributed re-expression of the reference's import
+lifecycle (cimpy/cimimport.py:11-76): pass 1 (instantiate) ≙ the
+declared-entity dictionary, pass 2 (set attributes + resolve
+references) ≙ linking + canonical merge. Each stage is a
+DataFrame→DataFrame function so Catalyst sees one logical plan per
+output; `materialize.run_pipeline` adds per-stage checkpointing.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cimpy_spark.operators.canonicalize import (
+    canonical_edges,
+    canonical_map,
+    canonical_nodes,
+)
+from cimpy_spark.operators.extract import extract_triples
+from cimpy_spark.operators.link import declared_entities, link_references
+
+
+@dataclass
+class KGResult:
+    triples: DataFrame
+    entities: DataFrame
+    edges: DataFrame
+    quarantine: DataFrame
+    cmap: DataFrame
+    canon_edges: DataFrame
+    nodes: DataFrame
+
+
+def same_links(triples: DataFrame) -> DataFrame:
+    return triples.filter(F.col("pred") == "sameAs").select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+
+
+def build_graph(transcripts: DataFrame, cache: bool = True) -> KGResult:
+    """Run all stages; caches the triple stream since every downstream
+    stage consumes it (at cluster scale this is the stage-1 Iceberg
+    checkpoint instead of an in-memory cache)."""
+    triples = extract_triples(transcripts)
+    if cache:
+        triples = triples.cache()
+    entities = declared_entities(triples)
+    edges, quarantine = link_references(triples, entities)
+    cmap = canonical_map(entities, same_links(triples))
+    cedges = canonical_edges(edges, cmap)
+    nodes = canonical_nodes(triples, cmap)
+    return KGResult(triples, entities, edges, quarantine, cmap, cedges, nodes)
+
+
+def typed_attrs(nodes: DataFrame) -> DataFrame:
+    """Pivot long-format node attrs to a typed wide row per entity —
+    the reference's typed-object view (cimpy/cimimport.py:255-273 cast
+    rules) as columns. Single hash aggregation, no Python."""
+    a = F.col("attr")
+    v = F.col("value")
+    return nodes.groupBy("entity_id").agg(
+        F.max(F.when(a == "rdf_type", v)).alias("type"),
+        F.max(F.when(a == "p_int", v)).cast("int").alias("p_int"),
+        F.max(F.when(a == "p_bool", v)).cast("boolean").alias("p_bool"),
+        F.max(F.when(a == "p_enum", v)).alias("p_enum"),
+        F.max(F.when(a == "q_str", v)).alias("q_str"),
+        F.max(F.when(a == "q_int", v)).cast("int").alias("q_int"),
+    )
+
+
+def node_degree(canon_edges: DataFrame) -> DataFrame:
+    outd = canon_edges.groupBy(F.col("src").alias("entity_id")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    ind = canon_edges.groupBy(F.col("dst").alias("entity_id")).agg(
+        F.count(F.lit(1)).alias("in_deg")
+    )
+    return (
+        outd.join(ind, "entity_id", "full_outer")
+        .select(
+            "entity_id",
+            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+        )
+    )
+
+
+def multihop(canon_edges: DataFrame, pred1: str = "connects_to", pred2: str = "feeds") -> DataFrame:
+    """Two-hop traversal a-[pred1]->b-[pred2]->c (reference analog:
+    pointer chains like terminal.ConductingEquipment.mRID,
+    cimpy/CIM2DPsim.py:465-476) as chained equi-joins."""
+    e1 = canon_edges.filter(F.col("pred") == pred1).select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    )
+    e2 = canon_edges.filter(F.col("pred") == pred2).select(
+        F.col("src").alias("b"), F.col("dst").alias("c")
+    )
+    return e1.join(e2, "b").select("a", "b", "c").distinct()
+
+
+def type_dispatch(entities: DataFrame) -> DataFrame:
+    """Per-type entity counts (reference's isinstance dispatch chain,
+    cimpy/CIM2DPsim.py:92-423, becomes groupBy(type))."""
+    return entities.groupBy("type").agg(F.count(F.lit(1)).alias("n_entities"))
