@@ -1,0 +1,101 @@
+"""Per-round benchmark: headline KG-pipeline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line.
+
+The headline metric is end-to-end pipeline wall time; `queries` holds
+per-stage seconds. `turns_per_sec` (triple-extraction throughput, the
+BASELINE.json metric) rides along as an extra key. Scaling-efficiency
+evidence (local[8] vs local[32]) lives in scaling_bench.py → BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from cimpy_spark.session import get_spark  # noqa: E402
+from cimpy_spark.fixtures.events_transcripts import transcripts_from_events  # noqa: E402
+from cimpy_spark import pipeline as P  # noqa: E402
+from cimpy_spark.operators.extract import extract_triples  # noqa: E402
+from cimpy_spark.operators.link import declared_entities, link_references  # noqa: E402
+from cimpy_spark.operators.canonicalize import (  # noqa: E402
+    canonical_edges,
+    canonical_map,
+    canonical_nodes,
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").split("sf")[-1])
+
+    spark = get_spark("cimpy-spark-bench", cores=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        return out
+
+    transcripts = transcripts_from_events(spark, sf_dir)
+    n_turns = timed("load_transcripts", lambda: transcripts.count())
+
+    # stage timings materialize each stage once (cache) so a stage's
+    # time isn't double-counted in its consumers
+    triples = extract_triples(transcripts).cache()
+    timed("extract", lambda: triples.count())
+
+    entities = declared_entities(triples).cache()
+    timed("entities", lambda: entities.count())
+
+    def _link():
+        e, q = link_references(triples, entities)
+        e = e.cache()
+        e.count()
+        return e, q
+
+    edges, quarantine = timed("link", _link)
+
+    cmap = None
+
+    def _canon():
+        nonlocal cmap
+        cmap = canonical_map(entities, P.same_links(triples)).cache()
+        return cmap.count()
+
+    timed("canonicalize", _canon)
+    timed("canon_edges", lambda: canonical_edges(edges, cmap).count())
+    timed("nodes", lambda: canonical_nodes(triples, cmap).count())
+    timed("quarantine", lambda: quarantine.count())
+
+    total = round(sum(timings.values()), 4)
+    # extraction throughput (BASELINE.json headline metric)
+    turns_per_sec = round(n_turns / timings["extract"], 1)
+
+    print(
+        json.dumps(
+            {
+                "metric": "kg_pipeline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "turns": n_turns,
+                "extract_turns_per_sec": turns_per_sec,
+                "cores": cores,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
