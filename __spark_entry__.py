@@ -22,6 +22,10 @@ from cimpy_spark.fixtures.events_transcripts import (  # noqa: E402
     triples_oracle_sql,
 )
 from cimpy_spark import pipeline as P  # noqa: E402
+from cimpy_spark.functions import doc_oracles  # noqa: E402
+from cimpy_spark.functions import dedup as D  # noqa: E402
+from cimpy_spark.functions import similarity as SIM  # noqa: E402
+from cimpy_spark.functions import text as T  # noqa: E402
 from cimpy_spark.operators.extract import extract_triples, extraction_metrics  # noqa: E402
 
 
@@ -116,6 +120,73 @@ def _q_type_dispatch(spark, sf_dir):
     return P.type_dispatch(_graph(spark, sf_dir).entities)
 
 
+# --------------------------------------------------------------------------
+# Training-data ops over documents / embeddings
+# --------------------------------------------------------------------------
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _q_doc_token_count(spark, sf_dir):
+    return T.token_count(_docs(spark, sf_dir))
+
+
+def _q_doc_quality(spark, sf_dir):
+    return T.quality_score(_docs(spark, sf_dir))
+
+
+def _q_doc_lang_id(spark, sf_dir):
+    return T.lang_id(_docs(spark, sf_dir))
+
+
+def _q_doc_fingerprint(spark, sf_dir):
+    return T.fingerprint(_docs(spark, sf_dir))
+
+
+def _q_doc_dedup_exact(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    dupd = docs.union(docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+    return D.exact_duplicates(dupd)
+
+
+def _q_doc_minhash_candidates(spark, sf_dir):
+    return D.minhash_candidates(_docs(spark, sf_dir))
+
+
+def _q_doc_ngram_jaccard(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return D.ngram_jaccard(docs, D.minhash_candidates(docs))
+
+
+def _q_doc_simhash(spark, sf_dir):
+    return D.simhash(_docs(spark, sf_dir))
+
+
+def _q_emb_cosine_topk(spark, sf_dir):
+    return SIM.cosine_topk(_emb(spark, sf_dir))
+
+
+def _q_emb_lsh_buckets(spark, sf_dir):
+    return SIM.lsh_buckets(_emb(spark, sf_dir))
+
+
+def _q_emb_neardup(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    dupd = emb.union(
+        emb.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+    )
+    return SIM.neardup_pairs(dupd)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_transcripts": _q_transcripts,
@@ -132,6 +203,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_node_degree": _q_node_degree,
         "kg_multihop": _q_multihop,
         "kg_type_dispatch": _q_type_dispatch,
+        "doc_token_count": _q_doc_token_count,
+        "doc_quality": _q_doc_quality,
+        "doc_lang_id": _q_doc_lang_id,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "doc_dedup_exact": _q_doc_dedup_exact,
+        "doc_minhash_candidates": _q_doc_minhash_candidates,
+        "doc_ngram_jaccard": _q_doc_ngram_jaccard,
+        "doc_simhash": _q_doc_simhash,
+        "emb_cosine_topk": _q_emb_cosine_topk,
+        "emb_lsh_buckets": _q_emb_lsh_buckets,
+        "emb_neardup_pairs": _q_emb_neardup,
     }
 
 
@@ -163,4 +245,15 @@ def oracle_sql() -> dict[str, str]:
         "kg_node_degree": oracles.node_degree_sql(),
         "kg_multihop": oracles.multihop_sql(),
         "kg_type_dispatch": oracles.type_dispatch_sql(),
+        "doc_token_count": doc_oracles.token_count_sql(),
+        "doc_quality": doc_oracles.quality_score_sql(),
+        "doc_lang_id": doc_oracles.lang_id_sql(),
+        "doc_fingerprint": doc_oracles.fingerprint_sql(),
+        "doc_dedup_exact": doc_oracles.exact_duplicates_sql(),
+        "doc_minhash_candidates": doc_oracles.minhash_candidates_sql(),
+        "doc_ngram_jaccard": doc_oracles.ngram_jaccard_sql(),
+        "doc_simhash": doc_oracles.simhash_sql(),
+        "emb_cosine_topk": doc_oracles.cosine_topk_sql(),
+        "emb_lsh_buckets": doc_oracles.lsh_buckets_sql(),
+        "emb_neardup_pairs": doc_oracles.neardup_pairs_sql(),
     }

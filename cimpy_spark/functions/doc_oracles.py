@@ -1,0 +1,238 @@
+"""DuckDB-dialect oracles for the training-data operators
+(cimpy_spark/functions/{text,dedup,similarity}.py). Same portable
+md5-based constructions, independently expressed in SQL."""
+
+from __future__ import annotations
+
+WORDS = "string_split_regex(trim(text), '\\s+')"
+
+NUMS = "nums AS (SELECT unnest(generate_series(1, 500)) AS i)"
+W_CTE = f"w AS (SELECT doc_id, {WORDS} AS w FROM documents)"
+SH3_CTE = """
+sh AS (
+  SELECT DISTINCT doc_id, w.w[i] || ' ' || w.w[i+1] || ' ' || w.w[i+2] AS shingle
+  FROM w JOIN nums ON nums.i <= len(w.w) - 2
+)
+"""
+
+BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+EN_STOP = "('the','a','of','and','to','in')"
+DATA_STOP = "('data','table','row','column','query')"
+
+
+def token_count_sql() -> str:
+    return f"""
+    SELECT doc_id,
+           len({WORDS}) AS n_ws_tokens,
+           len(regexp_extract_all(text, '{BPE_RE}')) AS n_bpe_tokens
+    FROM documents
+    """
+
+
+def quality_score_sql() -> str:
+    return f"""
+    SELECT doc_id,
+           n_tokens,
+           stopword_ratio,
+           avg_word_len,
+           round(least(n_tokens * 1.0 / 50, 1.0) * 0.5
+                 + stopword_ratio * 0.3
+                 + least(avg_word_len / 10, 1.0) * 0.2, 6) AS quality
+    FROM (
+      SELECT doc_id,
+             len({WORDS}) AS n_tokens,
+             round(len(list_filter({WORDS}, x -> x IN {EN_STOP})) * 1.0
+                   / len({WORDS}), 6) AS stopword_ratio,
+             round(length(trim(text)) * 1.0 / len({WORDS}), 6) AS avg_word_len
+      FROM documents
+    )
+    """
+
+
+def lang_id_sql() -> str:
+    return f"""
+    SELECT doc_id, en_hits, data_hits,
+           CASE WHEN en_hits >= 2 THEN 'en'
+                WHEN data_hits >= 3 THEN 'dataese'
+                ELSE 'unk' END AS lang_pred
+    FROM (
+      SELECT doc_id,
+             len(list_filter({WORDS}, x -> x IN {EN_STOP})) AS en_hits,
+             len(list_filter({WORDS}, x -> x IN {DATA_STOP})) AS data_hits
+      FROM documents
+    )
+    """
+
+
+def fingerprint_sql() -> str:
+    return f"""
+    WITH {NUMS}, {W_CTE},
+    sh5 AS (
+      SELECT doc_id,
+             min(md5(w.w[i] || ' ' || w.w[i+1] || ' ' || w.w[i+2] || ' '
+                     || w.w[i+3] || ' ' || w.w[i+4])) AS fp
+      FROM w JOIN nums ON nums.i <= len(w.w) - 4
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id, COALESCE(sh5.fp, md5(d.text)) AS fingerprint
+    FROM documents d LEFT JOIN sh5 USING (doc_id)
+    """
+
+
+def exact_duplicates_sql() -> str:
+    return """
+    WITH alldocs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents
+    )
+    SELECT md5(text) AS text_hash, count(*) AS n_docs,
+           min(doc_id) AS canonical_doc_id
+    FROM alldocs GROUP BY 1 HAVING count(*) > 1
+    """
+
+
+SIG_CTES = f"""
+{NUMS}, {W_CTE}, {SH3_CTE},
+seeds AS (SELECT unnest(generate_series(0, 11)) AS seed),
+sig AS (
+  SELECT doc_id, seed,
+         min(md5(shingle || '#' || CAST(seed AS STRING))) AS h
+  FROM sh, seeds GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id, seed // 3 AS band,
+         md5(string_agg(h, '' ORDER BY seed)) AS band_key
+  FROM sig GROUP BY doc_id, seed // 3
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+"""
+
+
+def minhash_candidates_sql() -> str:
+    return f"WITH {SIG_CTES} SELECT doc_a, doc_b FROM cand"
+
+
+def ngram_jaccard_sql() -> str:
+    return f"""
+    WITH {SIG_CTES},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT c.doc_a, c.doc_b,
+           round(COALESCE(i.n_inter, 0) * 1.0
+                 / (za.n + zb.n - COALESCE(i.n_inter, 0)), 6) AS jaccard
+    FROM cand c
+    LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+    JOIN sizes za ON za.doc_id = c.doc_a
+    JOIN sizes zb ON zb.doc_id = c.doc_b
+    """
+
+
+def simhash_sql() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, tok
+      FROM (SELECT doc_id, unnest({WORDS}) AS tok FROM documents)
+    ),
+    bits AS (
+      SELECT doc_id, j,
+             sum(CASE WHEN (strpos('0123456789abcdef', substring(md5(tok), j, 1)) - 1) % 2 = 1
+                 THEN 1 ELSE -1 END) AS s
+      FROM toks, (SELECT unnest(generate_series(1, 16)) AS j) jj
+      GROUP BY doc_id, j
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN s > 0 THEN power(2.0, j - 1) ELSE 0 END) AS BIGINT) AS simhash
+    FROM bits GROUP BY doc_id
+    """
+
+
+EMB_CTE = "e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)"
+
+
+def cosine_topk_sql(n_queries: int = 8, k: int = 5) -> str:
+    return f"""
+    WITH {EMB_CTE},
+    q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < {n_queries}),
+    pairs AS (
+      SELECT query_id, e.vec_id AS neighbor_id,
+             round(list_dot_product(qemb, emb)
+                   / (sqrt(list_dot_product(qemb, qemb)) * sqrt(list_dot_product(emb, emb))), 6) AS sim
+      FROM q, e WHERE query_id <> e.vec_id
+    ),
+    r AS (SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rank
+          FROM pairs)
+    SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= {k}
+    """
+
+
+LSH_CTES = f"""
+{EMB_CTE},
+pos AS (
+  SELECT vec_id, nums.i AS i, emb[nums.i] AS v
+  FROM e, (SELECT unnest(generate_series(1, 64)) AS i) nums
+  WHERE nums.i <= len(emb)
+),
+pl AS (
+  SELECT vec_id, p,
+         sum(v * (CASE WHEN (p * 131 + i * 37) % 7 < 3 THEN 1.0 ELSE -1.0 END)) AS s
+  FROM pos, (SELECT unnest(generate_series(0, 7)) AS p) pp
+  GROUP BY vec_id, p
+),
+buckets AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN s > 0 THEN power(2.0, p) ELSE 0 END) AS INT) AS bucket
+  FROM pl GROUP BY vec_id
+)
+"""
+
+
+def lsh_buckets_sql() -> str:
+    return f"WITH {LSH_CTES} SELECT vec_id, bucket FROM buckets"
+
+
+def neardup_pairs_sql(threshold: float = 0.99) -> str:
+    # over embeddings ∪ shifted copy (planted exact dups), LSH-bucketed
+    return f"""
+    WITH eraw AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000, embedding FROM embeddings
+    ),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM eraw),
+    pos AS (
+      SELECT vec_id, nums.i AS i, emb[nums.i] AS v
+      FROM e, (SELECT unnest(generate_series(1, 64)) AS i) nums
+      WHERE nums.i <= len(emb)
+    ),
+    pl AS (
+      SELECT vec_id, p,
+             sum(v * (CASE WHEN (p * 131 + i * 37) % 7 < 3 THEN 1.0 ELSE -1.0 END)) AS s
+      FROM pos, (SELECT unnest(generate_series(0, 7)) AS p) pp
+      GROUP BY vec_id, p
+    ),
+    buckets AS (
+      SELECT vec_id,
+             CAST(sum(CASE WHEN s > 0 THEN power(2.0, p) ELSE 0 END) AS INT) AS bucket
+      FROM pl GROUP BY vec_id
+    ),
+    v AS (SELECT e.vec_id, e.emb, b.bucket FROM e JOIN buckets b USING (vec_id)),
+    sims AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             round(list_dot_product(a.emb, b.emb)
+                   / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 6) AS sim
+      FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT DISTINCT vec_a, vec_b, sim FROM sims WHERE sim >= {threshold}
+    """

@@ -1,0 +1,119 @@
+"""Text-analysis operators for training-data pipelines over the
+`documents` table: token counting, quality scoring, language-ID
+heuristic, document fingerprinting.
+
+All pure column expressions (`pyspark.sql.functions` only — JVM-side,
+whole-stage codegen, no Python). Each has an exact DuckDB oracle in
+cimpy_spark/functions/doc_oracles.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# BPE-ish tokenizer: letter runs, digit runs, single other non-space.
+BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+EN_STOPWORDS = ["the", "a", "of", "and", "to", "in"]
+DATA_STOPWORDS = ["data", "table", "row", "column", "query"]
+
+
+def _words(col: str = "text"):
+    return F.split(F.trim(F.col(col)), "\\s+")
+
+
+def token_count(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_ws_tokens, n_bpe_tokens) — whitespace and BPE-ish
+    regex token counts."""
+    return docs.select(
+        "doc_id",
+        F.size(_words()).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_RE), F.lit(0))).alias(
+            "n_bpe_tokens"
+        ),
+    )
+
+
+def _ratio(hits, total):
+    return F.round(hits * F.lit(1.0) / total, 6)
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic quality features + composite score.
+
+    Deterministic arithmetic only (same association order as the SQL
+    oracle, rounded to 6 decimals so both engines hash-match).
+    """
+    w = _words()
+    n_tok = F.size(w)
+    stop_hits = F.size(F.filter(w, lambda x: x.isin(EN_STOPWORDS)))
+    avg_word_len = F.round(
+        F.length(F.trim(F.col("text"))) * F.lit(1.0) / n_tok, 6
+    )
+    stop_ratio = _ratio(stop_hits, n_tok)
+    score = F.round(
+        F.least(n_tok * F.lit(1.0) / 50, F.lit(1.0)) * 0.5
+        + stop_ratio * 0.3
+        + F.least(avg_word_len / 10, F.lit(1.0)) * 0.2,
+        6,
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        stop_ratio.alias("stopword_ratio"),
+        avg_word_len.alias("avg_word_len"),
+        score.alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """n-gram/stopword language-ID heuristic (the real thing would
+    score character n-grams per language; same plumbing)."""
+    w = _words()
+    en_hits = F.size(F.filter(w, lambda x: x.isin(EN_STOPWORDS)))
+    data_hits = F.size(F.filter(w, lambda x: x.isin(DATA_STOPWORDS)))
+    pred = (
+        F.when(en_hits >= 2, F.lit("en"))
+        .when(data_hits >= 3, F.lit("dataese"))
+        .otherwise(F.lit("unk"))
+    )
+    return docs.select(
+        "doc_id",
+        en_hits.alias("en_hits"),
+        data_hits.alias("data_hits"),
+        pred.alias("lang_pred"),
+    )
+
+
+def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct word n-grams — the shared substrate
+    for fingerprinting, MinHash and Jaccard. Array ops stay JVM-side;
+    docs shorter than n words yield no shingles."""
+    w = _words()
+    idx = F.when(
+        F.size(w) >= n, F.sequence(F.lit(0), F.size(w) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    gram = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return (
+        docs.select("doc_id", F.explode(gram).alias("shingle"))
+        .distinct()
+    )
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Document fingerprint = lexicographic-min md5 over word 5-grams
+    (a 1-permutation MinHash; rolling-hash analog), falling back to
+    md5(text) for very short docs."""
+    sh = shingles(docs, n=5)
+    fp = sh.groupBy("doc_id").agg(F.min(F.md5("shingle")).alias("fp"))
+    return (
+        docs.select("doc_id", F.md5("text").alias("fallback"))
+        .join(fp, "doc_id", "left")
+        .select("doc_id", F.coalesce("fp", "fallback").alias("fingerprint"))
+    )

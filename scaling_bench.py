@@ -12,7 +12,9 @@ Method per level:
   extraction, not the parquet scan or the window);
 - one untimed warmup pass (Python worker fork + import cost is
   startup, not throughput);
-- median of 3 timed extraction passes → turns/sec.
+- median of 3 timed extraction passes → turns/sec;
+- each level taskset-pinned to exactly that many CPUs so the small
+  level cannot borrow idle cores for JVM housekeeping.
 
 Writes BENCH.md and prints one JSON line.
 """
@@ -85,8 +87,13 @@ def main() -> None:
 
     results = {}
     for cores in (8, 32):
+        # taskset confines the WHOLE process tree (JVM, GC threads,
+        # python workers) to exactly `cores` CPUs — local[N] alone
+        # would let the low level borrow idle cores for GC/Arrow and
+        # inflate the baseline. This emulates a machine of that size.
         proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--level", str(cores)],
+            ["taskset", "-c", f"0-{cores - 1}",
+             sys.executable, os.path.abspath(__file__), "--level", str(cores)],
             capture_output=True,
             text=True,
             timeout=1200,

@@ -1,0 +1,99 @@
+"""Property tests for training-data ops (exact values are covered by
+the DuckDB oracle gate; these check semantic invariants)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cimpy_spark.functions import dedup as D
+from cimpy_spark.functions import similarity as SIM
+from cimpy_spark.functions import text as T
+from tests.conftest import SF_TINY
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_TINY}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_TINY}/embeddings.parquet").cache()
+
+
+def _with_copies(df, key):
+    return df.select(key, *[c for c in df.columns if c != key]).union(
+        df.select((F.col(key) + 1000000).alias(key), *[c for c in df.columns if c != key])
+    )
+
+
+def test_exact_dedup_finds_planted_copies(spark, docs):
+    dupd = _with_copies(docs.select("doc_id", "text"), "doc_id")
+    groups = D.exact_duplicates(dupd)
+    n_distinct_texts = docs.select("text").distinct().count()
+    assert groups.count() == n_distinct_texts
+    assert groups.filter(F.col("n_docs") < 2).count() == 0
+
+
+def test_minhash_finds_identical_docs(spark, docs):
+    """Identical texts have identical signatures → identical band keys
+    → must appear as candidates (recall 1.0 on exact dups)."""
+    sample = docs.select("doc_id", "text").limit(50)
+    dupd = _with_copies(sample, "doc_id")
+    cands = D.minhash_candidates(dupd)
+    planted = sample.select(
+        F.col("doc_id").alias("doc_a"), (F.col("doc_id") + 1000000).alias("doc_b")
+    )
+    missed = planted.join(cands, ["doc_a", "doc_b"], "left_anti").count()
+    assert missed == 0
+
+
+def test_jaccard_identical_is_one(spark, docs):
+    sample = docs.select("doc_id", "text").limit(20)
+    dupd = _with_copies(sample, "doc_id")
+    pairs = sample.select(
+        F.col("doc_id").alias("doc_a"), (F.col("doc_id") + 1000000).alias("doc_b")
+    )
+    jac = D.ngram_jaccard(dupd, pairs)
+    assert jac.filter(F.col("jaccard") != 1.0).count() == 0
+
+
+def test_simhash_identical_texts_collide(spark, docs):
+    sh = D.simhash(docs)
+    joined = (
+        docs.select("doc_id", "text")
+        .join(sh, "doc_id")
+        .groupBy("text")
+        .agg(F.countDistinct("simhash").alias("n"))
+    )
+    assert joined.filter(F.col("n") > 1).count() == 0
+    # 16-bit range
+    assert sh.filter((F.col("simhash") < 0) | (F.col("simhash") >= 65536)).count() == 0
+
+
+def test_cosine_topk_shape(spark, emb):
+    topk = SIM.cosine_topk(emb, n_queries=4, k=5)
+    rows = topk.collect()
+    assert len(rows) == 4 * 5
+    assert all(-1.0 <= r["sim"] <= 1.0 for r in rows)
+    assert all(r["query_id"] != r["neighbor_id"] for r in rows)
+
+
+def test_neardup_finds_planted_identicals(spark, emb):
+    dupd = _with_copies(emb.select("vec_id", "embedding"), "vec_id")
+    pairs = SIM.neardup_pairs(dupd, threshold=0.999)
+    n = emb.count()
+    # every planted identical pair shares every LSH bucket → found
+    assert pairs.filter(F.col("sim") >= 0.999999).count() >= n
+
+
+def test_fingerprint_deterministic_per_text(spark, docs):
+    fp = T.fingerprint(docs)
+    joined = (
+        docs.select("doc_id", "text")
+        .join(fp, "doc_id")
+        .groupBy("text")
+        .agg(F.countDistinct("fingerprint").alias("n"))
+    )
+    assert joined.filter(F.col("n") > 1).count() == 0
