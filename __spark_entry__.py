@@ -21,6 +21,7 @@ from cimpy_spark.fixtures.events_transcripts import (  # noqa: E402
     transcripts_sql,
     triples_oracle_sql,
 )
+from cimpy_spark import analytics as A  # noqa: E402
 from cimpy_spark import pipeline as P  # noqa: E402
 from cimpy_spark.functions import doc_oracles  # noqa: E402
 from cimpy_spark.functions import dedup as D  # noqa: E402
@@ -177,6 +178,12 @@ def _q_emb_lsh_buckets(spark, sf_dir):
     return SIM.lsh_buckets(_emb(spark, sf_dir))
 
 
+def _q_mm_features(spark, sf_dir):
+    from cimpy_spark.functions.multimodal import extract_features, to_binary_docs
+
+    return extract_features(to_binary_docs(_docs(spark, sf_dir)))
+
+
 def _q_emb_neardup(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -214,7 +221,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_topk": _q_emb_cosine_topk,
         "emb_lsh_buckets": _q_emb_lsh_buckets,
         "emb_neardup_pairs": _q_emb_neardup,
+        "mm_features": _q_mm_features,
+        "tpch_pricing_summary": A.pricing_summary,
+        "tpch_revenue_by_nation": A.revenue_by_nation,
+        "top_customer_per_nation": A.top_customer_per_nation,
+        "customers_without_orders": A.customers_without_orders,
+        "first_lineitem_per_order": A.first_lineitem_per_order,
+        "user_event_profile": A.user_event_profile,
     }
+
+
+def _mm_features_oracle() -> str:
+    from cimpy_spark.functions.multimodal import features_oracle_sql
+
+    return features_oracle_sql()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -256,4 +276,6 @@ def oracle_sql() -> dict[str, str]:
         "emb_cosine_topk": doc_oracles.cosine_topk_sql(),
         "emb_lsh_buckets": doc_oracles.lsh_buckets_sql(),
         "emb_neardup_pairs": doc_oracles.neardup_pairs_sql(),
+        "mm_features": _mm_features_oracle(),
+        **A.ANALYTICS_ORACLES,
     }

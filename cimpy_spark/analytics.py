@@ -1,0 +1,194 @@
+"""Generic analytics operators over the TPC-H-ish tables — the
+engine-coverage demonstrations for SURVEY.md §2 operator classes that
+the KG pipeline itself doesn't exercise: multi-way joins with
+broadcast dimensions, windowed top-k, anti-joins, min-priority
+election, pivot-style conditional aggregation.
+
+Float outputs are rounded to 6 decimals so the DuckDB oracle
+hash-matches (sum order differs between engines only below that).
+
+Scale notes: dimension tables (region/nation, and customer at small
+SF) are broadcast — `F.broadcast` hints where Catalyst's threshold
+wouldn't fire on statistics alone; fact-fact joins shuffle on their
+keys with AQE handling skew/coalesce.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary (scan + filter + wide agg;
+    predicate and the 6-column projection push into the parquet scan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5-style multi-way join: fact-fact shuffle joins + broadcast
+    dimension chain supplier→nation→region."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(cust.c_nationkey == supp.s_nationkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+def top_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed top-k: highest-revenue customer per nation
+    (row_number over revenue desc with custkey tie-break)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    rev = (
+        orders.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("revenue"))
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("revenue").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        rev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "c_nationkey",
+            F.col("c_custkey").alias("top_custkey"),
+            "revenue",
+        )
+    )
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join (SURVEY §2.6 SO1 analog: set difference by key)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def first_lineitem_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-priority election (reference analog: lowest-priority profile
+    pick, cimpy/cimexport.py:196-214): the min-linenumber lineitem per
+    order via min_by — single hash agg, no window sort."""
+    li = _t(spark, sf_dir, "lineitem")
+    # (l_orderkey, l_linenumber) is not unique in this data — elect on
+    # the full struct so the min is a total (deterministic) order.
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.min(F.struct("l_linenumber", "l_partkey", "l_quantity")).alias("s")
+        )
+        .select(
+            "l_orderkey",
+            F.col("s.l_linenumber").alias("first_line"),
+            F.col("s.l_partkey").alias("first_partkey"),
+            F.round(F.col("s.l_quantity"), 4).alias("first_qty"),
+        )
+    )
+
+
+def user_event_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot-style conditional aggregation over the events stream
+    table (grouped metrics, cimpy/cimimport.py:41-66 analog)."""
+    ev = _t(spark, sf_dir, "events")
+    et = F.col("event_type")
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(et == "purchase", 1).otherwise(0)).alias("n_purchases"),
+        F.sum(F.when(et == "error", 1).otherwise(0)).alias("n_errors"),
+        F.round(F.sum(F.when(et == "purchase", F.col("value")).otherwise(0.0)), 4).alias(
+            "purchase_value"
+        ),
+    )
+
+
+ANALYTICS_ORACLES = {
+    "tpch_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 4) AS sum_qty,
+               round(sum(l_extendedprice), 4) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+               round(avg(l_quantity), 6) AS avg_qty,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "tpch_revenue_by_nation": """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    "top_customer_per_nation": """
+        WITH rev AS (
+          SELECT c_nationkey, c_custkey, round(sum(o_totalprice), 4) AS revenue
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY c_nationkey, c_custkey
+        )
+        SELECT c_nationkey, c_custkey AS top_custkey, revenue FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY c_nationkey ORDER BY revenue DESC, c_custkey ASC) AS rk
+          FROM rev
+        ) WHERE rk = 1
+    """,
+    "customers_without_orders": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+    "first_lineitem_per_order": """
+        SELECT l_orderkey, first_line, first_partkey, first_qty FROM (
+          SELECT l_orderkey, l_linenumber AS first_line,
+                 l_partkey AS first_partkey, round(l_quantity, 4) AS first_qty,
+                 row_number() OVER (PARTITION BY l_orderkey
+                   ORDER BY l_linenumber, l_partkey, l_quantity) AS rk
+          FROM lineitem
+        ) WHERE rk = 1
+    """,
+    "user_event_profile": """
+        SELECT user_id,
+               count(*) AS n_events,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases,
+               sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors,
+               round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 4)
+                 AS purchase_value
+        FROM events GROUP BY user_id
+    """,
+}

@@ -1,0 +1,95 @@
+"""Multimodal column plumbing: image/audio/video as opaque `binary`
+payloads with typed metadata, processed by Arrow-batched UDFs.
+
+The container has no image/audio codecs, so the decode step is a
+deterministic STUB (clearly marked) — but everything Spark-side is
+real and tested: the binary column type, the metadata struct, the
+`mapInPandas` batch shape, and the feature-extraction dataflow. A
+real deployment swaps `_decode_stub` for a PIL/ffmpeg call inside the
+same UDF; nothing else changes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_SCHEMA = (
+    "doc_id long, n_bytes int, fake_width int, fake_height int, payload_md5 string"
+)
+
+_HEX = "0123456789abcdef"
+
+
+def to_binary_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload binary, meta struct) — the multimodal storage
+    shape: opaque bytes + typed metadata. Here payload is the utf-8
+    text (stand-in for image bytes)."""
+    return docs.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.col("n_chars").alias("n_chars"),
+            F.col("source").alias("source"),
+            F.lit("text/plain").alias("mime"),
+        ).alias("meta"),
+    )
+
+
+def _decode_stub(payload: bytes) -> tuple[int, int]:
+    """STUB decode: derives fake (width, height) deterministically from
+    the payload hash. Replace with e.g. PIL.Image.open(BytesIO(...))
+    in a real deployment — the UDF signature and batch shape are what
+    this module actually tests.
+    """
+    try:
+        import PIL.Image  # noqa: F401
+
+        raise NotImplementedError(
+            "real image decode not wired in this sandbox; stub is authoritative"
+        )
+    except ImportError:
+        pass
+    h = hashlib.md5(payload).hexdigest()
+    return _HEX.index(h[0]), _HEX.index(h[1])
+
+
+def extract_features(bin_docs: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads:
+    (doc_id, n_bytes, fake_width, fake_height, payload_md5)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            md5s = payloads.map(lambda b: hashlib.md5(bytes(b)).hexdigest())
+            dims = payloads.map(lambda b: _decode_stub(bytes(b)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": payloads.map(len).astype("int32"),
+                    "fake_width": dims.map(lambda d: d[0]).astype("int32"),
+                    "fake_height": dims.map(lambda d: d[1]).astype("int32"),
+                    "payload_md5": md5s,
+                }
+            )
+
+    return bin_docs.select("doc_id", "payload").mapInPandas(
+        gen, schema=FEATURE_SCHEMA
+    )
+
+
+def features_oracle_sql() -> str:
+    """DuckDB oracle: the stub's arithmetic expressed in SQL (payload
+    is the utf-8 text, so octet_length/md5 of text match)."""
+    return """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           CAST(strpos('0123456789abcdef', substring(md5(text), 1, 1)) - 1 AS INT) AS fake_width,
+           CAST(strpos('0123456789abcdef', substring(md5(text), 2, 1)) - 1 AS INT) AS fake_height,
+           md5(text) AS payload_md5
+    FROM documents
+    """
