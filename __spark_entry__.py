@@ -121,6 +121,21 @@ def _q_type_dispatch(spark, sf_dir):
     return P.type_dispatch(_graph(spark, sf_dir).entities)
 
 
+def _q_delete_t0(spark, sf_dir):
+    from cimpy_spark.operators.transforms import delete_entities, select_entities
+
+    g = _graph(spark, sf_dir)
+    ids = select_entities(g.nodes, "rdf_type", "T0")
+    _, edges = delete_entities(g.nodes, g.canon_edges, ids)
+    return edges
+
+
+def _q_contract_controls(spark, sf_dir):
+    from cimpy_spark.operators.transforms import contract_edges
+
+    return contract_edges(_graph(spark, sf_dir).canon_edges, "controls")
+
+
 # --------------------------------------------------------------------------
 # Training-data ops over documents / embeddings
 # --------------------------------------------------------------------------
@@ -210,6 +225,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_node_degree": _q_node_degree,
         "kg_multihop": _q_multihop,
         "kg_type_dispatch": _q_type_dispatch,
+        "kg_delete_t0": _q_delete_t0,
+        "kg_contract_controls": _q_contract_controls,
         "doc_token_count": _q_doc_token_count,
         "doc_quality": _q_doc_quality,
         "doc_lang_id": _q_doc_lang_id,
@@ -265,6 +282,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_node_degree": oracles.node_degree_sql(),
         "kg_multihop": oracles.multihop_sql(),
         "kg_type_dispatch": oracles.type_dispatch_sql(),
+        "kg_delete_t0": oracles.delete_t0_sql(),
+        "kg_contract_controls": oracles.contract_controls_sql(),
         "doc_token_count": doc_oracles.token_count_sql(),
         "doc_quality": doc_oracles.quality_score_sql(),
         "doc_lang_id": doc_oracles.lang_id_sql(),

@@ -216,6 +216,43 @@ def multihop_sql() -> str:
     """
 
 
+def delete_t0_sql() -> str:
+    """Edges remaining after bulk-deleting every canonical entity of
+    type T0 (utils.py:80-84 delete-set analog)."""
+    return PIPELINE_CTES + """
+    , t0 AS (SELECT DISTINCT entity_id FROM nodes
+             WHERE attr = 'rdf_type' AND value = 'T0')
+    SELECT e.src, e.pred, e.dst FROM canon_edges e
+    LEFT JOIN t0 a ON e.src = a.entity_id
+    LEFT JOIN t0 b ON e.dst = b.entity_id
+    WHERE a.entity_id IS NULL AND b.entity_id IS NULL
+    """
+
+
+def contract_controls_sql() -> str:
+    """Edges after contracting all 'controls' edges (bus-branch
+    closed-switch merge analog): endpoints merge to min-id component
+    labels, self-loops dropped, contracted pred removed."""
+    return PIPELINE_CTES + """
+    , cpairs AS (SELECT DISTINCT src AS a, dst AS b FROM canon_edges WHERE pred = 'controls'),
+    csym AS (SELECT a, b FROM cpairs UNION SELECT b, a FROM cpairs),
+    cverts AS (
+      SELECT src AS v FROM canon_edges UNION SELECT dst FROM canon_edges
+    ),
+    reach2(a, b) AS (
+      SELECT v, v FROM cverts
+      UNION
+      SELECT r.a, e.b FROM reach2 r JOIN csym e ON r.b = e.a
+    ),
+    cmap2 AS (SELECT a AS entity_id, min(b) AS canonical_id FROM reach2 GROUP BY a)
+    SELECT DISTINCT m1.canonical_id AS src, e.pred, m2.canonical_id AS dst
+    FROM canon_edges e
+    JOIN cmap2 m1 ON e.src = m1.entity_id
+    JOIN cmap2 m2 ON e.dst = m2.entity_id
+    WHERE e.pred <> 'controls' AND m1.canonical_id <> m2.canonical_id
+    """
+
+
 def type_dispatch_sql() -> str:
     return (
         _with(T_CTE, ENTITIES_CTE)

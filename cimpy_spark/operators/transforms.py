@@ -1,0 +1,116 @@
+"""Graph-transform utilities — the Spark-first re-expression of the
+reference's model-editing layer:
+
+- `node_breaker_to_bus_branch` (cimpy/utils.py:6-88): select entities
+  by type+predicate, collect a delete-set, bulk-delete nodes/edges →
+  here `select_entities` + `delete_entities` (anti-joins, SO1/SO2);
+  its switch-closure side ("connect nodes across closed breakers")
+  is `contract_edges` (components over the matched edge set, then
+  endpoint rewrite).
+- scenario builders (`CIMScenarios.py:6-543` add_ACLineSegment /
+  add_Terminal / ...): row-constructor helpers producing node/edge
+  DataFrames unioned into the graph, with deterministic surrogate ids
+  (xxhash64) instead of the reference's sequential collision-suffix
+  scan (cimpy/utils.py:103-108 — an O(n) driver loop we never do).
+
+All transforms are DataFrame→DataFrame; deletes are anti-joins, never
+row-at-a-time mutation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cimpy_spark.operators.canonicalize import canonical_map
+
+
+def select_entities(nodes: DataFrame, attr: str, value) -> DataFrame:
+    """Entity ids whose long-format attr matches (P8/P9 analog:
+    class/attribute predicates like 'open & non-retained breakers',
+    cimpy/utils.py:17-39). Returns a 1-column `entity_id` frame."""
+    return (
+        nodes.filter((F.col("attr") == attr) & (F.col("value") == value))
+        .select("entity_id")
+        .distinct()
+    )
+
+
+def delete_entities(
+    nodes: DataFrame, edges: DataFrame, ids: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Bulk-delete a set of entities and every edge touching them
+    (cimpy/utils.py:80-84 `del_list` + `del res[key]` as anti-joins).
+    `ids`: 1-column `entity_id` frame, broadcast (delete-sets are
+    small relative to the graph)."""
+    ids_b = F.broadcast(ids.select("entity_id").distinct())
+    nodes2 = nodes.join(ids_b, "entity_id", "left_anti")
+    edges2 = edges.join(
+        ids_b.select(F.col("entity_id").alias("src")), "src", "left_anti"
+    ).join(ids_b.select(F.col("entity_id").alias("dst")), "dst", "left_anti")
+    return nodes2, edges2.select("src", "pred", "dst")
+
+
+def contract_edges(edges: DataFrame, pred: str) -> DataFrame:
+    """Contract every edge with predicate `pred`: its endpoints merge
+    into one entity (min-id election), remaining edges are rewritten
+    to the merged endpoints and self-loops dropped — the bus-branch
+    reduction's "closed switch joins two topological nodes" step.
+
+    Reuses the canonicalization engine (connected components over the
+    contracted edge set)."""
+    to_contract = edges.filter(F.col("pred") == pred)
+    endpoints = (
+        to_contract.select(F.col("src").alias("entity_id"))
+        .union(to_contract.select(F.col("dst").alias("entity_id")))
+        .union(edges.select(F.col("src").alias("entity_id")))
+        .union(edges.select(F.col("dst").alias("entity_id")))
+        .distinct()
+    )
+    cmap = canonical_map(endpoints, to_contract.select("src", "dst"))
+    src_map = F.broadcast(
+        cmap.select(F.col("entity_id").alias("src"), F.col("canonical_id").alias("csrc"))
+    )
+    dst_map = F.broadcast(
+        cmap.select(F.col("entity_id").alias("dst"), F.col("canonical_id").alias("cdst"))
+    )
+    return (
+        edges.filter(F.col("pred") != pred)
+        .join(src_map, "src")
+        .join(dst_map, "dst")
+        .select(F.col("csrc").alias("src"), "pred", F.col("cdst").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "pred", "dst"])
+    )
+
+
+def add_entities(
+    nodes: DataFrame, new_attrs: list[tuple[str, str, str]]
+) -> DataFrame:
+    """Scenario builder: union new long-format (entity_id, attr,
+    value) rows into the node table (CIMScenarios add_* analog).
+    Existing (entity_id, attr) rows win (first-wins merge)."""
+    spark = nodes.sparkSession
+    new_df = spark.createDataFrame(new_attrs, "entity_id string, attr string, value string")
+    fresh = new_df.join(
+        nodes.select("entity_id", "attr"), ["entity_id", "attr"], "left_anti"
+    )
+    return nodes.unionByName(fresh)
+
+
+def add_edges(edges: DataFrame, new_edges: list[tuple[str, str, str]]) -> DataFrame:
+    """Scenario builder: union + dedupe (the reference's append-with-
+    dedupe list semantics, cimpy/cimimport.py:294-300)."""
+    spark = edges.sparkSession
+    new_df = spark.createDataFrame(new_edges, "src string, pred string, dst string")
+    return edges.unionByName(new_df).dropDuplicates(["src", "pred", "dst"])
+
+
+def surrogate_ids(df: DataFrame, cols: list[str], prefix: str = "S") -> DataFrame:
+    """Deterministic surrogate id from content hash — replaces the
+    reference's sequential name-collision suffix loop
+    (cimpy/utils.py:103-108, an O(n) scan per insert)."""
+    return df.withColumn(
+        "surrogate_id",
+        F.concat(F.lit(prefix), F.pmod(F.xxhash64(*cols), F.lit(10**12)).cast("string")),
+    )

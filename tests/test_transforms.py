@@ -1,0 +1,68 @@
+"""Graph-transform tests (utils.py / CIMScenarios.py analogs)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cimpy_spark.operators.transforms import (
+    add_edges,
+    add_entities,
+    contract_edges,
+    delete_entities,
+    select_entities,
+    surrogate_ids,
+)
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, "src string, pred string, dst string")
+
+
+def _nodes(spark, rows):
+    return spark.createDataFrame(rows, "entity_id string, attr string, value string")
+
+
+def test_delete_entities_removes_touching_edges(spark):
+    nodes = _nodes(spark, [("a", "rdf_type", "T0"), ("b", "rdf_type", "T1"), ("c", "rdf_type", "T1")])
+    edges = _edges(spark, [("a", "p", "b"), ("b", "p", "c"), ("c", "p", "a")])
+    ids = select_entities(nodes, "rdf_type", "T0")
+    n2, e2 = delete_entities(nodes, edges, ids)
+    assert {r["entity_id"] for r in n2.select("entity_id").distinct().collect()} == {"b", "c"}
+    assert [(r["src"], r["pred"], r["dst"]) for r in e2.collect()] == [("b", "p", "c")]
+
+
+def test_contract_edges_merges_endpoints(spark):
+    # switch chain a-sw-b-sw-c plus line c->d and line b->e:
+    # contracting 'sw' merges {a,b,c} into 'a'; lines re-anchor there
+    edges = _edges(
+        spark,
+        [
+            ("a", "sw", "b"),
+            ("b", "sw", "c"),
+            ("c", "line", "d"),
+            ("b", "line", "e"),
+            ("a", "line", "b"),  # becomes a self-loop → dropped
+        ],
+    )
+    out = {(r["src"], r["pred"], r["dst"]) for r in contract_edges(edges, "sw").collect()}
+    assert out == {("a", "line", "d"), ("a", "line", "e")}
+
+
+def test_scenario_builders(spark):
+    nodes = _nodes(spark, [("a", "rdf_type", "T0")])
+    n2 = add_entities(nodes, [("b", "rdf_type", "T1"), ("a", "rdf_type", "T9")])
+    got = {(r["entity_id"], r["value"]) for r in n2.filter(F.col("attr") == "rdf_type").collect()}
+    # existing (a, rdf_type) wins; b added
+    assert got == {("a", "T0"), ("b", "T1")}
+
+    edges = _edges(spark, [("a", "p", "b")])
+    e2 = add_edges(edges, [("a", "p", "b"), ("b", "p", "a")])
+    assert e2.count() == 2  # dedupe on append
+
+
+def test_surrogate_ids_deterministic_and_distinct(spark):
+    df = spark.createDataFrame([("x", 1), ("y", 2)], "name string, v int")
+    a = surrogate_ids(df, ["name", "v"]).collect()
+    b = surrogate_ids(df, ["name", "v"]).collect()
+    assert sorted(r["surrogate_id"] for r in a) == sorted(r["surrogate_id"] for r in b)
+    assert len({r["surrogate_id"] for r in a}) == 2
