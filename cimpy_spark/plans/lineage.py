@@ -50,11 +50,19 @@ class LineageLedger:
             and os.path.exists(os.path.join(d, "_SUCCESS"))
         )
 
-    def commit(self, stage: str, df_written: DataFrame, rows: int, parts: int) -> None:
+    def commit(
+        self,
+        stage: str,
+        df_written: DataFrame,
+        rows: int,
+        parts: int,
+        partition_rows: dict[str, int] | None = None,
+    ) -> None:
         rec = {
             "stage": stage,
             "rows_out": rows,
             "partitions": parts,
+            "partition_rows": partition_rows or {},
             "committed": True,
         }
         # append-only ledger; last record per stage wins on read
@@ -87,7 +95,20 @@ class LineageLedger:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(d)
         out = spark.read.parquet(d)
-        rows = out.count()
-        parts = out.rdd.getNumPartitions()
-        self.commit(stage, out, rows, parts)
+        # per-partition lineage (north_rule): row counts per committed
+        # file/partition in one aggregation pass; the total is their sum
+        from pyspark.sql import functions as F
+
+        def _rel(p: str) -> str:
+            p = p.removeprefix("file://").removeprefix("file:")
+            return os.path.relpath(p, d)
+
+        per_file = {
+            _rel(r["f"]): r["n"]
+            for r in out.groupBy(F.input_file_name().alias("f"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        rows = sum(per_file.values())
+        self.commit(stage, out, rows, len(per_file), per_file)
         return out
