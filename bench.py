@@ -45,6 +45,12 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 4)
         return out
 
+    # warm the Python worker pool (fork + import cost is startup, not
+    # pipeline throughput; scaling_bench measures the same way)
+    spark.range(10_000).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
+
     transcripts = transcripts_from_events(spark, sf_dir)
     n_turns = timed("load_transcripts", lambda: transcripts.count())
 

@@ -44,13 +44,45 @@ def canonical_map(
         .localCheckpoint(eager=True)
     )
 
+    # size the iteration working set to the data: the sameAs link set
+    # is usually tiny relative to the corpus, and a fixed
+    # shuffle-partition count would make every round pay hundreds of
+    # empty tasks. ~50k rows per partition, capped at the session's
+    # shuffle parallelism (at 10^12-turn scale this lands back on the
+    # full parallelism).
+    n_edges = edges.count()
+    shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    n_parts = max(1, min(shuffle_parts, n_edges // 50_000 + 1))
+    edges = edges.repartition(n_parts, "a")
+
     vertices = (
         entities.select(F.col("entity_id").alias("a"))
         .union(edges.select("a"))
         .distinct()
     )
-    labels = vertices.select("a", F.col("a").alias("comp")).localCheckpoint(eager=True)
+    labels = (
+        vertices.select("a", F.col("a").alias("comp"))
+        .repartition(n_parts, "a")
+        .localCheckpoint(eager=True)
+    )
 
+    # pin the loop's shuffle width to the working-set size (restored
+    # after); AQE would coalesce anyway but only after scheduling the
+    # empty tasks each round
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+    try:
+        labels = _iterate(edges, labels, max_iter)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+    return entities.join(
+        labels.select(F.col("a").alias("entity_id"), F.col("comp").alias("canonical_id")),
+        "entity_id",
+    ).select("entity_id", "canonical_id")
+
+
+def _iterate(edges: DataFrame, labels: DataFrame, max_iter: int) -> DataFrame:
     for _ in range(max_iter):
         # (a) candidate label = min(own, min over neighbors)
         neighbor = edges.join(labels, "a").select(
@@ -79,7 +111,9 @@ def canonical_map(
                 F.coalesce(F.col("comp2"), F.col("comp")).alias("comp"),
             )
         )
-        new_labels = jumped.localCheckpoint(eager=True)
+        # lazy checkpoint: the changed-count action below materializes
+        # it, so each iteration costs ONE job instead of two
+        new_labels = jumped.localCheckpoint(eager=False)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "a")
@@ -89,14 +123,8 @@ def canonical_map(
         )
         labels = new_labels
         if changed == 0:
-            break
-    else:
-        raise RuntimeError(f"canonical_map did not converge in {max_iter} iterations")
-
-    return entities.join(
-        labels.select(F.col("a").alias("entity_id"), F.col("comp").alias("canonical_id")),
-        "entity_id",
-    ).select("entity_id", "canonical_id")
+            return labels
+    raise RuntimeError(f"canonical_map did not converge in {max_iter} iterations")
 
 
 def canonical_edges(edges: DataFrame, cmap: DataFrame) -> DataFrame:
