@@ -121,6 +121,11 @@ def _q_type_dispatch(spark, sf_dir):
     return P.type_dispatch(_graph(spark, sf_dir).entities)
 
 
+def _q_value_rollup(spark, sf_dir):
+    g = _graph(spark, sf_dir)
+    return P.value_rollup(g.canon_edges, g.nodes)
+
+
 def _q_delete_t0(spark, sf_dir):
     from cimpy_spark.operators.transforms import delete_entities, select_entities
 
@@ -225,6 +230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_node_degree": _q_node_degree,
         "kg_multihop": _q_multihop,
         "kg_type_dispatch": _q_type_dispatch,
+        "kg_value_rollup": _q_value_rollup,
         "kg_delete_t0": _q_delete_t0,
         "kg_contract_controls": _q_contract_controls,
         "doc_token_count": _q_doc_token_count,
@@ -282,6 +288,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_node_degree": oracles.node_degree_sql(),
         "kg_multihop": oracles.multihop_sql(),
         "kg_type_dispatch": oracles.type_dispatch_sql(),
+        "kg_value_rollup": oracles.value_rollup_sql(),
         "kg_delete_t0": oracles.delete_t0_sql(),
         "kg_contract_controls": oracles.contract_controls_sql(),
         "doc_token_count": doc_oracles.token_count_sql(),

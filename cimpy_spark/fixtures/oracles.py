@@ -216,6 +216,19 @@ def multihop_sql() -> str:
     """
 
 
+def value_rollup_sql() -> str:
+    """Per-source sum of neighbors' q_int over connects_to edges."""
+    return PIPELINE_CTES + """
+    SELECT e.src AS entity_id,
+           sum(CAST(n.value AS BIGINT)) AS neighbor_sum,
+           count(*) AS n_neighbors
+    FROM canon_edges e
+    JOIN nodes n ON n.entity_id = e.dst AND n.attr = 'q_int'
+    WHERE e.pred = 'connects_to'
+    GROUP BY e.src
+    """
+
+
 def delete_t0_sql() -> str:
     """Edges remaining after bulk-deleting every canonical entity of
     type T0 (utils.py:80-84 delete-set analog)."""

@@ -38,9 +38,20 @@ def declared_entities(triples: DataFrame) -> DataFrame:
 
 
 def link_references(
-    triples: DataFrame, entities: DataFrame, broadcast_dict: bool = True
+    triples: DataFrame,
+    entities: DataFrame,
+    broadcast_dict: bool | None = None,
+    broadcast_threshold: int = 5_000_000,
+    salt_buckets: int = 16,
 ) -> tuple[DataFrame, DataFrame]:
     """Resolve ref-kind triples against the entity dictionary.
+
+    Physical strategy (broadcast_dict=None → auto): broadcast the
+    dictionary while it fits (shuffle-free linking); above the
+    threshold switch to the salted shuffled join so hub entities
+    don't pin one reducer. Both paths are semantically identical
+    (tested); the threshold is entity *count* because the dictionary
+    is one string column.
 
     Returns ``(edges, quarantine)``:
     - edges: distinct (src, pred, dst) whose dst exists — dedupe
@@ -55,15 +66,20 @@ def link_references(
         F.col("subj").alias("src"), "pred", F.col("obj").alias("dst")
     )
     dict_df = entities.select(F.col("entity_id").alias("dst"))
-    if broadcast_dict:
-        dict_df = F.broadcast(dict_df)
+    if broadcast_dict is None:
+        broadcast_dict = entities.count() <= broadcast_threshold
 
-    edges = (
-        refs.join(dict_df, "dst", "left_semi")
-        .dropDuplicates(["src", "pred", "dst"])
-        .select("src", "pred", "dst")
-    )
-    dangling = refs.join(dict_df, "dst", "left_anti")
+    if broadcast_dict:
+        dict_b = F.broadcast(dict_df)
+        matched = refs.join(dict_b, "dst", "left_semi")
+        dangling = refs.join(dict_b, "dst", "left_anti")
+    else:
+        marked = dict_df.withColumn("__hit", F.lit(1))
+        joined = salted_join(refs, marked, "dst", salt_buckets, "left")
+        matched = joined.filter(F.col("__hit").isNotNull()).drop("__hit")
+        dangling = joined.filter(F.col("__hit").isNull()).drop("__hit")
+
+    edges = matched.dropDuplicates(["src", "pred", "dst"]).select("src", "pred", "dst")
     quarantine = dangling.groupBy("dst").agg(F.count(F.lit(1)).alias("n_refs"))
     return edges, quarantine
 

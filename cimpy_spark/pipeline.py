@@ -102,6 +102,30 @@ def multihop(canon_edges: DataFrame, pred1: str = "connects_to", pred2: str = "f
     return e1.join(e2, "b").select("a", "b", "c").distinct()
 
 
+def value_rollup(
+    canon_edges: DataFrame,
+    nodes: DataFrame,
+    pred: str = "connects_to",
+    attr: str = "q_int",
+) -> DataFrame:
+    """Result-assembly join + group-sum (J9; reference analog:
+    SvPowerFlow summed per node, cimpy/CIM2DPsim.py:525-541): for each
+    source entity, sum a numeric attribute over its `pred`-linked
+    neighbors."""
+    vals = nodes.filter(F.col("attr") == attr).select(
+        F.col("entity_id").alias("dst"), F.col("value").cast("long").alias("v")
+    )
+    return (
+        canon_edges.filter(F.col("pred") == pred)
+        .join(vals, "dst")
+        .groupBy(F.col("src").alias("entity_id"))
+        .agg(
+            F.sum("v").alias("neighbor_sum"),
+            F.count(F.lit(1)).alias("n_neighbors"),
+        )
+    )
+
+
 def type_dispatch(entities: DataFrame) -> DataFrame:
     """Per-type entity counts (reference's isinstance dispatch chain,
     cimpy/CIM2DPsim.py:92-423, becomes groupBy(type))."""
