@@ -198,6 +198,29 @@ def _q_emb_lsh_buckets(spark, sf_dir):
     return SIM.lsh_buckets(_emb(spark, sf_dir))
 
 
+def _q_stream_extract(spark, sf_dir):
+    """Streaming-path extraction, oracle-gated: stage the transcripts
+    as files, drain a bounded file-source stream through the SAME
+    extraction operator into a memory sink, return the result batch.
+    Proves stream==batch semantics against the closed-form oracle."""
+    import tempfile
+
+    from cimpy_spark.streaming.ingest import (
+        run_to_memory_sink,
+        stream_extract,
+        stream_transcripts,
+    )
+
+    d = tempfile.mkdtemp(prefix="cimpy_stream_")
+    transcripts_from_events(spark, sf_dir).repartition(8).write.mode(
+        "overwrite"
+    ).parquet(d)
+    run_to_memory_sink(
+        stream_extract(stream_transcripts(spark, d)), "stream_extract_q"
+    )
+    return spark.table("stream_extract_q")
+
+
 def _q_mm_features(spark, sf_dir):
     from cimpy_spark.functions.multimodal import extract_features, to_binary_docs
 
@@ -245,12 +268,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_lsh_buckets": _q_emb_lsh_buckets,
         "emb_neardup_pairs": _q_emb_neardup,
         "mm_features": _q_mm_features,
+        "stream_extract_triples": _q_stream_extract,
         "tpch_pricing_summary": A.pricing_summary,
         "tpch_revenue_by_nation": A.revenue_by_nation,
         "top_customer_per_nation": A.top_customer_per_nation,
         "customers_without_orders": A.customers_without_orders,
         "first_lineitem_per_order": A.first_lineitem_per_order,
         "user_event_profile": A.user_event_profile,
+        "event_sessions": A.event_sessions,
+        "event_hourly_counts": A.event_hourly_counts,
     }
 
 
@@ -303,5 +329,6 @@ def oracle_sql() -> dict[str, str]:
         "emb_lsh_buckets": doc_oracles.lsh_buckets_sql(),
         "emb_neardup_pairs": doc_oracles.neardup_pairs_sql(),
         "mm_features": _mm_features_oracle(),
+        "stream_extract_triples": triples_oracle_sql("//", "events"),
         **A.ANALYTICS_ORACLES,
     }

@@ -135,7 +135,84 @@ def user_event_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_sessions(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataFrame:
+    """Sessionization: a new session starts after a >gap idle period
+    per user (lag + cumulative-sum window pattern). Returns per-user
+    session stats."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet ts arrives as TIMESTAMP_NTZ; epoch via timestamp cast
+    # (session tz UTC == DuckDB's NTZ epoch())
+    epoch = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    gap = epoch - F.lag(epoch).over(w)
+    marked = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0),
+    )
+    sessioned = marked.withColumn("session_id", F.sum("new_session").over(w))
+    return (
+        sessioned.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+            F.round(F.sum("session_value"), 4).alias("total_value"),
+        )
+    )
+
+
+def event_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window counts (batch analog of the streaming windowed
+    aggregation; window start exported as epoch seconds so the oracle
+    compares engine-neutrally)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_timestamp(F.col("w.start").cast("timestamp")).alias("hour_epoch"),
+            "event_type",
+            "n",
+        )
+    )
+
+
 ANALYTICS_ORACLES = {
+    "event_sessions": """
+        WITH marked AS (
+          SELECT user_id, value,
+                 CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                      OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                      THEN 1 ELSE 0 END AS new_session,
+                 ts, event_id
+          FROM events
+        ),
+        sessioned AS (
+          SELECT user_id, value,
+                 sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM marked
+        ),
+        per_session AS (
+          SELECT user_id, session_id, count(*) AS n_events,
+                 round(sum(value), 4) AS session_value
+          FROM sessioned GROUP BY user_id, session_id
+        )
+        SELECT user_id, count(*) AS n_sessions,
+               max(n_events) AS max_session_events,
+               round(sum(session_value), 4) AS total_value
+        FROM per_session GROUP BY user_id
+    """,
+    "event_hourly_counts": """
+        SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS hour_epoch,
+               event_type, count(*) AS n
+        FROM events GROUP BY 1, 2
+    """,
     "tpch_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 4) AS sum_qty,
