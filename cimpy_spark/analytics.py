@@ -262,8 +262,8 @@ ANALYTICS_ORACLES = {
     "user_event_profile": """
         SELECT user_id,
                count(*) AS n_events,
-               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases,
-               sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
                round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 4)
                  AS purchase_value
         FROM events GROUP BY user_id

@@ -220,7 +220,7 @@ def value_rollup_sql() -> str:
     """Per-source sum of neighbors' q_int over connects_to edges."""
     return PIPELINE_CTES + """
     SELECT e.src AS entity_id,
-           sum(CAST(n.value AS BIGINT)) AS neighbor_sum,
+           CAST(sum(CAST(n.value AS BIGINT)) AS BIGINT) AS neighbor_sum,
            count(*) AS n_neighbors
     FROM canon_edges e
     JOIN nodes n ON n.entity_id = e.dst AND n.attr = 'q_int'

@@ -23,8 +23,8 @@ DATA_STOP = "('data','table','row','column','query')"
 def token_count_sql() -> str:
     return f"""
     SELECT doc_id,
-           len({WORDS}) AS n_ws_tokens,
-           len(regexp_extract_all(text, '{BPE_RE}')) AS n_bpe_tokens
+           CAST(len({WORDS}) AS INT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS INT) AS n_bpe_tokens
     FROM documents
     """
 
@@ -32,7 +32,7 @@ def token_count_sql() -> str:
 def quality_score_sql() -> str:
     return f"""
     SELECT doc_id,
-           n_tokens,
+           CAST(n_tokens AS INT) AS n_tokens,
            stopword_ratio,
            avg_word_len,
            round(least(n_tokens * 1.0 / 50, 1.0) * 0.5
@@ -51,7 +51,8 @@ def quality_score_sql() -> str:
 
 def lang_id_sql() -> str:
     return f"""
-    SELECT doc_id, en_hits, data_hits,
+    SELECT doc_id, CAST(en_hits AS INT) AS en_hits,
+           CAST(data_hits AS INT) AS data_hits,
            CASE WHEN en_hits >= 2 THEN 'en'
                 WHEN data_hits >= 3 THEN 'dataese'
                 ELSE 'unk' END AS lang_pred
