@@ -66,7 +66,17 @@ def run_level(cores: int) -> dict:
     n_turns = transcripts.count()
 
     triples = extract_triples(transcripts)
-    triples.count()  # warmup: fork workers, JIT, fill page cache
+    # warmup to steady state: worker fork, JVM JIT, cache residency.
+    # One pass is not enough at high parallelism (observed: first two
+    # timed passes 2x slower at 16 cores) — run until stable or 4x.
+    prev = float("inf")
+    for _ in range(4):
+        t0 = time.perf_counter()
+        triples.count()
+        cur = time.perf_counter() - t0
+        if cur > 0.85 * prev:
+            break
+        prev = cur
 
     times = []
     for _ in range(5):
@@ -124,6 +134,10 @@ def main() -> None:
     }
     print(json.dumps(summary))
 
+    # BENCH.md is hand-curated (multi-window analysis); only overwrite
+    # it with this single-window report when explicitly asked
+    if os.environ.get("WRITE_BENCH_MD") != "1":
+        return
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md"), "w") as f:
         f.write(
             "# BENCH — measured throughput & scaling efficiency\n\n"
@@ -132,8 +146,9 @@ def main() -> None:
             f"{N_PARTITIONS} identical partitions at both levels), at two parallelism\n"
             "levels — the sandbox stand-in for N vs 4N executors. Each level runs\n"
             "in a fresh JVM, taskset-pinned to exactly that many CPUs (so the\n"
-            "small level cannot borrow idle cores for GC/Arrow); warmup pass\n"
-            "excluded; median of 3 runs.\n\n"
+            "small level cannot borrow idle cores for GC/Arrow); warmed to\n"
+            "steady state (up to 4 untimed passes, stop on <15% improvement);\n"
+            "median of 5 timed runs.\n\n"
             "| parallelism | turns | sec (median) | turns/sec |\n"
             "|---|---|---|---|\n"
             f"| local[{lo}] | {results[lo]['turns']:,} | {results[lo]['sec']} | {thr_lo:,} |\n"
