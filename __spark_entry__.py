@@ -101,7 +101,7 @@ def _q_canonical_edges(spark, sf_dir):
 
 def _q_nodes(spark, sf_dir):
     return _graph(spark, sf_dir).nodes.select(
-        "entity_id", "attr", "value"
+        "entity_id", "attr", "value", "profile"
     )
 
 

@@ -116,8 +116,9 @@ canon_edges AS (
 # Canonical node attributes, first-wins by stable (conv_id, turn_idx).
 NODES_CTE = """
 nodes AS (
-  SELECT entity_id, attr, value FROM (
+  SELECT entity_id, attr, value, profile FROM (
     SELECT c.canonical_id AS entity_id, tr.pred AS attr, tr.obj AS value,
+           tr.role AS profile,
            row_number() OVER (
              PARTITION BY c.canonical_id, tr.pred
              ORDER BY tr.conv_id, tr.turn_idx
@@ -180,7 +181,7 @@ def canonical_edges_sql() -> str:
 
 
 def nodes_sql() -> str:
-    return PIPELINE_CTES + "\nSELECT entity_id, attr, value FROM nodes"
+    return PIPELINE_CTES + "\nSELECT entity_id, attr, value, profile FROM nodes"
 
 
 def typed_attrs_sql() -> str:

@@ -94,23 +94,23 @@ def _iterate(edges: DataFrame, labels: DataFrame, max_iter: int) -> DataFrame:
             .groupBy("a")
             .agg(F.min("comp").alias("comp"))
         )
-        # (b) pointer jumping: comp ← label(comp). Labels are always
-        # vertex ids, so the self-join hits; left join + coalesce
-        # guards the (impossible) miss.
-        jumped = (
-            relaxed.alias("x")
-            .join(
-                relaxed.select(
-                    F.col("a").alias("comp"), F.col("comp").alias("comp2")
-                ).alias("y"),
-                "comp",
-                "left",
-            )
-            .select(
-                F.col("a"),
-                F.coalesce(F.col("comp2"), F.col("comp")).alias("comp"),
-            )
+        # (b) pointer jumping ×2: comp ← label(label(comp)). Labels are
+        # always vertex ids, so the self-joins hit; left join +
+        # coalesce guards the (impossible) miss. Two jumps per round
+        # quadruple the distance a minimum travels, trading one cheap
+        # join for a whole extra round (round fixed costs dominate).
+        lut = relaxed.select(
+            F.col("a").alias("comp"), F.col("comp").alias("comp2")
         )
+        jumped = relaxed
+        for _j in range(2):
+            jumped = (
+                jumped.join(lut, "comp", "left")
+                .select(
+                    F.col("a"),
+                    F.coalesce(F.col("comp2"), F.col("comp")).alias("comp"),
+                )
+            )
         # lazy checkpoint: the changed-count action below materializes
         # it, so each iteration costs ONE job instead of two
         new_labels = jumped.localCheckpoint(eager=False)
@@ -153,17 +153,26 @@ def canonical_edges(edges: DataFrame, cmap: DataFrame) -> DataFrame:
 def canonical_nodes(triples: DataFrame, cmap: DataFrame) -> DataFrame:
     """Long-format node attributes after canonical merge.
 
-    Output: (entity_id, attr, value) — one row per canonical entity ×
-    attribute, value elected first-wins by stable (conv_id, turn_idx)
-    turn order (the distributed analog of the reference setting
-    attributes in file order, cimpy/cimimport.py:215-231). min_by on a
-    struct keeps it a single hash aggregation (no window sort).
+    Output: (entity_id, attr, value, profile) — one row per canonical
+    entity × attribute, value elected first-wins by stable (conv_id,
+    turn_idx) turn order (the distributed analog of the reference
+    setting attributes in file order, cimpy/cimimport.py:215-231).
+    `profile` is the role of the elected mention — the reference's
+    per-attribute serializationProfile provenance
+    (cimpy/cimimport.py:347-356), which drives output partitioning so
+    attributes land in their provenance partition
+    (cimpy/cimexport.py:258-287 analog). min_by on a struct keeps it
+    a single hash aggregation (no window sort).
     """
     attrs = triples.filter(F.col("obj_kind").isin("literal", "enum", "type"))
     merged = attrs.join(
         F.broadcast(cmap.select(F.col("entity_id").alias("subj"), "canonical_id")),
         "subj",
     )
+    order_key = F.struct("conv_id", "turn_idx")
     return merged.groupBy(
         F.col("canonical_id").alias("entity_id"), F.col("pred").alias("attr")
-    ).agg(F.min_by("obj", F.struct("conv_id", "turn_idx")).alias("value"))
+    ).agg(
+        F.min_by("obj", order_key).alias("value"),
+        F.min_by("role", order_key).alias("profile"),
+    )

@@ -83,7 +83,9 @@ def run_pipeline(
     out["nodes"] = ledger.run_stage(
         spark, "nodes",
         lambda: canonical_nodes(triples, cmap),
-        partition_by=["attr"], force=force,
+        # provenance partition first (rdf:about routing analog), then
+        # attribute family for consumer partition pruning
+        partition_by=["profile", "attr"], force=force,
     )
     return out
 

@@ -23,7 +23,7 @@ def test_pipeline_commits_all_stages(spark, tmp_path):
         assert res[stage].count() == ledger.records()[stage]["rows_out"]
     # partitioned layout: edges by pred, nodes by attr (profile-routing analog)
     assert any(p.startswith("pred=") for p in os.listdir(ledger.stage_dir("canon_edges")))
-    assert any(p.startswith("attr=") for p in os.listdir(ledger.stage_dir("nodes")))
+    assert any(p.startswith("profile=") for p in os.listdir(ledger.stage_dir("nodes")))
 
 
 def test_resume_skips_committed_stages(spark, tmp_path):
