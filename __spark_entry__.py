@@ -121,6 +121,22 @@ def _q_type_dispatch(spark, sf_dir):
     return P.type_dispatch(_graph(spark, sf_dir).entities)
 
 
+def _q_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL surface: canonical graph registered as temp
+    views, consumer query written in Spark SQL (same Catalyst plan as
+    the DataFrame API — demonstrates both front ends)."""
+    g = _graph(spark, sf_dir)
+    g.canon_edges.createOrReplaceTempView("kg_edges_v")
+    g.nodes.createOrReplaceTempView("kg_nodes_v")
+    return spark.sql("""
+        SELECT n.value AS type, e.pred, count(*) AS n_edges
+        FROM kg_edges_v e
+        JOIN kg_nodes_v n
+          ON n.entity_id = e.src AND n.attr = 'rdf_type'
+        GROUP BY n.value, e.pred
+    """)
+
+
 def _q_value_rollup(spark, sf_dir):
     g = _graph(spark, sf_dir)
     return P.value_rollup(g.canon_edges, g.nodes)
@@ -254,6 +270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_multihop": _q_multihop,
         "kg_type_dispatch": _q_type_dispatch,
         "kg_value_rollup": _q_value_rollup,
+        "kg_sql_interface": _q_sql_interface,
         "kg_delete_t0": _q_delete_t0,
         "kg_contract_controls": _q_contract_controls,
         "doc_token_count": _q_doc_token_count,
@@ -315,6 +332,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_multihop": oracles.multihop_sql(),
         "kg_type_dispatch": oracles.type_dispatch_sql(),
         "kg_value_rollup": oracles.value_rollup_sql(),
+        "kg_sql_interface": oracles.sql_interface_sql(),
         "kg_delete_t0": oracles.delete_t0_sql(),
         "kg_contract_controls": oracles.contract_controls_sql(),
         "doc_token_count": doc_oracles.token_count_sql(),

@@ -230,6 +230,15 @@ def value_rollup_sql() -> str:
     """
 
 
+def sql_interface_sql() -> str:
+    return PIPELINE_CTES + """
+    SELECT n.value AS type, e.pred, count(*) AS n_edges
+    FROM canon_edges e
+    JOIN nodes n ON n.entity_id = e.src AND n.attr = 'rdf_type'
+    GROUP BY n.value, e.pred
+    """
+
+
 def delete_t0_sql() -> str:
     """Edges remaining after bulk-deleting every canonical entity of
     type T0 (utils.py:80-84 delete-set analog)."""
