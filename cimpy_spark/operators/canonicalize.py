@@ -38,10 +38,9 @@ def canonical_map(
     # not required (labels for undeclared alias endpoints are simply
     # dropped at the end by the final join).
     fwd = same_links.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    edges = (
-        fwd.union(fwd.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .distinct()
-        .localCheckpoint(eager=True)
+    edges = _checkpoint(
+        fwd.union(fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct(),
+        eager=True,
     )
 
     # size the iteration working set to the data: the sameAs link set
@@ -60,10 +59,9 @@ def canonical_map(
         .union(edges.select("a"))
         .distinct()
     )
-    labels = (
-        vertices.select("a", F.col("a").alias("comp"))
-        .repartition(n_parts, "a")
-        .localCheckpoint(eager=True)
+    labels = _checkpoint(
+        vertices.select("a", F.col("a").alias("comp")).repartition(n_parts, "a"),
+        eager=True,
     )
 
     # pin the loop's shuffle width to the working-set size (restored
@@ -80,6 +78,16 @@ def canonical_map(
         labels.select(F.col("a").alias("entity_id"), F.col("comp").alias("canonical_id")),
         "entity_id",
     ).select("entity_id", "canonical_id")
+
+
+def _checkpoint(df: DataFrame, eager: bool = False) -> DataFrame:
+    """Reliable checkpoint when a checkpoint dir is configured (a
+    cluster run must survive executor loss mid-loop); localCheckpoint
+    otherwise (single-JVM sandbox)."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir():
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
 
 
 def _iterate(edges: DataFrame, labels: DataFrame, max_iter: int) -> DataFrame:
@@ -113,7 +121,7 @@ def _iterate(edges: DataFrame, labels: DataFrame, max_iter: int) -> DataFrame:
             )
         # lazy checkpoint: the changed-count action below materializes
         # it, so each iteration costs ONE job instead of two
-        new_labels = jumped.localCheckpoint(eager=False)
+        new_labels = _checkpoint(jumped, eager=False)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "a")
@@ -127,18 +135,37 @@ def _iterate(edges: DataFrame, labels: DataFrame, max_iter: int) -> DataFrame:
     raise RuntimeError(f"canonical_map did not converge in {max_iter} iterations")
 
 
-def canonical_edges(edges: DataFrame, cmap: DataFrame) -> DataFrame:
+BROADCAST_MAP_THRESHOLD = 5_000_000
+
+
+def _maybe_broadcast(df: DataFrame, n_rows: int | None) -> DataFrame:
+    """Broadcast a dimension while it plausibly fits; above the
+    threshold leave it to a shuffled join (AQE splits skewed
+    partitions). At 10^9+ canonical entities the map is a fact table,
+    not a dimension — broadcasting it unconditionally would OOM every
+    executor."""
+    if n_rows is not None and n_rows <= BROADCAST_MAP_THRESHOLD:
+        return F.broadcast(df)
+    return df
+
+
+def canonical_edges(
+    edges: DataFrame, cmap: DataFrame, cmap_rows: int | None = 0
+) -> DataFrame:
     """Rewrite (src, pred, dst) to canonical ids and dedupe.
 
-    Two broadcast joins against the canonical map (small dimension);
-    dedupe mirrors the reference's list-append dedupe
-    (cimpy/cimimport.py:296-299).
+    Two joins against the canonical map — broadcast when the map is
+    small (``cmap_rows``; default 0 means "known small"), shuffled
+    hash join with AQE skew handling otherwise; dedupe mirrors the
+    reference's list-append dedupe (cimpy/cimimport.py:296-299).
     """
-    src_map = F.broadcast(
-        cmap.select(F.col("entity_id").alias("src"), F.col("canonical_id").alias("csrc"))
+    src_map = _maybe_broadcast(
+        cmap.select(F.col("entity_id").alias("src"), F.col("canonical_id").alias("csrc")),
+        cmap_rows,
     )
-    dst_map = F.broadcast(
-        cmap.select(F.col("entity_id").alias("dst"), F.col("canonical_id").alias("cdst"))
+    dst_map = _maybe_broadcast(
+        cmap.select(F.col("entity_id").alias("dst"), F.col("canonical_id").alias("cdst")),
+        cmap_rows,
     )
     return (
         edges.join(src_map, "src")
@@ -150,7 +177,9 @@ def canonical_edges(edges: DataFrame, cmap: DataFrame) -> DataFrame:
     )
 
 
-def canonical_nodes(triples: DataFrame, cmap: DataFrame) -> DataFrame:
+def canonical_nodes(
+    triples: DataFrame, cmap: DataFrame, cmap_rows: int | None = 0
+) -> DataFrame:
     """Long-format node attributes after canonical merge.
 
     Output: (entity_id, attr, value, profile) — one row per canonical
@@ -166,7 +195,9 @@ def canonical_nodes(triples: DataFrame, cmap: DataFrame) -> DataFrame:
     """
     attrs = triples.filter(F.col("obj_kind").isin("literal", "enum", "type"))
     merged = attrs.join(
-        F.broadcast(cmap.select(F.col("entity_id").alias("subj"), "canonical_id")),
+        _maybe_broadcast(
+            cmap.select(F.col("entity_id").alias("subj"), "canonical_id"), cmap_rows
+        ),
         "subj",
     )
     order_key = F.struct("conv_id", "turn_idx")
