@@ -214,6 +214,10 @@ def _q_emb_lsh_buckets(spark, sf_dir):
     return SIM.lsh_buckets(_emb(spark, sf_dir))
 
 
+def _q_emb_ivf_topk(spark, sf_dir):
+    return SIM.ivf_topk(_emb(spark, sf_dir))
+
+
 def _q_stream_extract(spark, sf_dir):
     """Streaming-path extraction, oracle-gated: stage the transcripts
     as files, drain a bounded file-source stream through the SAME
@@ -283,6 +287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash": _q_doc_simhash,
         "emb_cosine_topk": _q_emb_cosine_topk,
         "emb_lsh_buckets": _q_emb_lsh_buckets,
+        "emb_ivf_topk": _q_emb_ivf_topk,
         "emb_neardup_pairs": _q_emb_neardup,
         "mm_features": _q_mm_features,
         "stream_extract_triples": _q_stream_extract,
@@ -345,6 +350,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_simhash": doc_oracles.simhash_sql(),
         "emb_cosine_topk": doc_oracles.cosine_topk_sql(),
         "emb_lsh_buckets": doc_oracles.lsh_buckets_sql(),
+        "emb_ivf_topk": doc_oracles.ivf_topk_sql(),
         "emb_neardup_pairs": doc_oracles.neardup_pairs_sql(),
         "mm_features": _mm_features_oracle(),
         "stream_extract_triples": triples_oracle_sql("//", "events"),

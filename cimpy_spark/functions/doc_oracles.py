@@ -203,6 +203,52 @@ def lsh_buckets_sql() -> str:
     return f"WITH {LSH_CTES} SELECT vec_id, bucket FROM buckets"
 
 
+def ivf_topk_sql(n_queries: int = 8, k: int = 5, nprobe: int = 2) -> str:
+    """IVF oracle: per-label rounded centroids, nprobe cell probe,
+    exact rank within probed cells."""
+    return f"""
+    WITH base AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+    ),
+    dim AS (
+      SELECT b.vec_id, b.label, nums.i AS i, b.emb[nums.i] AS v
+      FROM base b, (SELECT unnest(generate_series(1, 64)) AS i) nums
+      WHERE nums.i <= len(b.emb)
+    ),
+    cent AS (
+      SELECT label, list(c ORDER BY i) AS cemb FROM (
+        SELECT label, i, round(avg(v), 9) AS c FROM dim GROUP BY label, i
+      ) GROUP BY label
+    ),
+    q AS (SELECT vec_id AS query_id, emb AS qemb FROM base WHERE vec_id < {n_queries}),
+    cellsim AS (
+      SELECT query_id, label,
+             round(list_dot_product(qemb, cemb)
+                   / (sqrt(list_dot_product(qemb, qemb)) * sqrt(list_dot_product(cemb, cemb))), 6) AS csim
+      FROM q, cent
+    ),
+    probed AS (
+      SELECT query_id, label FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY csim DESC, label ASC) AS crk FROM cellsim
+      ) WHERE crk <= {nprobe}
+    ),
+    sims AS (
+      SELECT p.query_id, b.vec_id AS neighbor_id,
+             round(list_dot_product(q.qemb, b.emb)
+                   / (sqrt(list_dot_product(q.qemb, q.qemb)) * sqrt(list_dot_product(b.emb, b.emb))), 6) AS sim
+      FROM probed p
+      JOIN q ON q.query_id = p.query_id
+      JOIN base b ON b.label = p.label
+      WHERE b.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, sim FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY sim DESC, neighbor_id ASC) AS rank FROM sims
+    ) WHERE rank <= {k}
+    """
+
+
 def neardup_pairs_sql(threshold: float = 0.99) -> str:
     # over embeddings ∪ shifted copy (planted exact dups), LSH-bucketed
     return f"""

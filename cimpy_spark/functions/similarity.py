@@ -102,6 +102,82 @@ def lsh_buckets(embeddings: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
     )
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-style ANN: coarse quantizer = per-`label` centroids (the
+    stand-in for k-means cells — identical plumbing), queries probe
+    the `nprobe` nearest cells and rank exactly within them.
+
+    Scale path vs brute force: candidate set shrinks from N to
+    N×nprobe/n_cells; the centroid table is tiny and broadcast. May
+    miss neighbors outside probed cells — that recall/cost trade IS
+    the IVF contract. Output: (query_id, neighbor_id, rank, sim).
+    """
+    base = embeddings.select("vec_id", "label", _as_double("embedding").alias("emb"))
+    dim_idx = base.select(
+        "vec_id", "label", F.posexplode("emb").alias("i", "v")
+    )
+    centroids = (
+        dim_idx.groupBy("label", "i")
+        .agg(F.round(F.avg("v"), 9).alias("c"))  # rounded → engine-stable
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("i", "c"))), lambda x: x["c"]
+            ).alias("cemb")
+        )
+    )
+    q = base.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    # rank cells per query by centroid cosine, keep nprobe
+    qc = F.broadcast(q).crossJoin(F.broadcast(centroids))
+    cell_sim = qc.select(
+        "query_id",
+        "label",
+        F.round(
+            _dot(F.col("qemb"), F.col("cemb"))
+            / (_norm(F.col("qemb")) * _norm(F.col("cemb"))),
+            6,
+        ).alias("csim"),
+    )
+    wcell = Window.partitionBy("query_id").orderBy(
+        F.col("csim").desc(), F.col("label").asc()
+    )
+    probed = (
+        cell_sim.withColumn("crk", F.row_number().over(wcell))
+        .filter(F.col("crk") <= nprobe)
+        .select("query_id", "label")
+    )
+    # exact rank within probed cells
+    cand = (
+        probed.join(q, "query_id")
+        .join(base, "label")
+        .filter(F.col("query_id") != F.col("vec_id"))
+    )
+    sims = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(
+            _dot(F.col("qemb"), F.col("emb"))
+            / (_norm(F.col("qemb")) * _norm(F.col("emb"))),
+            6,
+        ).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
 def neardup_pairs(
     embeddings: DataFrame, threshold: float = 0.99
 ) -> DataFrame:
