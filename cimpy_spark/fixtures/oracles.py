@@ -230,6 +230,44 @@ def value_rollup_sql() -> str:
     """
 
 
+def assembly_sql() -> str:
+    """CIM2DPsim-shaped consumer query: typed + unit-scaled components
+    with wiring degree and neighbor value rollup."""
+    return PIPELINE_CTES + """
+    , typed AS (
+      SELECT entity_id,
+             max(CASE WHEN attr = 'rdf_type' THEN value END) AS type,
+             CAST(max(CASE WHEN attr = 'p_int' THEN value END) AS INT) AS p_int,
+             max(CASE WHEN attr = 'p_enum' THEN value END) AS p_enum
+      FROM nodes GROUP BY entity_id
+    ),
+    comp AS (
+      SELECT entity_id, type,
+             CAST(p_int AS BIGINT) * (CASE p_enum WHEN 'V0' THEN 1
+                  WHEN 'V1' THEN 1000 ELSE 1000000 END) AS scaled_p
+      FROM typed WHERE p_int IS NOT NULL
+    ),
+    deg AS (
+      SELECT src AS entity_id, count(*) AS n_out
+      FROM canon_edges WHERE pred = 'connects_to' GROUP BY src
+    ),
+    rollup AS (
+      SELECT e.src AS entity_id,
+             CAST(sum(CAST(n.value AS BIGINT)) AS BIGINT) AS neighbor_sum
+      FROM canon_edges e
+      JOIN nodes n ON n.entity_id = e.dst AND n.attr = 'q_int'
+      WHERE e.pred = 'connects_to'
+      GROUP BY e.src
+    )
+    SELECT c.entity_id, c.type, c.scaled_p,
+           COALESCE(d.n_out, 0) AS n_out,
+           COALESCE(r.neighbor_sum, 0) AS neighbor_q_sum
+    FROM comp c
+    LEFT JOIN deg d USING (entity_id)
+    LEFT JOIN rollup r USING (entity_id)
+    """
+
+
 def sql_interface_sql() -> str:
     return PIPELINE_CTES + """
     SELECT n.value AS type, e.pred, count(*) AS n_edges

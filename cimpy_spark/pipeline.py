@@ -126,6 +126,46 @@ def value_rollup(
     )
 
 
+def assembly_query(nodes: DataFrame, canon_edges: DataFrame) -> DataFrame:
+    """The reference's consumer-query lifecycle in one plan
+    (cimpy/CIM2DPsim.py:63-489): typed dispatch (isinstance chain →
+    type column), unit scaling (`unitValue` multiplier,
+    CIM2DPsim.py:28-61 → enum-driven power-of-10), terminal wiring
+    (pointer chains → connects_to join), and result assembly
+    (SvPowerFlow group-sum, :491-544 → neighbor rollup).
+
+    Output per canonical component:
+    (entity_id, type, scaled_p, n_out, neighbor_q_sum)
+    """
+    typed = typed_attrs(nodes)
+    mult = (
+        F.when(F.col("p_enum") == "V0", F.lit(1))
+        .when(F.col("p_enum") == "V1", F.lit(1000))
+        .otherwise(F.lit(1000000))
+    )
+    comp = typed.filter(F.col("p_int").isNotNull()).select(
+        "entity_id",
+        "type",
+        (F.col("p_int").cast("long") * mult).alias("scaled_p"),
+    )
+    wires = canon_edges.filter(F.col("pred") == "connects_to")
+    rollup = value_rollup(canon_edges, nodes)
+    deg = wires.groupBy(F.col("src").alias("entity_id")).agg(
+        F.count(F.lit(1)).alias("n_out")
+    )
+    return (
+        comp.join(deg, "entity_id", "left")
+        .join(rollup.select("entity_id", "neighbor_sum"), "entity_id", "left")
+        .select(
+            "entity_id",
+            "type",
+            "scaled_p",
+            F.coalesce("n_out", F.lit(0)).alias("n_out"),
+            F.coalesce("neighbor_sum", F.lit(0)).alias("neighbor_q_sum"),
+        )
+    )
+
+
 def type_dispatch(entities: DataFrame) -> DataFrame:
     """Per-type entity counts (reference's isinstance dispatch chain,
     cimpy/CIM2DPsim.py:92-423, becomes groupBy(type))."""
