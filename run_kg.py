@@ -31,6 +31,8 @@ def main() -> int:
     ap.add_argument("--transcripts", action="store_true",
                     help="input is a transcripts parquet dir, not an sf dir")
     ap.add_argument("--force", action="store_true")
+    ap.add_argument("--increment", action="store_true",
+                    help="batch-incremental: extract only unseen conversations")
     ap.add_argument("--cores", default=None)
     args = ap.parse_args()
 
@@ -46,7 +48,11 @@ def main() -> int:
         spark = get_spark("cimpy-spark-kg", cores=args.cores)
 
     from cimpy_spark.fixtures.events_transcripts import transcripts_from_events
-    from cimpy_spark.operators.materialize import roundtrip_check, run_pipeline
+    from cimpy_spark.operators.materialize import (
+        ingest_increment,
+        roundtrip_check,
+        run_pipeline,
+    )
     from cimpy_spark.plans.lineage import LineageLedger
 
     if args.transcripts:
@@ -54,7 +60,10 @@ def main() -> int:
     else:
         transcripts = transcripts_from_events(spark, args.input)
 
-    run_pipeline(spark, transcripts, args.out, force=args.force)
+    if args.increment:
+        ingest_increment(spark, transcripts, args.out)
+    else:
+        run_pipeline(spark, transcripts, args.out, force=args.force)
     ok = roundtrip_check(spark, args.out)
     ledger = LineageLedger(args.out)
     print(
