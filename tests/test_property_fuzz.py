@@ -1,0 +1,101 @@
+"""Property-based fuzz: random transcripts from the full mention
+grammar (plus adversarial noise) must produce identical triple sets
+from the distributed pipeline and the pure-Python oracle.
+
+Hypothesis drives the corpus; each example is one spark run, so
+examples are few but each covers dozens of random turns including
+malformed mentions, unicode noise, self-references and forward refs.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from cimpy_spark import pipeline as P
+from cimpy_spark.oracle import precision_recall, run_oracle
+
+ENT = st.integers(0, 30).map(lambda i: f"E{i}")
+TYP = st.integers(0, 4).map(lambda i: f"T{i}")
+PRED = st.sampled_from(["connects_to", "feeds", "controls"])
+NOISE = st.text(
+    alphabet="abc xyz0é中 ,.", min_size=0, max_size=12
+).filter(lambda s: "«" not in s and "»" not in s)
+
+
+@st.composite
+def mention(draw):
+    kind = draw(st.integers(0, 5))
+    e = draw(ENT)
+    if kind == 0:
+        return (
+            f"«decl {e} type:{draw(TYP)}"
+            f" p_int={draw(st.integers(0, 99))}"
+            f" p_bool={draw(st.sampled_from(['true', 'false']))}"
+            f" p_enum=kind:Unit.V{draw(st.integers(0, 2))}»"
+        )
+    if kind == 1:
+        return f"«about {e} q_int={draw(st.integers(0, 50))}»"
+    if kind == 2:
+        dst = draw(st.one_of(ENT, st.integers(0, 9).map(lambda i: f"X{i}")))
+        return f"«rel {e} {draw(PRED)} {dst}»"
+    if kind == 3:
+        return f"«same {e} {draw(ENT)}»"
+    if kind == 4:
+        return f"«unk {draw(st.integers(0, 9))}»"
+    # malformed mention: must be skipped, never crash or emit
+    return draw(
+        st.sampled_from(
+            [
+                "«decl type:T1»",
+                "«rel E1 feeds»",
+                "«decl E1 type:»",
+                "«same E1»",
+                "««»",
+                "«decl E1 type:T1 =v»",
+            ]
+        )
+    )
+
+
+@st.composite
+def transcript(draw):
+    n = draw(st.integers(5, 40))
+    rows = []
+    for i in range(n):
+        conv = f"c{draw(st.integers(0, 4))}"
+        text = draw(NOISE) + draw(mention()) + draw(NOISE)
+        rows.append((conv, i, "user", text, None))
+    return rows
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(rows=transcript())
+def test_pipeline_matches_oracle_on_random_grammar(spark, rows):
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string"
+    )
+    oracle = run_oracle(
+        [{"conv_id": c, "turn_idx": i, "text": t} for c, i, _, t, _ in rows]
+    )
+    g = P.build_graph(df, cache=False)
+    emitted = {
+        (r["subj"], r["pred"], r["obj"], r["obj_kind"])
+        for r in g.triples.select("subj", "pred", "obj", "obj_kind").distinct().collect()
+    }
+    expected = set(oracle.triples)
+    p, r = precision_recall(emitted, expected)
+    assert (p, r) == (1.0, 1.0), (
+        emitted - expected,
+        expected - emitted,
+    )
+    edges = {(e["src"], e["pred"], e["dst"]) for e in g.edges.collect()}
+    assert edges == oracle.edges
+    cmap = {r["entity_id"]: r["canonical_id"] for r in g.cmap.collect()}
+    assert cmap == oracle.cmap
