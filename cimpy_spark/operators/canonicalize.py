@@ -33,6 +33,19 @@ def canonical_map(
     `entities`: one row per declared entity (column ``entity_id``).
     `same_links`: (src, dst) sameAs pairs (directed, raw).
     """
+    labels = canonical_labels(entities, same_links, max_iter)
+    return entities.join(labels, "entity_id").select("entity_id", "canonical_id")
+
+
+def canonical_labels(
+    entities: DataFrame, same_links: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """(entity_id, canonical_id) for EVERY vertex — declared entities
+    and raw alias endpoints alike. This is the lossless contraction:
+    `canonical_map` is its restriction to declared entities, and the
+    incremental path must start from THIS (a declared-only map drops
+    components reachable only through undeclared endpoints, which a
+    later increment may touch)."""
     spark = entities.sparkSession
     # Undirected, deduped link set; restrict to declared entities is
     # not required (labels for undeclared alias endpoints are simply
@@ -74,10 +87,9 @@ def canonical_map(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
 
-    return entities.join(
-        labels.select(F.col("a").alias("entity_id"), F.col("comp").alias("canonical_id")),
-        "entity_id",
-    ).select("entity_id", "canonical_id")
+    return labels.select(
+        F.col("a").alias("entity_id"), F.col("comp").alias("canonical_id")
+    )
 
 
 def _checkpoint(df: DataFrame, eager: bool = False) -> DataFrame:
@@ -147,6 +159,93 @@ def _maybe_broadcast(df: DataFrame, n_rows: int | None) -> DataFrame:
     if n_rows is not None and n_rows <= BROADCAST_MAP_THRESHOLD:
         return F.broadcast(df)
     return df
+
+
+def incremental_canonical_map(
+    old_labels: DataFrame,
+    new_entities: DataFrame,
+    new_links: DataFrame,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Merge NEW sameAs links (and newly declared entities) into a
+    committed canonical map without re-running CC over the full link
+    corpus.
+
+    Old links are already absorbed into `old_cmap` (each old component
+    is contracted to its canonical id), so it suffices to:
+    1. rewrite the new links' endpoints through the old map
+       (unknown endpoints map to themselves),
+    2. run the CC loop over just those rewritten links — a graph whose
+       vertices are component representatives touched by new data,
+    3. compose: final(entity) = delta(old_label(entity)).
+
+    At 10^12-turn scale this is the difference between iterating over
+    the whole alias corpus and iterating over one increment.
+
+    `old_labels`: (entity_id, canonical_id) committed FULL labeling
+    (``canonical_labels`` output — all vertices, not just declared
+    entities; a declared-only map is lossy and breaks merges through
+    undeclared alias endpoints).
+    `new_entities`: (entity_id) declared in the increment.
+    `new_links`: (src, dst) sameAs pairs from the increment.
+    Returns the full updated labeling (entity_id, canonical_id).
+    """
+    # labels0: every known vertex -> its current representative
+    labels0 = old_labels.unionByName(
+        new_entities.select("entity_id")
+        .join(old_labels.select("entity_id"), "entity_id", "left_anti")
+        .select("entity_id", F.col("entity_id").alias("canonical_id"))
+    )
+
+    # rewrite new link endpoints through the old map
+    def _rewrite(col: str) -> DataFrame:
+        m = labels0.select(
+            F.col("entity_id").alias(col), F.col("canonical_id").alias(f"__{col}")
+        )
+        return m
+
+    rewritten = (
+        new_links.join(_rewrite("src"), "src", "left")
+        .join(_rewrite("dst"), "dst", "left")
+        .select(
+            F.coalesce("__src", "src").alias("src"),
+            F.coalesce("__dst", "dst").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+    # CC over the contracted increment graph only
+    touched = (
+        rewritten.select(F.col("src").alias("entity_id"))
+        .union(rewritten.select(F.col("dst").alias("entity_id")))
+        .distinct()
+    )
+    if touched.isEmpty():
+        return labels0
+    delta = canonical_labels(touched, rewritten, max_iter=max_iter)
+
+    # compose: vertex -> old label -> delta label (unchanged labels
+    # pass through); vertices brand-new to the graph (raw endpoints in
+    # the increment) come straight from delta
+    composed = (
+        labels0.join(
+            delta.select(
+                F.col("entity_id").alias("canonical_id"),
+                F.col("canonical_id").alias("__final"),
+            ),
+            "canonical_id",
+            "left",
+        )
+        .select(
+            "entity_id",
+            F.coalesce("__final", "canonical_id").alias("canonical_id"),
+        )
+    )
+    brand_new = delta.join(
+        labels0.select("entity_id"), "entity_id", "left_anti"
+    ).select("entity_id", "canonical_id")
+    return composed.unionByName(brand_new)
 
 
 def canonical_edges(

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from cimpy_spark import pipeline as P
 from cimpy_spark.operators.canonicalize import (
     canonical_edges,
+    canonical_labels,
     canonical_map,
     canonical_nodes,
 )
@@ -29,7 +30,10 @@ from cimpy_spark.operators.extract import extract_triples
 from cimpy_spark.operators.link import declared_entities, link_references
 from cimpy_spark.plans.lineage import LineageLedger
 
-STAGES = ["triples", "entities", "edges", "quarantine", "cmap", "canon_edges", "nodes"]
+STAGES = [
+    "triples", "entities", "edges", "quarantine",
+    "cmap_full", "cmap", "canon_edges", "nodes",
+]
 
 
 def run_pipeline(
@@ -68,9 +72,18 @@ def run_pipeline(
     out["edges"] = ledger.run_stage(spark, "edges", _edges, force=force)
     out["quarantine"] = ledger.run_stage(spark, "quarantine", _quarantine, force=force)
 
+    # full labeling committed for the incremental path (lossless
+    # contraction); public cmap = restriction to declared entities
+    out["cmap_full"] = ledger.run_stage(
+        spark, "cmap_full",
+        lambda: canonical_labels(entities, P.same_links(triples)),
+        force=force,
+    )
     out["cmap"] = ledger.run_stage(
         spark, "cmap",
-        lambda: canonical_map(entities, P.same_links(triples)),
+        lambda: entities.join(out["cmap_full"], "entity_id").select(
+            "entity_id", "canonical_id"
+        ),
         force=force,
     )
     cmap = out["cmap"]
@@ -113,9 +126,16 @@ def ingest_increment(
         return run_pipeline(spark, transcripts, out_dir)
 
     committed = spark.read.parquet(ledger.stage_dir("triples"))
+    # materialize eagerly: the incremental cmap_full stage overwrites
+    # the very snapshot this reads (same hazard as triples below)
+    old_labels = (
+        spark.read.parquet(ledger.stage_dir("cmap_full")).localCheckpoint(eager=True)
+        if ledger.is_committed("cmap_full")
+        else None
+    )
     seen = committed.select("conv_id").distinct()
     fresh = transcripts.join(seen, "conv_id", "left_anti")
-    new_triples = extract_triples(fresh)
+    new_triples = extract_triples(fresh).localCheckpoint(eager=True)
     # materialize BEFORE overwriting the snapshot we are reading from
     # (lazy plans must not scan a dir mid-overwrite); on a real
     # cluster this is an Iceberg append — no rewrite of old files at all
@@ -142,9 +162,27 @@ def ingest_increment(
 
     out["edges"] = ledger.run_stage(spark, "edges", _edges, force=True)
     out["quarantine"] = ledger.run_stage(spark, "quarantine", _quarantine, force=True)
+
+    def _cmap_full():
+        if old_labels is not None:
+            # incremental CC: only the increment's sameAs links are
+            # iterated; old components arrive pre-contracted
+            from cimpy_spark.operators.canonicalize import incremental_canonical_map
+
+            return incremental_canonical_map(
+                old_labels,
+                entities.select("entity_id"),
+                P.same_links(new_triples),
+            )
+        return canonical_labels(entities, P.same_links(triples))
+
+    out["cmap_full"] = ledger.run_stage(spark, "cmap_full", _cmap_full, force=True)
     out["cmap"] = ledger.run_stage(
         spark, "cmap",
-        lambda: canonical_map(entities, P.same_links(triples)), force=True,
+        lambda: entities.join(out["cmap_full"], "entity_id").select(
+            "entity_id", "canonical_id"
+        ),
+        force=True,
     )
     cmap = out["cmap"]
     out["canon_edges"] = ledger.run_stage(
