@@ -23,7 +23,6 @@ from cimpy_spark import pipeline as P
 from cimpy_spark.operators.canonicalize import (
     canonical_edges,
     canonical_labels,
-    canonical_map,
     canonical_nodes,
 )
 from cimpy_spark.operators.extract import extract_triples
