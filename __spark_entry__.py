@@ -246,6 +246,25 @@ def _q_stream_extract(spark, sf_dir):
     return spark.table("stream_extract_q")
 
 
+def _q_incremental_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-gated incremental ingest: feed the corpus in two batches
+    through ingest_increment (incremental CC included) and return the
+    final canonical edges — they must hash-match the same closed-form
+    oracle as a single full run."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cimpy_spark.operators.materialize import ingest_increment
+
+    t = transcripts_from_events(spark, sf_dir)
+    first_half = F.pmod(F.xxhash64("conv_id"), F.lit(2)) == 0
+    out_dir = tempfile.mkdtemp(prefix="cimpy_incr_")
+    ingest_increment(spark, t.filter(first_half), out_dir)
+    res = ingest_increment(spark, t, out_dir)
+    return res["canon_edges"].select("src", "pred", "dst")
+
+
 def _q_mm_features(spark, sf_dir):
     from cimpy_spark.functions.multimodal import extract_features, to_binary_docs
 
@@ -296,6 +315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivf_topk": _q_emb_ivf_topk,
         "emb_neardup_pairs": _q_emb_neardup,
         "mm_features": _q_mm_features,
+        "kg_incremental_edges": _q_incremental_edges,
         "stream_extract_triples": _q_stream_extract,
         "tpch_pricing_summary": A.pricing_summary,
         "tpch_revenue_by_nation": A.revenue_by_nation,
@@ -360,6 +380,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_ivf_topk": doc_oracles.ivf_topk_sql(),
         "emb_neardup_pairs": doc_oracles.neardup_pairs_sql(),
         "mm_features": _mm_features_oracle(),
+        "kg_incremental_edges": oracles.canonical_edges_sql(),
         "stream_extract_triples": triples_oracle_sql("//", "events"),
         **A.ANALYTICS_ORACLES,
     }
