@@ -58,10 +58,13 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
     )
 
 
-def lsh_band_keys(signatures: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
+def lsh_band_keys(
+    signatures: DataFrame, n_bands: int = N_BANDS, n_hashes: int = N_HASHES
+) -> DataFrame:
     """(doc_id, band, band_key): hash each band's signature rows
-    (ordered by seed) into one bucket key."""
-    rows_per_band = N_HASHES // n_bands
+    (ordered by seed) into one bucket key. ``n_hashes`` must match the
+    signature width actually passed in (banding is seed-arithmetic)."""
+    rows_per_band = n_hashes // n_bands
     banded = signatures.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
     return banded.groupBy("doc_id", "band").agg(
         F.md5(
@@ -79,10 +82,14 @@ def lsh_band_keys(signatures: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
     )
 
 
-def minhash_candidates(docs: DataFrame) -> DataFrame:
+def minhash_candidates(
+    docs: DataFrame, n_hashes: int = N_HASHES, n_bands: int = N_BANDS
+) -> DataFrame:
     """Near-duplicate candidate pairs (doc_a < doc_b) sharing any LSH
     band bucket."""
-    keys = lsh_band_keys(minhash_signatures(docs))
+    keys = lsh_band_keys(
+        minhash_signatures(docs, n_hashes), n_bands=n_bands, n_hashes=n_hashes
+    )
     a = keys.select("band", "band_key", F.col("doc_id").alias("doc_a"))
     b = keys.select("band", "band_key", F.col("doc_id").alias("doc_b"))
     return (

@@ -42,18 +42,11 @@ def to_binary_docs(docs: DataFrame) -> DataFrame:
 
 def _decode_stub(payload: bytes) -> tuple[int, int]:
     """STUB decode: derives fake (width, height) deterministically from
-    the payload hash. Replace with e.g. PIL.Image.open(BytesIO(...))
-    in a real deployment — the UDF signature and batch shape are what
-    this module actually tests.
+    the payload hash. A real deployment replaces this function body
+    with e.g. ``PIL.Image.open(BytesIO(payload)).size`` — the UDF
+    signature, Arrow batch shape and feature schema are what this
+    module actually tests, and none of them change.
     """
-    try:
-        import PIL.Image  # noqa: F401
-
-        raise NotImplementedError(
-            "real image decode not wired in this sandbox; stub is authoritative"
-        )
-    except ImportError:
-        pass
     h = hashlib.md5(payload).hexdigest()
     return _HEX.index(h[0]), _HEX.index(h[1])
 

@@ -37,14 +37,18 @@ def declared_entities(triples: DataFrame) -> DataFrame:
     )
 
 
-def link_references(
+def resolve_references(
     triples: DataFrame,
     entities: DataFrame,
     broadcast_dict: bool | None = None,
     broadcast_threshold: int = 5_000_000,
     salt_buckets: int = 16,
-) -> tuple[DataFrame, DataFrame]:
-    """Resolve ref-kind triples against the entity dictionary.
+) -> DataFrame:
+    """Single linking pass: every ref-kind triple, flagged
+    ``resolved`` iff its target exists in the entity dictionary —
+    (src, pred, dst, resolved). One join serves BOTH the edge set and
+    the quarantine (computing them as separate semi/anti joins would
+    run the full refs⋈dictionary join twice over the corpus).
 
     Physical strategy (broadcast_dict=None → auto): broadcast the
     dictionary while it fits (shuffle-free linking); above the
@@ -52,36 +56,61 @@ def link_references(
     don't pin one reducer. Both paths are semantically identical
     (tested); the threshold is entity *count* because the dictionary
     is one string column.
-
-    Returns ``(edges, quarantine)``:
-    - edges: distinct (src, pred, dst) whose dst exists — dedupe
-      mirrors the reference's append-with-dedupe for many-valued
-      references (cimpy/cimimport.py:294-300);
-    - quarantine: dangling references with grouped counts
-      (cimpy/cimimport.py:281-288).
     """
     refs = triples.filter(
         (F.col("obj_kind") == "ref") & (F.col("pred") != "sameAs")
     ).select(
         F.col("subj").alias("src"), "pred", F.col("obj").alias("dst")
     )
-    dict_df = entities.select(F.col("entity_id").alias("dst"))
+    dict_df = entities.select(F.col("entity_id").alias("dst")).withColumn(
+        "__hit", F.lit(1)
+    )
     if broadcast_dict is None:
         broadcast_dict = entities.count() <= broadcast_threshold
 
     if broadcast_dict:
-        dict_b = F.broadcast(dict_df)
-        matched = refs.join(dict_b, "dst", "left_semi")
-        dangling = refs.join(dict_b, "dst", "left_anti")
+        joined = refs.join(F.broadcast(dict_df), "dst", "left")
     else:
-        marked = dict_df.withColumn("__hit", F.lit(1))
-        joined = salted_join(refs, marked, "dst", salt_buckets, "left")
-        matched = joined.filter(F.col("__hit").isNotNull()).drop("__hit")
-        dangling = joined.filter(F.col("__hit").isNull()).drop("__hit")
+        joined = salted_join(refs, dict_df, "dst", salt_buckets, "left")
+    return joined.select(
+        "src", "pred", "dst", F.col("__hit").isNotNull().alias("resolved")
+    )
 
-    edges = matched.dropDuplicates(["src", "pred", "dst"]).select("src", "pred", "dst")
-    quarantine = dangling.groupBy("dst").agg(F.count(F.lit(1)).alias("n_refs"))
-    return edges, quarantine
+
+def edges_from_resolved(resolved: DataFrame) -> DataFrame:
+    """Distinct resolved (src, pred, dst) — dedupe mirrors the
+    reference's append-with-dedupe for many-valued references
+    (cimpy/cimimport.py:294-300)."""
+    return (
+        resolved.filter(F.col("resolved"))
+        .dropDuplicates(["src", "pred", "dst"])
+        .select("src", "pred", "dst")
+    )
+
+
+def quarantine_from_resolved(resolved: DataFrame) -> DataFrame:
+    """Dangling references with grouped counts
+    (cimpy/cimimport.py:281-288)."""
+    return (
+        resolved.filter(~F.col("resolved"))
+        .groupBy("dst")
+        .agg(F.count(F.lit(1)).alias("n_refs"))
+    )
+
+
+def link_references(
+    triples: DataFrame,
+    entities: DataFrame,
+    broadcast_dict: bool | None = None,
+    broadcast_threshold: int = 5_000_000,
+    salt_buckets: int = 16,
+) -> tuple[DataFrame, DataFrame]:
+    """Convenience wrapper: (edges, quarantine) views over ONE
+    resolve_references pass."""
+    resolved = resolve_references(
+        triples, entities, broadcast_dict, broadcast_threshold, salt_buckets
+    )
+    return edges_from_resolved(resolved), quarantine_from_resolved(resolved)
 
 
 def reverse_edges(edges: DataFrame) -> DataFrame:

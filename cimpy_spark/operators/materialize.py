@@ -26,11 +26,16 @@ from cimpy_spark.operators.canonicalize import (
     canonical_nodes,
 )
 from cimpy_spark.operators.extract import extract_triples
-from cimpy_spark.operators.link import declared_entities, link_references
+from cimpy_spark.operators.link import (
+    declared_entities,
+    edges_from_resolved,
+    quarantine_from_resolved,
+    resolve_references,
+)
 from cimpy_spark.plans.lineage import LineageLedger
 
 STAGES = [
-    "triples", "entities", "edges", "quarantine",
+    "triples", "entities", "linked", "edges", "quarantine",
     "cmap_full", "cmap", "canon_edges", "nodes",
 ]
 
@@ -60,16 +65,23 @@ def run_pipeline(
     )
     entities = out["entities"]
 
-    def _edges():
-        e, _ = link_references(triples, entities)
-        return e
-
-    def _quarantine():
-        _, q = link_references(triples, entities)
-        return q
-
-    out["edges"] = ledger.run_stage(spark, "edges", _edges, force=force)
-    out["quarantine"] = ledger.run_stage(spark, "quarantine", _quarantine, force=force)
+    # ONE linking join committed; edges/quarantine are cheap views
+    # over the committed snapshot (broadcast decision from the ledger,
+    # not a fresh count action)
+    n_entities = ledger.records()["entities"]["rows_out"]
+    out["linked"] = ledger.run_stage(
+        spark, "linked",
+        lambda: resolve_references(
+            triples, entities, broadcast_dict=n_entities <= 5_000_000
+        ),
+        force=force,
+    )
+    out["edges"] = ledger.run_stage(
+        spark, "edges", lambda: edges_from_resolved(out["linked"]), force=force
+    )
+    out["quarantine"] = ledger.run_stage(
+        spark, "quarantine", lambda: quarantine_from_resolved(out["linked"]), force=force
+    )
 
     # full labeling committed for the incremental path (lossless
     # contraction); public cmap = restriction to declared entities
@@ -125,11 +137,16 @@ def ingest_increment(
         return run_pipeline(spark, transcripts, out_dir)
 
     committed = spark.read.parquet(ledger.stage_dir("triples"))
-    # materialize eagerly: the incremental cmap_full stage overwrites
-    # the very snapshot this reads (same hazard as triples below)
+    # Trust the committed labeling ONLY if it was committed after the
+    # current triples snapshot: a crash between the triples commit and
+    # the cmap_full commit of a previous increment leaves a stale
+    # labeling whose silent reuse would drop that increment's sameAs
+    # merges forever. Stale/missing -> full CC over the merged set.
+    # (Materialize eagerly: the incremental cmap_full stage overwrites
+    # the very snapshot this reads — same hazard as triples below.)
     old_labels = (
         spark.read.parquet(ledger.stage_dir("cmap_full")).localCheckpoint(eager=True)
-        if ledger.is_committed("cmap_full")
+        if ledger.committed_after("cmap_full", "triples")
         else None
     )
     seen = committed.select("conv_id").distinct()
@@ -151,16 +168,20 @@ def ingest_increment(
     )
     entities = out["entities"]
 
-    def _edges():
-        e, _ = link_references(triples, entities)
-        return e
-
-    def _quarantine():
-        _, q = link_references(triples, entities)
-        return q
-
-    out["edges"] = ledger.run_stage(spark, "edges", _edges, force=True)
-    out["quarantine"] = ledger.run_stage(spark, "quarantine", _quarantine, force=True)
+    n_entities = ledger.records()["entities"]["rows_out"]
+    out["linked"] = ledger.run_stage(
+        spark, "linked",
+        lambda: resolve_references(
+            triples, entities, broadcast_dict=n_entities <= 5_000_000
+        ),
+        force=True,
+    )
+    out["edges"] = ledger.run_stage(
+        spark, "edges", lambda: edges_from_resolved(out["linked"]), force=True
+    )
+    out["quarantine"] = ledger.run_stage(
+        spark, "quarantine", lambda: quarantine_from_resolved(out["linked"]), force=True
+    )
 
     def _cmap_full():
         if old_labels is not None:

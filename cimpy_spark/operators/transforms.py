@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from cimpy_spark.operators.canonicalize import canonical_map
+from cimpy_spark.operators.canonicalize import _maybe_broadcast, canonical_map
 
 
 def select_entities(nodes: DataFrame, attr: str, value) -> DataFrame:
@@ -51,7 +51,7 @@ def delete_entities(
     return nodes2, edges2.select("src", "pred", "dst")
 
 
-def contract_edges(edges: DataFrame, pred: str) -> DataFrame:
+def contract_edges(edges: DataFrame, pred: str, cmap_rows: int | None = 0) -> DataFrame:
     """Contract every edge with predicate `pred`: its endpoints merge
     into one entity (min-id election), remaining edges are rewritten
     to the merged endpoints and self-loops dropped — the bus-branch
@@ -68,11 +68,15 @@ def contract_edges(edges: DataFrame, pred: str) -> DataFrame:
         .distinct()
     )
     cmap = canonical_map(endpoints, to_contract.select("src", "dst"))
-    src_map = F.broadcast(
-        cmap.select(F.col("entity_id").alias("src"), F.col("canonical_id").alias("csrc"))
+    # same broadcast guard as canonicalize: the endpoint map covers the
+    # whole edge set and stops being a dimension at scale
+    src_map = _maybe_broadcast(
+        cmap.select(F.col("entity_id").alias("src"), F.col("canonical_id").alias("csrc")),
+        cmap_rows,
     )
-    dst_map = F.broadcast(
-        cmap.select(F.col("entity_id").alias("dst"), F.col("canonical_id").alias("cdst"))
+    dst_map = _maybe_broadcast(
+        cmap.select(F.col("entity_id").alias("dst"), F.col("canonical_id").alias("cdst")),
+        cmap_rows,
     )
     return (
         edges.filter(F.col("pred") != pred)

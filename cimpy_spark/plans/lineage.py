@@ -34,11 +34,24 @@ class LineageLedger:
         recs: dict[str, dict] = {}
         if os.path.exists(self.path):
             with open(self.path) as f:
-                for line in f:
+                for seq, line in enumerate(f):
                     if line.strip():
                         r = json.loads(line)
+                        r["seq"] = seq  # commit order; last record wins
                         recs[r["stage"]] = r
         return recs
+
+    def committed_after(self, stage: str, other: str) -> bool:
+        """True iff `stage` is committed and its commit is at least as
+        recent as `other`'s — the staleness check for incremental
+        consumers (a crash between two stage commits must not let a
+        stale upstream snapshot be trusted)."""
+        recs = self.records()
+        if stage not in recs or not self.is_committed(stage):
+            return False
+        if other not in recs:
+            return True
+        return recs[stage]["seq"] > recs[other]["seq"]
 
     def stage_dir(self, stage: str) -> str:
         return os.path.join(self.out_dir, stage)
