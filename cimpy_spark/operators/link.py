@@ -98,6 +98,46 @@ def quarantine_from_resolved(resolved: DataFrame) -> DataFrame:
     )
 
 
+def incremental_resolve(
+    old_resolved: DataFrame,
+    new_triples: DataFrame,
+    all_entities: DataFrame,
+    new_entities_only: DataFrame,
+    broadcast_dict: bool | None = None,
+) -> DataFrame:
+    """Incremental linking: given the committed resolved set and an
+    increment, re-join only what can have changed —
+
+    - refs extracted from the increment resolve against the FULL
+      dictionary;
+    - previously-dangling refs (resolved = false) re-check against
+      ONLY the entities the increment declared (a forward reference
+      satisfied later, the reference's two-pass rationale,
+      cimpy/cimimport.py:79-83);
+    - previously-resolved refs are immutable (entities are never
+      deleted by ingest) and pass through untouched.
+
+    At corpus scale the re-joined fraction is the increment + the
+    dangling tail — not the full ref corpus.
+    """
+    new_refs_resolved = resolve_references(
+        new_triples, all_entities, broadcast_dict=broadcast_dict
+    )
+    dangling = old_resolved.filter(~F.col("resolved")).select("src", "pred", "dst")
+    recheck_dict = new_entities_only.select(F.col("entity_id").alias("dst")).withColumn(
+        "__hit", F.lit(1)
+    )
+    rechecked = (
+        dangling.join(F.broadcast(recheck_dict), "dst", "left")
+        .select("src", "pred", "dst", F.col("__hit").isNotNull().alias("resolved"))
+    )
+    return (
+        old_resolved.filter(F.col("resolved"))
+        .unionByName(rechecked)
+        .unionByName(new_refs_resolved)
+    )
+
+
 def link_references(
     triples: DataFrame,
     entities: DataFrame,

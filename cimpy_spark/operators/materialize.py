@@ -149,6 +149,22 @@ def ingest_increment(
         if ledger.committed_after("cmap_full", "triples")
         else None
     )
+    # incremental linking needs the pre-increment resolved set AND the
+    # pre-increment entity dictionary (to know which declarations are
+    # new); both must postdate the current triples commit
+    use_inc_link = ledger.committed_after(
+        "linked", "triples"
+    ) and ledger.committed_after("entities", "triples")
+    old_linked = (
+        spark.read.parquet(ledger.stage_dir("linked")).localCheckpoint(eager=True)
+        if use_inc_link
+        else None
+    )
+    old_entities = (
+        spark.read.parquet(ledger.stage_dir("entities")).localCheckpoint(eager=True)
+        if use_inc_link
+        else None
+    )
     seen = committed.select("conv_id").distinct()
     fresh = transcripts.join(seen, "conv_id", "left_anti")
     new_triples = extract_triples(fresh).localCheckpoint(eager=True)
@@ -169,13 +185,27 @@ def ingest_increment(
     entities = out["entities"]
 
     n_entities = ledger.records()["entities"]["rows_out"]
-    out["linked"] = ledger.run_stage(
-        spark, "linked",
-        lambda: resolve_references(
+
+    def _linked():
+        if old_linked is not None:
+            # re-join only the increment's refs + the old dangling tail
+            from cimpy_spark.operators.link import incremental_resolve
+
+            new_entities_only = entities.join(
+                old_entities.select("entity_id"), "entity_id", "left_anti"
+            )
+            return incremental_resolve(
+                old_linked,
+                new_triples,
+                entities,
+                new_entities_only,
+                broadcast_dict=n_entities <= 5_000_000,
+            )
+        return resolve_references(
             triples, entities, broadcast_dict=n_entities <= 5_000_000
-        ),
-        force=True,
-    )
+        )
+
+    out["linked"] = ledger.run_stage(spark, "linked", _linked, force=True)
     out["edges"] = ledger.run_stage(
         spark, "edges", lambda: edges_from_resolved(out["linked"]), force=True
     )
