@@ -121,6 +121,10 @@ def _q_type_dispatch(spark, sf_dir):
     return P.type_dispatch(_graph(spark, sf_dir).entities)
 
 
+def _q_per_type_stats(spark, sf_dir):
+    return P.per_type_stats(_graph(spark, sf_dir).nodes)
+
+
 def _q_assembly(spark, sf_dir):
     g = _graph(spark, sf_dir)
     return P.assembly_query(g.nodes, g.canon_edges)
@@ -300,6 +304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_value_rollup": _q_value_rollup,
         "kg_sql_interface": _q_sql_interface,
         "kg_assembly": _q_assembly,
+        "kg_per_type_stats": _q_per_type_stats,
         "kg_delete_t0": _q_delete_t0,
         "kg_contract_controls": _q_contract_controls,
         "doc_token_count": _q_doc_token_count,
@@ -365,6 +370,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_value_rollup": oracles.value_rollup_sql(),
         "kg_sql_interface": oracles.sql_interface_sql(),
         "kg_assembly": oracles.assembly_sql(),
+        "kg_per_type_stats": oracles.per_type_stats_sql(),
         "kg_delete_t0": oracles.delete_t0_sql(),
         "kg_contract_controls": oracles.contract_controls_sql(),
         "doc_token_count": doc_oracles.token_count_sql(),

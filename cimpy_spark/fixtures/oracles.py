@@ -314,6 +314,22 @@ def contract_controls_sql() -> str:
     """
 
 
+def per_type_stats_sql() -> str:
+    return PIPELINE_CTES + """
+    , typed AS (
+      SELECT entity_id,
+             max(CASE WHEN attr = 'rdf_type' THEN value END) AS type,
+             CAST(max(CASE WHEN attr = 'p_int' THEN value END) AS INT) AS p_int,
+             CAST(max(CASE WHEN attr = 'q_int' THEN value END) AS INT) AS q_int
+      FROM nodes GROUP BY entity_id
+    )
+    SELECT type, count(*) AS n_entities,
+           round(avg(p_int), 6) AS mean_p_int,
+           CAST(max(q_int) AS INT) AS max_q_int
+    FROM typed GROUP BY type
+    """
+
+
 def type_dispatch_sql() -> str:
     return (
         _with(T_CTE, ENTITIES_CTE)

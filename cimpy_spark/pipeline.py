@@ -166,6 +166,37 @@ def assembly_query(nodes: DataFrame, canon_edges: DataFrame) -> DataFrame:
     )
 
 
+def per_type_stats(nodes: DataFrame) -> DataFrame:
+    """Per-type grouped transform via ``applyInPandas`` — the engine
+    surface for genuinely non-columnar per-type logic (the reference's
+    per-class converter bodies, cimpy/CIM2DPsim.py:92-423). This
+    particular computation IS columnar (kept so the DuckDB oracle can
+    check the plumbing exactly); a real converter would run arbitrary
+    pandas/NumPy per type partition in the same harness.
+
+    Output: (type, n_entities, mean_p_int, max_q_int).
+    """
+    import pandas as pd
+
+    typed = typed_attrs(nodes).select("type", "p_int", "q_int")
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        mean_p = pdf["p_int"].mean()  # pandas mean/max skip nulls, as SQL does
+        max_q = pdf["q_int"].max()
+        return pd.DataFrame(
+            {
+                "type": [pdf["type"].iloc[0]],
+                "n_entities": [len(pdf)],
+                "mean_p_int": [round(float(mean_p), 6) if pd.notna(mean_p) else None],
+                "max_q_int": [int(max_q) if pd.notna(max_q) else None],
+            }
+        )
+
+    return typed.groupBy("type").applyInPandas(
+        stats, schema="type string, n_entities long, mean_p_int double, max_q_int int"
+    )
+
+
 def type_dispatch(entities: DataFrame) -> DataFrame:
     """Per-type entity counts (reference's isinstance dispatch chain,
     cimpy/CIM2DPsim.py:92-423, becomes groupBy(type))."""
