@@ -276,6 +276,79 @@ def canonical_edges(
     )
 
 
+def incremental_canonical_nodes(
+    old_nodes: DataFrame,
+    all_triples: DataFrame,
+    new_triples: DataFrame,
+    old_labels: DataFrame,
+    new_labels: DataFrame,
+    cmap_rows: int | None = 0,
+) -> DataFrame:
+    """Touched-component node re-election: recompute the first-wins
+    attribute election ONLY for canonical entities the increment can
+    have changed —
+
+    - canonicals (new labeling) of subjects mentioned in the increment
+      (new attribute rows may win or add elections), and
+    - canonicals on either side of a label change (component merges
+      re-scope the election group).
+
+    Everything else carries over from the committed nodes snapshot
+    verbatim: an election over an unchanged member set with no new
+    mentions cannot change (first-wins is a pure min over the group).
+    At corpus scale this recomputes the increment's neighborhood, not
+    the graph.
+    """
+    # canonical ids whose member set or mention set changed
+    relabeled = (
+        old_labels.alias("o")
+        .join(new_labels.alias("n"), "entity_id")
+        .filter(F.col("o.canonical_id") != F.col("n.canonical_id"))
+    )
+    touched = (
+        relabeled.select(F.col("o.canonical_id").alias("canonical_id"))
+        .union(relabeled.select(F.col("n.canonical_id").alias("canonical_id")))
+        .union(
+            new_triples.select(F.col("subj").alias("entity_id"))
+            .distinct()
+            .join(new_labels, "entity_id")
+            .select("canonical_id")
+        )
+        # brand-new entities absent from old_labels
+        .union(
+            new_labels.join(old_labels.select("entity_id"), "entity_id", "left_anti")
+            .select("canonical_id")
+        )
+        .distinct()
+    )
+
+    # recompute elections for touched components over ALL their triples
+    touched_members = new_labels.join(
+        _maybe_broadcast(touched, cmap_rows), "canonical_id"
+    ).select("entity_id", "canonical_id")
+    touched_triples = all_triples.join(
+        _maybe_broadcast(
+            touched_members.select(F.col("entity_id").alias("subj")), cmap_rows
+        ),
+        "subj",
+        "left_semi",
+    )
+    recomputed = canonical_nodes(
+        touched_triples,
+        touched_members.select("entity_id", "canonical_id"),
+        cmap_rows,
+    )
+
+    carried = old_nodes.join(
+        _maybe_broadcast(touched.select(F.col("canonical_id").alias("entity_id")), cmap_rows),
+        "entity_id",
+        "left_anti",
+    )
+    return carried.select("entity_id", "attr", "value", "profile").unionByName(
+        recomputed.select("entity_id", "attr", "value", "profile")
+    )
+
+
 def canonical_nodes(
     triples: DataFrame, cmap: DataFrame, cmap_rows: int | None = 0
 ) -> DataFrame:

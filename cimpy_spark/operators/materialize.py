@@ -165,6 +165,11 @@ def ingest_increment(
         if use_inc_link
         else None
     )
+    old_nodes = (
+        spark.read.parquet(ledger.stage_dir("nodes")).localCheckpoint(eager=True)
+        if old_labels is not None and ledger.committed_after("nodes", "triples")
+        else None
+    )
     seen = committed.select("conv_id").distinct()
     fresh = transcripts.join(seen, "conv_id", "left_anti")
     new_triples = extract_triples(fresh).localCheckpoint(eager=True)
@@ -240,10 +245,19 @@ def ingest_increment(
         lambda: canonical_edges(out["edges"], cmap),
         partition_by=["pred"], force=True,
     )
+
+    def _nodes():
+        if old_nodes is not None:
+            # touched-component re-election only
+            from cimpy_spark.operators.canonicalize import incremental_canonical_nodes
+
+            return incremental_canonical_nodes(
+                old_nodes, triples, new_triples, old_labels, out["cmap_full"]
+            )
+        return canonical_nodes(triples, cmap)
+
     out["nodes"] = ledger.run_stage(
-        spark, "nodes",
-        lambda: canonical_nodes(triples, cmap),
-        partition_by=["profile", "attr"], force=True,
+        spark, "nodes", _nodes, partition_by=["profile", "attr"], force=True
     )
     return out
 
