@@ -282,6 +282,7 @@ def incremental_canonical_nodes(
     new_triples: DataFrame,
     old_labels: DataFrame,
     new_labels: DataFrame,
+    entities: DataFrame,
     cmap_rows: int | None = 0,
 ) -> DataFrame:
     """Touched-component node re-election: recompute the first-wins
@@ -299,7 +300,15 @@ def incremental_canonical_nodes(
     At corpus scale this recomputes the increment's neighborhood, not
     the graph.
     """
-    # canonical ids whose member set or mention set changed
+    # canonical ids whose member set or mention set changed. Only
+    # attribute-kind mentions can move an election — ref/sameAs
+    # mentions don't participate (label changes are caught separately
+    # by the relabel diff).
+    new_attr_subjects = (
+        new_triples.filter(F.col("obj_kind").isin("literal", "enum", "type"))
+        .select(F.col("subj").alias("entity_id"))
+        .distinct()
+    )
     relabeled = (
         old_labels.alias("o")
         .join(new_labels.alias("n"), "entity_id")
@@ -309,10 +318,7 @@ def incremental_canonical_nodes(
         relabeled.select(F.col("o.canonical_id").alias("canonical_id"))
         .union(relabeled.select(F.col("n.canonical_id").alias("canonical_id")))
         .union(
-            new_triples.select(F.col("subj").alias("entity_id"))
-            .distinct()
-            .join(new_labels, "entity_id")
-            .select("canonical_id")
+            new_attr_subjects.join(new_labels, "entity_id").select("canonical_id")
         )
         # brand-new entities absent from old_labels
         .union(
@@ -322,10 +328,16 @@ def incremental_canonical_nodes(
         .distinct()
     )
 
-    # recompute elections for touched components over ALL their triples
-    touched_members = new_labels.join(
-        _maybe_broadcast(touched, cmap_rows), "canonical_id"
-    ).select("entity_id", "canonical_id")
+    # recompute elections for touched components over ALL their
+    # triples. Membership is the DECLARED restriction — the full-run
+    # path elects over cmap (declared entities only), so the
+    # incremental path must too, or about-mentions of undeclared
+    # aliases would join the election here but not there.
+    touched_members = (
+        new_labels.join(_maybe_broadcast(touched, cmap_rows), "canonical_id")
+        .join(entities.select("entity_id"), "entity_id", "left_semi")
+        .select("entity_id", "canonical_id")
+    )
     touched_triples = all_triples.join(
         _maybe_broadcast(
             touched_members.select(F.col("entity_id").alias("subj")), cmap_rows

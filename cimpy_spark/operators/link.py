@@ -127,8 +127,12 @@ def incremental_resolve(
     recheck_dict = new_entities_only.select(F.col("entity_id").alias("dst")).withColumn(
         "__hit", F.lit(1)
     )
+    # same broadcast policy as the main dictionary: an increment can be
+    # bootstrap-sized, so don't broadcast unconditionally
+    if broadcast_dict:
+        recheck_dict = F.broadcast(recheck_dict)
     rechecked = (
-        dangling.join(F.broadcast(recheck_dict), "dst", "left")
+        dangling.join(recheck_dict, "dst", "left")
         .select("src", "pred", "dst", F.col("__hit").isNotNull().alias("resolved"))
     )
     return (

@@ -248,11 +248,14 @@ def ingest_increment(
 
     def _nodes():
         if old_nodes is not None:
-            # touched-component re-election only
+            # touched-component re-election only; cmap_rows from the
+            # ledger governs broadcast vs shuffled joins at scale
             from cimpy_spark.operators.canonicalize import incremental_canonical_nodes
 
             return incremental_canonical_nodes(
-                old_nodes, triples, new_triples, old_labels, out["cmap_full"]
+                old_nodes, triples, new_triples, old_labels, out["cmap_full"],
+                entities,
+                cmap_rows=ledger.records()["cmap_full"]["rows_out"],
             )
         return canonical_nodes(triples, cmap)
 

@@ -107,7 +107,9 @@ class LineageLedger:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(d)
-        out = spark.read.parquet(d)
+        # explicit schema: an empty stage writes no data files and
+        # schema inference would fail on read-back
+        out = spark.read.schema(df.schema).parquet(d)
         # per-partition lineage (north_rule): row counts per committed
         # file/partition in one aggregation pass; the total is their sum
         from pyspark.sql import functions as F

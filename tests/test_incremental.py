@@ -66,6 +66,36 @@ def test_crash_between_triples_and_cmap_commits(spark, tmp_path):
         assert full[stage].exceptAll(res[stage]).count() == 0, stage
 
 
+def test_incremental_nodes_exclude_undeclared_aliases(spark, tmp_path):
+    """The election membership must be the DECLARED restriction in the
+    incremental path too: an about-mention of a never-declared alias
+    (merged via sameAs) participates in neither the full run's
+    election nor the incremental one."""
+    rows1 = [
+        ("a1", 0, "user", "«decl E1 type:T1 p_int=5 p_bool=true p_enum=kind:Unit.V1»", None),
+        ("a1", 1, "user", "«same E1 E9»", None),  # E9 never declared
+        ("a1", 2, "user", "«about E9 q_int=7»", None),  # must NOT elect
+    ]
+    rows2 = [
+        ("b1", 0, "user", "«about E1 q_str=s2»", None),  # touches E1's component
+        ("b1", 1, "user", "«decl E2 type:T2 p_int=1 p_bool=false p_enum=kind:Unit.V0»", None),
+    ]
+    schema = "conv_id string, turn_idx int, role string, text string, tool string"
+    t1 = spark.createDataFrame(rows1, schema)
+    t_all = spark.createDataFrame(rows1 + rows2, schema)
+
+    inc_dir, full_dir = str(tmp_path / "i"), str(tmp_path / "f")
+    ingest_increment(spark, t1, inc_dir)
+    res_inc = ingest_increment(spark, t_all, inc_dir)
+    res_full = run_pipeline(spark, t_all, full_dir)
+
+    inc_nodes = {tuple(r) for r in res_inc["nodes"].collect()}
+    full_nodes = {tuple(r) for r in res_full["nodes"].collect()}
+    assert inc_nodes == full_nodes
+    # the undeclared alias's attr is absent everywhere
+    assert not any(n[1] == "q_int" and n[2] == "7" for n in inc_nodes)
+
+
 def test_incremental_noop_when_no_new_convs(spark, tmp_path):
     t = transcripts_from_events(spark, SF_TINY)
     d = str(tmp_path / "kg")
