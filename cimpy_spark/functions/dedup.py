@@ -9,24 +9,51 @@ MinHash permutation family (each seed suffix induces an independent
 uniform order on shingles).
 
 Scale notes (100 TB corpus):
-- shingling/explode is narrow; the only shuffles are the per-(doc,
-  seed) min aggregation (map-side partial min applies) and the band
-  self-join.
+- signatures and band keys are computed as NARROW per-row array
+  expressions (``transform`` / ``array_min`` over the shingle array)
+  — zero shuffles and zero row amplification until the band
+  self-join. (Round 1 exploded 12× on seeds before aggregating; this
+  rewrite removes that shuffle entirely.)
 - the band join's key cardinality ≈ n_docs × n_bands with near-unique
   keys; true near-dup clusters create small groups, giant clusters
-  (boilerplate) create skew — AQE skew-join handles it, and the
-  candidate-pair explosion is bounded per bucket by `max_bucket`.
+  (boilerplate) create skew. Candidate-pair explosion is bounded per
+  bucket by ``max_bucket``: bucket sizes are counted first (cheap,
+  map-side combinable), buckets over the cap are excluded via a
+  broadcast anti-join (the oversize set is tiny by construction —
+  that is what "pathological" means), and `oversize_buckets` reports
+  what was dropped, A1-style. Worst-case pair count is then
+  n_buckets × max_bucket², never O(n²) in one key.
 """
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from cimpy_spark.functions.text import shingles
-
 N_HASHES = 12
 N_BANDS = 4  # rows-per-band r = 3
+MAX_BUCKET = 32  # max docs per LSH bucket before it is dropped as boilerplate
+
+HEX = "0123456789abcdef"
+
+
+def _shingle_array(n: int = 3, col: str = "text"):
+    """Distinct word n-grams of `col` as a per-row array — the narrow
+    substrate shared by MinHash and Jaccard (same construction as
+    text.shingles, without the explode)."""
+    w = F.split(F.trim(F.col(col)), "\\s+")
+    idx = F.when(
+        F.size(w) >= n, F.sequence(F.lit(0), F.size(w) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    gram = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(gram)
 
 
 def exact_duplicates(docs: DataFrame) -> DataFrame:
@@ -44,54 +71,101 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
     )
 
 
+def _sig_docs(docs: DataFrame, n_hashes: int) -> DataFrame:
+    """(doc_id, sig array<string>[n_hashes]): per-seed MinHash values,
+    computed narrow. The shingle array is materialized in its own
+    projection so whole-stage codegen evaluates it once, not once per
+    seed. Docs with no shingles (< n words) are excluded, matching the
+    grouped formulation where they contribute no rows."""
+    sh = docs.select("doc_id", _shingle_array(3).alias("sh")).filter(
+        F.size("sh") > 0
+    )
+
+    def seed_min(s: int):
+        # NB: the seed must be captured as a closure constant, not a
+        # lambda parameter — a 2-arg transform lambda means
+        # (element, index) to Spark.
+        suffix = F.lit(str(s))
+        return F.array_min(
+            F.transform(F.col("sh"), lambda x: F.md5(F.concat_ws("#", x, suffix)))
+        )
+
+    sig = F.array(*[seed_min(s) for s in range(n_hashes)])
+    return sh.select("doc_id", sig.alias("sig"))
+
+
 def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
     """(doc_id, seed, h): per-seed MinHash values over word 3-gram
-    shingles."""
-    sh = shingles(docs, n=3)
-    seeded = sh.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed"),
-        "shingle",
-    )
-    return seeded.groupBy("doc_id", "seed").agg(
-        F.min(F.md5(F.concat_ws("#", "shingle", "seed"))).alias("h")
+    shingles — the long format, derived from the narrow array
+    signature by a tiny posexplode (no shuffle)."""
+    return _sig_docs(docs, n_hashes).select(
+        "doc_id", F.posexplode("sig").alias("seed", "h")
     )
 
 
-def lsh_band_keys(
-    signatures: DataFrame, n_bands: int = N_BANDS, n_hashes: int = N_HASHES
+def minhash_band_keys(
+    docs: DataFrame, n_hashes: int = N_HASHES, n_bands: int = N_BANDS
 ) -> DataFrame:
-    """(doc_id, band, band_key): hash each band's signature rows
-    (ordered by seed) into one bucket key. ``n_hashes`` must match the
-    signature width actually passed in (banding is seed-arithmetic)."""
+    """(doc_id, band, band_key): md5 over each band's consecutive
+    signature values — narrow all the way (n_bands-row explode only)."""
     rows_per_band = n_hashes // n_bands
-    banded = signatures.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-    return banded.groupBy("doc_id", "band").agg(
-        F.md5(
-            F.concat_ws(
-                "",
-                F.array_join(
-                    F.transform(
-                        F.sort_array(F.collect_list(F.struct("seed", "h"))),
-                        lambda x: x["h"],
-                    ),
-                    "",
-                ),
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat(
+                        *[F.col("sig")[b * rows_per_band + i] for i in range(rows_per_band)]
+                    )
+                ).alias("band_key"),
             )
-        ).alias("band_key")
+            for b in range(n_bands)
+        ]
+    )
+    return (
+        _sig_docs(docs, n_hashes)
+        .select("doc_id", F.explode(bands).alias("bk"))
+        .select("doc_id", "bk.band", "bk.band_key")
+    )
+
+
+def oversize_buckets(
+    docs: DataFrame,
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """(band, band_key, n_docs) for LSH buckets over the cap — the
+    A1-style metric companion to `minhash_candidates` (what the cap
+    dropped and how big it was)."""
+    keys = minhash_band_keys(docs, n_hashes, n_bands)
+    return (
+        keys.groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > max_bucket)
     )
 
 
 def minhash_candidates(
-    docs: DataFrame, n_hashes: int = N_HASHES, n_bands: int = N_BANDS
+    docs: DataFrame,
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+    max_bucket: int = MAX_BUCKET,
 ) -> DataFrame:
     """Near-duplicate candidate pairs (doc_a < doc_b) sharing any LSH
-    band bucket."""
-    keys = lsh_band_keys(
-        minhash_signatures(docs, n_hashes), n_bands=n_bands, n_hashes=n_hashes
+    band bucket of size ≤ max_bucket. Oversize buckets (boilerplate)
+    are excluded via a broadcast anti-join on the (tiny) oversize set,
+    bounding the self-join at n_buckets × max_bucket² pairs."""
+    keys = minhash_band_keys(docs, n_hashes, n_bands)
+    big = (
+        keys.groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > max_bucket)
+        .select("band", "band_key")
     )
-    a = keys.select("band", "band_key", F.col("doc_id").alias("doc_a"))
-    b = keys.select("band", "band_key", F.col("doc_id").alias("doc_b"))
+    ok = keys.join(F.broadcast(big), ["band", "band_key"], "left_anti")
+    a = ok.select("band", "band_key", F.col("doc_id").alias("doc_a"))
+    b = ok.select("band", "band_key", F.col("doc_id").alias("doc_b"))
     return (
         a.join(b, ["band", "band_key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -103,7 +177,7 @@ def minhash_candidates(
 def ngram_jaccard(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     """Exact word-3-gram Jaccard similarity for candidate pairs —
     the verify stage after LSH: (doc_a, doc_b, jaccard)."""
-    sh = shingles(docs, n=3)
+    sh = docs.select("doc_id", F.explode(_shingle_array(3)).alias("shingle"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
@@ -133,27 +207,35 @@ def ngram_jaccard(docs: DataFrame, pairs: DataFrame) -> DataFrame:
 def simhash(docs: DataFrame, n_bits: int = 16) -> DataFrame:
     """16-bit SimHash over distinct word tokens: bit j of a token's
     md5 (parity of hex digit j) votes ±1; the sign of each bit-sum is
-    the fingerprint bit. (doc_id, simhash int)."""
+    the fingerprint bit. (doc_id, simhash int).
+
+    Narrow formulation: the token-md5 array is materialized once per
+    row, then each bit's vote sum is an ordered array fold — no
+    explode, no shuffle (round 1 exploded 16× on bits and shuffled
+    twice)."""
     toks = docs.select(
         "doc_id",
-        F.explode(F.array_distinct(F.split(F.trim("text"), "\\s+"))).alias("tok"),
-    ).withColumn("h", F.md5("tok"))
-    bits = toks.select(
-        "doc_id",
-        "h",
-        F.explode(F.sequence(F.lit(1), F.lit(n_bits))).alias("j"),
-    ).withColumn(
-        "vote",
-        F.when(
-            F.expr("(instr('0123456789abcdef', substring(h, j, 1)) - 1) % 2") == 1,
-            F.lit(1),
-        ).otherwise(F.lit(-1)),
+        F.transform(
+            F.array_distinct(F.split(F.trim("text"), "\\s+")), lambda t: F.md5(t)
+        ).alias("hs"),
     )
-    bitsum = bits.groupBy("doc_id", "j").agg(F.sum("vote").alias("s"))
-    return bitsum.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.pow(F.lit(2.0), F.col("j") - 1)).otherwise(F.lit(0.0))
+
+    def bit_sum(j: int):
+        # digit value = position in hex alphabet; parity is the vote
+        return F.aggregate(
+            F.col("hs"),
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(
+                F.conv(F.substring(h, j, 1), 16, 10).cast("int") % 2 == 1, F.lit(1)
+            ).otherwise(F.lit(-1)),
         )
-        .cast("long")
-        .alias("simhash")
+
+    fp = reduce(
+        lambda x, y: x + y,
+        [
+            F.when(bit_sum(j) > 0, F.lit(float(2 ** (j - 1)))).otherwise(F.lit(0.0))
+            for j in range(1, n_bits + 1)
+        ],
     )
+    return toks.select("doc_id", fp.cast("long").alias("simhash"))

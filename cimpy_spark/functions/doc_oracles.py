@@ -93,6 +93,10 @@ def exact_duplicates_sql() -> str:
     """
 
 
+# Mirror the engine's LSH bucket cap (dedup.MAX_BUCKET): buckets with
+# more members than the cap are boilerplate and excluded from pairing.
+MINHASH_MAX_BUCKET = 32
+
 SIG_CTES = f"""
 {NUMS}, {W_CTE}, {SH3_CTE},
 seeds AS (SELECT unnest(generate_series(0, 11)) AS seed),
@@ -106,10 +110,15 @@ bands AS (
          md5(string_agg(h, '' ORDER BY seed)) AS band_key
   FROM sig GROUP BY doc_id, seed // 3
 ),
+okbands AS (
+  SELECT band, band_key FROM bands
+  GROUP BY band, band_key HAVING count(*) <= {MINHASH_MAX_BUCKET}
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+  JOIN okbands k ON k.band = a.band AND k.band_key = a.band_key
 )
 """
 
@@ -249,7 +258,12 @@ def ivf_topk_sql(n_queries: int = 8, k: int = 5, nprobe: int = 2) -> str:
     """
 
 
-def neardup_pairs_sql(threshold: float = 0.99) -> str:
+NEARDUP_MAX_BUCKET = 128  # mirror similarity.MAX_BUCKET
+
+
+def neardup_pairs_sql(
+    threshold: float = 0.99, max_bucket: int = NEARDUP_MAX_BUCKET
+) -> str:
     # over embeddings ∪ shifted copy (planted exact dups), LSH-bucketed
     return f"""
     WITH eraw AS (
@@ -274,7 +288,11 @@ def neardup_pairs_sql(threshold: float = 0.99) -> str:
              CAST(sum(CASE WHEN s > 0 THEN power(2.0, p) ELSE 0 END) AS INT) AS bucket
       FROM pl GROUP BY vec_id
     ),
-    v AS (SELECT e.vec_id, e.emb, b.bucket FROM e JOIN buckets b USING (vec_id)),
+    okb AS (
+      SELECT bucket FROM buckets GROUP BY bucket HAVING count(*) <= {max_bucket}
+    ),
+    v AS (SELECT e.vec_id, e.emb, b.bucket
+          FROM e JOIN buckets b USING (vec_id) JOIN okb USING (bucket)),
     sims AS (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
              round(list_dot_product(a.emb, b.emb)

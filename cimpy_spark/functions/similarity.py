@@ -14,7 +14,10 @@
 Scale notes: brute-force is O(Q×N) — fine for Q small (broadcast the
 queries side, which Catalyst chooses automatically for a tiny dim
 table); the LSH path turns all-pairs into per-bucket joins with
-AQE-managed skew.
+AQE-managed skew, and `neardup_pairs` drops buckets over `max_bucket`
+members (counted first, excluded via broadcast anti-join) so one
+degenerate region can never produce an O(n²) pair set. Bucket
+assignment itself is a narrow per-row array fold — no shuffle.
 """
 
 from __future__ import annotations
@@ -72,33 +75,36 @@ def cosine_topk(
     )
 
 
+def _bucket_expr(emb_col, n_planes: int = N_PLANES):
+    """Hyperplane-LSH bucket as a narrow per-row expression: for each
+    plane p, the signed projection is an ordered array fold over the
+    embedding (component i, 1-based, is +1 iff (p*131 + i*37) % 7 < 3 —
+    portable to SQL); the sign pattern packs into an int. Zero
+    explodes, zero shuffles (round 1 posexploded dims × planes and
+    shuffled twice)."""
+
+    def plane_sum(p: int):
+        proj = F.transform(
+            emb_col,
+            lambda v, i0: v
+            * F.when(
+                (F.lit(p * 131) + (i0 + 1) * 37) % 7 < 3, F.lit(1.0)
+            ).otherwise(F.lit(-1.0)),
+        )
+        return F.aggregate(proj, F.lit(0.0), lambda acc, x: acc + x)
+
+    bucket = None
+    for p in range(n_planes):
+        term = F.when(plane_sum(p) > 0, F.lit(float(2**p))).otherwise(F.lit(0.0))
+        bucket = term if bucket is None else bucket + term
+    return bucket.cast("int")
+
+
 def lsh_buckets(embeddings: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
     """(vec_id, bucket): sign pattern of n_planes deterministic
-    hyperplanes packed into an int. Hyperplane p component i (1-based)
-    is +1 iff (p*131 + i*37) % 7 < 3 — portable to SQL."""
-    pos = embeddings.select(
-        "vec_id", F.posexplode(_as_double("embedding")).alias("i0", "v")
-    ).select("vec_id", (F.col("i0") + 1).alias("i"), "v")
-    planes = pos.select(
-        "vec_id",
-        "v",
-        "i",
-        F.explode(F.sequence(F.lit(0), F.lit(n_planes - 1))).alias("p"),
-    ).withColumn(
-        "hcomp",
-        F.when((F.col("p") * 131 + F.col("i") * 37) % 7 < 3, F.lit(1.0)).otherwise(
-            F.lit(-1.0)
-        ),
-    )
-    signs = planes.groupBy("vec_id", "p").agg(
-        F.sum(F.col("v") * F.col("hcomp")).alias("s")
-    )
-    return signs.groupBy("vec_id").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.pow(F.lit(2.0), F.col("p"))).otherwise(F.lit(0.0))
-        )
-        .cast("int")
-        .alias("bucket")
+    hyperplanes packed into an int — a pure projection."""
+    return embeddings.select(
+        "vec_id", _bucket_expr(_as_double("embedding"), n_planes).alias("bucket")
     )
 
 
@@ -178,20 +184,35 @@ def ivf_topk(
     )
 
 
+MAX_BUCKET = 128  # max vectors per LSH bucket before it is dropped as degenerate
+
+
 def neardup_pairs(
-    embeddings: DataFrame, threshold: float = 0.99
+    embeddings: DataFrame, threshold: float = 0.99, max_bucket: int = MAX_BUCKET
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (vec_a < vec_b) with
     sim ≥ threshold, candidates restricted to shared LSH buckets
     (identical vectors always share a bucket, so exact dups are never
-    missed). Output: (vec_a, vec_b, sim)."""
-    base = embeddings.select("vec_id", _as_double("embedding").alias("emb"))
-    buckets = lsh_buckets(embeddings)
-    v = base.join(buckets, "vec_id")
-    a = v.select(
+    missed). Buckets with more than max_bucket members (degenerate
+    regions) are excluded via a broadcast anti-join on the tiny
+    oversize set, bounding the self-join at n_buckets × max_bucket²
+    pairs. Output: (vec_a, vec_b, sim)."""
+    v = embeddings.select(
+        "vec_id",
+        _as_double("embedding").alias("emb"),
+        _bucket_expr(_as_double("embedding")).alias("bucket"),
+    )
+    big = (
+        v.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > max_bucket)
+        .select("bucket")
+    )
+    ok = v.join(F.broadcast(big), ["bucket"], "left_anti")
+    a = ok.select(
         F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"), "bucket"
     )
-    b = v.select(
+    b = ok.select(
         F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"), "bucket"
     )
     cand = a.join(b, "bucket").filter(F.col("vec_a") < F.col("vec_b"))

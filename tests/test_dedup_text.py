@@ -88,6 +88,43 @@ def test_neardup_finds_planted_identicals(spark, emb):
     assert pairs.filter(F.col("sim") >= 0.999999).count() >= n
 
 
+def test_max_bucket_bounds_boilerplate_pairs(spark):
+    """One giant boilerplate bucket must NOT explode into O(n²) pairs:
+    the cap drops it, oversize_buckets reports it, and genuine dups
+    outside the bucket are still found."""
+    boiler = [
+        (i, "the same boilerplate disclaimer text repeated for every doc")
+        for i in range(120)
+    ]
+    real = [
+        (1000, "a genuinely unique document about spark shuffle behavior"),
+        (1001, "a genuinely unique document about spark shuffle behavior"),
+    ]
+    docs = spark.createDataFrame(boiler + real, "doc_id int, text string")
+    cands = D.minhash_candidates(docs)  # default cap 32 < 120
+    rows = cands.collect()
+    # all 7140 boilerplate pairs suppressed; the real dup remains
+    assert [(r["doc_a"], r["doc_b"]) for r in rows] == [(1000, 1001)]
+    over = D.oversize_buckets(docs)
+    assert over.count() == D.N_BANDS  # the boilerplate bucket, per band
+    assert over.filter(F.col("n_docs") != 120).count() == 0
+    # uncapped for contrast: the explosion the cap prevents
+    assert D.minhash_candidates(docs, max_bucket=10**9).count() == 120 * 119 // 2 + 1
+
+
+def test_neardup_max_bucket_bounds_degenerate_pairs(spark, emb):
+    """A degenerate LSH bucket (many copies of one vector) is dropped
+    by the cap instead of producing O(n²) candidate pairs."""
+    one = emb.select("vec_id", "embedding").limit(1)
+    copies = one.crossJoin(
+        spark.range(200).select(F.col("id").cast("int").alias("k"))
+    ).select((F.col("vec_id") + 10000 + F.col("k")).alias("vec_id"), "embedding")
+    pairs = SIM.neardup_pairs(copies, threshold=0.999, max_bucket=50)
+    assert pairs.count() == 0
+    uncapped = SIM.neardup_pairs(copies, threshold=0.999, max_bucket=10**9)
+    assert uncapped.count() == 200 * 199 // 2
+
+
 def test_fingerprint_deterministic_per_text(spark, docs):
     fp = T.fingerprint(docs)
     joined = (
