@@ -17,6 +17,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from cimpy_spark.fixtures import oracles  # noqa: E402
 from cimpy_spark.fixtures.events_transcripts import (  # noqa: E402
+    metrics_oracle_sql,
     transcripts_from_events,
     transcripts_sql,
     triples_oracle_sql,
@@ -28,6 +29,19 @@ from cimpy_spark.functions import dedup as D  # noqa: E402
 from cimpy_spark.functions import similarity as SIM  # noqa: E402
 from cimpy_spark.functions import text as T  # noqa: E402
 from cimpy_spark.operators.extract import extract_triples, extraction_metrics  # noqa: E402
+
+
+def _scratch_dir(prefix: str) -> str:
+    """mkdtemp that cleans itself up at interpreter exit (the streaming
+    and incremental queries stage parquet scratch data; deletion must
+    wait until the driver has collected the lazily-read result)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, True)
+    return d
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -117,6 +131,14 @@ def _q_multihop(spark, sf_dir):
     return P.multihop(_graph(spark, sf_dir).canon_edges)
 
 
+def _q_khop(spark, sf_dir):
+    return P.khop(_graph(spark, sf_dir).canon_edges, k=3)
+
+
+def _q_reachability(spark, sf_dir):
+    return P.reachability(_graph(spark, sf_dir).canon_edges)
+
+
 def _q_type_dispatch(spark, sf_dir):
     return P.type_dispatch(_graph(spark, sf_dir).entities)
 
@@ -164,6 +186,24 @@ def _q_contract_controls(spark, sf_dir):
     from cimpy_spark.operators.transforms import contract_edges
 
     return contract_edges(_graph(spark, sf_dir).canon_edges, "controls")
+
+
+def _q_schema_cast(spark, sf_dir):
+    from cimpy_spark.operators.schema import fixture_schema, schema_cast
+
+    return schema_cast(_graph(spark, sf_dir).nodes, fixture_schema(spark))
+
+
+def _q_schema_quarantine(spark, sf_dir):
+    from cimpy_spark.operators.schema import (
+        fixture_schema,
+        schema_cast,
+        schema_quarantine_counts,
+    )
+
+    return schema_quarantine_counts(
+        schema_cast(_graph(spark, sf_dir).nodes, fixture_schema(spark))
+    )
 
 
 # --------------------------------------------------------------------------
@@ -232,15 +272,13 @@ def _q_stream_extract(spark, sf_dir):
     as files, drain a bounded file-source stream through the SAME
     extraction operator into a memory sink, return the result batch.
     Proves stream==batch semantics against the closed-form oracle."""
-    import tempfile
-
     from cimpy_spark.streaming.ingest import (
         run_to_memory_sink,
         stream_extract,
         stream_transcripts,
     )
 
-    d = tempfile.mkdtemp(prefix="cimpy_stream_")
+    d = _scratch_dir("cimpy_stream_")
     transcripts_from_events(spark, sf_dir).repartition(8).write.mode(
         "overwrite"
     ).parquet(d)
@@ -255,15 +293,13 @@ def _q_incremental_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     through ingest_increment (incremental CC included) and return the
     final canonical edges — they must hash-match the same closed-form
     oracle as a single full run."""
-    import tempfile
-
     from pyspark.sql import functions as F
 
     from cimpy_spark.operators.materialize import ingest_increment
 
     t = transcripts_from_events(spark, sf_dir)
     first_half = F.pmod(F.xxhash64("conv_id"), F.lit(2)) == 0
-    out_dir = tempfile.mkdtemp(prefix="cimpy_incr_")
+    out_dir = _scratch_dir("cimpy_incr_")
     ingest_increment(spark, t.filter(first_half), out_dir)
     res = ingest_increment(spark, t, out_dir)
     return res["canon_edges"].select("src", "pred", "dst")
@@ -300,12 +336,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_typed_attrs": _q_typed_attrs,
         "kg_node_degree": _q_node_degree,
         "kg_multihop": _q_multihop,
+        "kg_khop": _q_khop,
+        "kg_reachability": _q_reachability,
         "kg_type_dispatch": _q_type_dispatch,
         "kg_value_rollup": _q_value_rollup,
         "kg_sql_interface": _q_sql_interface,
         "kg_assembly": _q_assembly,
         "kg_per_type_stats": _q_per_type_stats,
         "kg_delete_t0": _q_delete_t0,
+        "kg_schema_cast": _q_schema_cast,
+        "kg_schema_quarantine": _q_schema_quarantine,
         "kg_contract_controls": _q_contract_controls,
         "doc_token_count": _q_doc_token_count,
         "doc_quality": _q_doc_quality,
@@ -333,6 +373,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _schema_cast_oracle() -> str:
+    from cimpy_spark.operators.schema import schema_cast_oracle_sql
+
+    return schema_cast_oracle_sql(oracles.PIPELINE_CTES)
+
+
 def _mm_features_oracle() -> str:
     from cimpy_spark.functions.multimodal import features_oracle_sql
 
@@ -346,16 +392,7 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT conv_id, turn_idx, role, text, tool FROM ({transcripts})"
         ),
         "kg_extract_triples": triples_oracle_sql("//", "events"),
-        "kg_extract_metrics": f"""
-            SELECT CASE
-                WHEN event_id % 4 = 0 THEN 'decl'
-                WHEN event_id % 4 = 1 THEN 'about'
-                WHEN event_id % 4 = 2 THEN 'rel'
-                WHEN (event_id // 4) % 5 = 0 THEN 'same'
-                ELSE 'unknown_pattern' END AS pattern_kind,
-              count(*) AS n
-            FROM events GROUP BY 1
-        """,
+        "kg_extract_metrics": metrics_oracle_sql("//", "events"),
         "kg_entities": oracles.entities_sql(),
         "kg_link_edges": oracles.link_edges_sql(),
         "kg_link_quarantine": oracles.link_quarantine_sql(),
@@ -366,12 +403,21 @@ def oracle_sql() -> dict[str, str]:
         "kg_typed_attrs": oracles.typed_attrs_sql(),
         "kg_node_degree": oracles.node_degree_sql(),
         "kg_multihop": oracles.multihop_sql(),
+        "kg_khop": oracles.khop_sql(3),
+        "kg_reachability": oracles.reachability_sql(),
         "kg_type_dispatch": oracles.type_dispatch_sql(),
         "kg_value_rollup": oracles.value_rollup_sql(),
         "kg_sql_interface": oracles.sql_interface_sql(),
         "kg_assembly": oracles.assembly_sql(),
         "kg_per_type_stats": oracles.per_type_stats_sql(),
         "kg_delete_t0": oracles.delete_t0_sql(),
+        "kg_schema_cast": _schema_cast_oracle(),
+        "kg_schema_quarantine": (
+            "SELECT attr, status, count(*) AS n FROM ("
+            + _schema_cast_oracle()
+            + ") WHERE status IN ('bad_literal', 'unknown_attr') "
+            "GROUP BY attr, status"
+        ),
         "kg_contract_controls": oracles.contract_controls_sql(),
         "doc_token_count": doc_oracles.token_count_sql(),
         "doc_quality": doc_oracles.quality_score_sql(),

@@ -12,6 +12,14 @@ directly from the event columns without parsing text. Any bug in the
 Arrow-UDF regex extraction therefore shows up as a value-hash
 mismatch.
 
+Each turn plants **0–3 mentions** (``n = (event_id % 7) % 4``; slot k
+uses the derived key ``se = event_id*3 + k``), mirroring the
+reference's loop over every child element of a subject
+(cimpy/cimimport.py:234-241) — a turn may declare one entity AND
+reference another, and some turns carry no mention at all. Mention
+order within a turn is provenance (``mention_idx``), the analog of
+element order within a file.
+
 The planted mention grammar mirrors the reference's RDF phenomena
 (FIXTURES.md §1):
 
@@ -27,10 +35,11 @@ The planted mention grammar mirrors the reference's RDF phenomena
 - ``«unk z<n>»`` ≙ unknown class/attr, skipped with counted warning
   (cimpy/cimimport.py:127-135)
 
-Entity-id space is ``E0..E210`` (mod 211, prime): at every test scale
-all entities referenced via ``E<j>`` are also declared, so the only
-dangling references are the explicit ``X<n>`` ones — keeps the oracle
-closed-form.
+Entity-id space is ``E0..E210`` (mod 211, prime). References to
+``E<j>`` targets that happen never to be declared at a given scale
+dangle into quarantine exactly like the explicit ``X<n>`` ones — both
+the engine and the oracle resolve refs against the declared set, so
+the comparison stays closed-form either way.
 """
 
 from __future__ import annotations
@@ -39,32 +48,35 @@ from pyspark.sql import DataFrame, SparkSession
 
 N_ENT = 211  # prime entity-id space
 
+# mentions per turn: (event_id % 7) % 4 -> 0,1,2,3,0,1,2 over e%7=0..6
+N_MENTIONS = "((event_id % 7) % 4)"
 
-def _text_sql(idiv: str) -> str:
-    """The planted `text` column as a SQL expression over `event_id`.
+
+def _mention_sql(se: str, idiv: str) -> str:
+    """One planted mention body (with «» delimiters) as a SQL
+    expression over the integer slot key expression `se`.
 
     `idiv` is the integer-division operator: `div` (Spark), `//` (DuckDB).
     """
-    d = f"(event_id {idiv} 4)"
-    ent = f"CAST(event_id % {N_ENT} AS STRING)"
-    typ = f"CAST((event_id % {N_ENT}) % 5 AS STRING)"
-    tgt = f"CAST(((event_id % {N_ENT}) * 7 + 3) % {N_ENT} AS STRING)"
+    d = f"(({se}) {idiv} 4)"
+    ent = f"CAST(({se}) % {N_ENT} AS STRING)"
+    typ = f"CAST((({se}) % {N_ENT}) % 5 AS STRING)"
+    tgt = f"CAST(((({se}) % {N_ENT}) * 7 + 3) % {N_ENT} AS STRING)"
     # alias target = previous id within a block of 8 (block leader
     # aliases itself): components are chains of ≤8 entities, so the
     # canonical merge is non-trivial (multi-hop) but bounded at every
     # scale — mirrors real cross-profile merge clusters, not one
     # giant component.
     alias_tgt = (
-        f"CAST((event_id % {N_ENT}) - "
-        f"(CASE WHEN (event_id % {N_ENT}) % 8 = 0 THEN 0 ELSE 1 END) AS STRING)"
+        f"CAST((({se}) % {N_ENT}) - "
+        f"(CASE WHEN (({se}) % {N_ENT}) % 8 = 0 THEN 0 ELSE 1 END) AS STRING)"
     )
     pred = (
         f"CASE {d} % 3 WHEN 0 THEN 'connects_to' "
         f"WHEN 1 THEN 'feeds' ELSE 'controls' END"
     )
     return f"""
-    'turn ' || CAST(event_id AS STRING) || ' notes: ' ||
-    CASE event_id % 4
+    CASE ({se}) % 4
       WHEN 0 THEN '«decl E' || {ent} || ' type:T' || {typ}
         || ' p_int=' || CAST({d} % 97 AS STRING)
         || ' p_bool=' || (CASE WHEN {d} % 2 = 0 THEN 'true' ELSE 'false' END)
@@ -82,6 +94,21 @@ def _text_sql(idiv: str) -> str:
         END
     END
     """
+
+
+def _text_sql(idiv: str) -> str:
+    """The planted `text` column: 0-3 mentions joined with filler
+    prose, as a SQL expression over `event_id`."""
+    slots = [
+        f"CASE WHEN {N_MENTIONS} >= {k + 1} THEN "
+        f"'{' and then ' if k else ' '}' || ({_mention_sql(f'event_id * 3 + {k}', idiv)}) "
+        f"ELSE '' END"
+        for k in range(3)
+    ]
+    return (
+        "'turn ' || CAST(event_id AS STRING) || ' notes:' || "
+        + " || ".join(slots)
+    )
 
 
 def transcripts_select_sql(idiv: str, events_rel: str = "events") -> str:
@@ -126,69 +153,87 @@ def transcripts_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Direct (no-regex) triple derivation — the oracle for extraction.
 # --------------------------------------------------------------------------
 
-def triples_oracle_sql(idiv: str = "//", events_rel: str = "events") -> str:
-    """Expected (subj, pred, obj, obj_kind, conv_id, turn_idx, role)
-    triples computed straight from event columns (never touching
-    `text`). UNION ALL of one branch per planted mention kind.
+def slots_cte_sql(idiv: str = "//", events_rel: str = "events") -> str:
+    """Shared `t` (per-turn) and `s` (per-mention-slot) CTE bodies.
 
-    This is the independent derivation used to grade the Arrow-UDF
-    regex extraction (analog of the reference's pickled import golden,
-    tests/test_import.py:17-36).
+    `s` carries the slot key arithmetic: mention_idx, d, ent, m for
+    every ACTIVE slot of every event. Works in both dialects (inline
+    VALUES join for the slot numbers).
     """
-    base = f"""
-    WITH t AS (
+    return f"""
+    t AS (
       SELECT event_id AS e,
-             event_id {idiv} 4 AS d,
-             event_id % {N_ENT} AS ent,
-             event_id % 4 AS m,
+             {N_MENTIONS} AS n_mentions,
              'c' || CAST(user_id AS STRING) AS conv_id,
              CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS INT) AS turn_idx,
              CASE event_id % 4 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
                   WHEN 2 THEN 'tool' ELSE 'system' END AS role
       FROM {events_rel}
+    ),
+    s AS (
+      SELECT t.e, t.conv_id, t.turn_idx, t.role,
+             CAST(k.k AS INT) AS mention_idx,
+             (t.e * 3 + k.k) {idiv} 4 AS d,
+             (t.e * 3 + k.k) % {N_ENT} AS ent,
+             (t.e * 3 + k.k) % 4 AS m
+      FROM t JOIN (VALUES (0), (1), (2)) AS k(k) ON k.k < t.n_mentions
     )
     """
+
+
+def triples_oracle_sql(idiv: str = "//", events_rel: str = "events") -> str:
+    """Expected (subj, pred, obj, obj_kind, conv_id, turn_idx,
+    mention_idx, role) triples computed straight from event columns
+    (never touching `text`). UNION ALL of one branch per planted
+    mention kind over the active slots.
+
+    This is the independent derivation used to grade the Arrow-UDF
+    regex extraction (analog of the reference's pickled import golden,
+    tests/test_import.py:17-36).
+    """
+    base = "WITH " + slots_cte_sql(idiv, events_rel)
+    prov = "conv_id, turn_idx, mention_idx, role"
     decl = f"""
     SELECT 'E' || CAST(ent AS STRING) AS subj, 'rdf_type' AS pred,
            'T' || CAST(ent % 5 AS STRING) AS obj, 'type' AS obj_kind,
-           conv_id, turn_idx, role
-    FROM t WHERE m = 0
+           {prov}
+    FROM s WHERE m = 0
     UNION ALL
     SELECT 'E' || CAST(ent AS STRING), 'p_int',
-           CAST(d % 97 AS STRING), 'literal', conv_id, turn_idx, role
-    FROM t WHERE m = 0
+           CAST(d % 97 AS STRING), 'literal', {prov}
+    FROM s WHERE m = 0
     UNION ALL
     SELECT 'E' || CAST(ent AS STRING), 'p_bool',
            CASE WHEN d % 2 = 0 THEN 'true' ELSE 'false' END, 'literal',
-           conv_id, turn_idx, role
-    FROM t WHERE m = 0
+           {prov}
+    FROM s WHERE m = 0
     UNION ALL
     SELECT 'E' || CAST(ent AS STRING), 'p_enum',
-           'V' || CAST(d % 3 AS STRING), 'enum', conv_id, turn_idx, role
-    FROM t WHERE m = 0
+           'V' || CAST(d % 3 AS STRING), 'enum', {prov}
+    FROM s WHERE m = 0
     """
     about = f"""
     SELECT 'E' || CAST(ent AS STRING), 'q_str',
-           's' || CAST(d % 23 AS STRING), 'literal', conv_id, turn_idx, role
-    FROM t WHERE m = 1
+           's' || CAST(d % 23 AS STRING), 'literal', {prov}
+    FROM s WHERE m = 1
     UNION ALL
     SELECT 'E' || CAST(ent AS STRING), 'q_int',
-           CAST(d % 41 AS STRING), 'literal', conv_id, turn_idx, role
-    FROM t WHERE m = 1
+           CAST(d % 41 AS STRING), 'literal', {prov}
+    FROM s WHERE m = 1
     """
     rel = f"""
     SELECT 'E' || CAST(ent AS STRING),
            CASE d % 3 WHEN 0 THEN 'connects_to' WHEN 1 THEN 'feeds' ELSE 'controls' END,
            CASE WHEN d % 11 = 0 THEN 'X' || CAST(d % 50 AS STRING)
                 ELSE 'E' || CAST((ent * 7 + 3) % {N_ENT} AS STRING) END,
-           'ref', conv_id, turn_idx, role
-    FROM t WHERE m = 2
+           'ref', {prov}
+    FROM s WHERE m = 2
     """
     same = f"""
     SELECT 'E' || CAST(ent AS STRING), 'sameAs',
            'E' || CAST(ent - (CASE WHEN ent % 8 = 0 THEN 0 ELSE 1 END) AS STRING),
-           'ref', conv_id, turn_idx, role
-    FROM t WHERE m = 3 AND d % 5 = 0
+           'ref', {prov}
+    FROM s WHERE m = 3 AND d % 5 = 0
     """
     return (
         base
@@ -199,4 +244,23 @@ def triples_oracle_sql(idiv: str = "//", events_rel: str = "events") -> str:
         + rel
         + " UNION ALL "
         + same
+    )
+
+
+def metrics_oracle_sql(idiv: str = "//", events_rel: str = "events") -> str:
+    """Per-mention pattern-kind counts, plus 'no_mention' turns —
+    the oracle for `extraction_metrics`."""
+    return (
+        "WITH "
+        + slots_cte_sql(idiv, events_rel)
+        + """
+    SELECT pattern_kind, count(*) AS n FROM (
+      SELECT CASE m WHEN 0 THEN 'decl' WHEN 1 THEN 'about' WHEN 2 THEN 'rel'
+                    ELSE CASE WHEN d % 5 = 0 THEN 'same' ELSE 'unknown_pattern' END
+             END AS pattern_kind
+      FROM s
+      UNION ALL
+      SELECT 'no_mention' FROM t WHERE n_mentions = 0
+    ) GROUP BY pattern_kind
+    """
     )

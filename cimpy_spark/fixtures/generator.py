@@ -16,7 +16,10 @@ phenomena the pipeline must survive at 10^12-turn scale:
   two-pass rationale, cimpy/cimimport.py:79-83);
 - **cross-role merges**: about-updates land on a different role than
   the declaration (the rdf:about cross-profile merge);
-- dangling refs + unknown noise (counted quarantine).
+- dangling refs + unknown noise (counted quarantine);
+- **multi-mention turns**: ~1/3 of turns carry a second independent
+  mention (reference loops every child element,
+  cimpy/cimimport.py:234-241), including same-turn attr overwrites.
 """
 
 from __future__ import annotations
@@ -46,63 +49,82 @@ def generate_transcripts(
             F.pmod(F.xxhash64(F.col("id"), F.lit(seed + k)), F.lit(1_000_000)).alias(
                 f"h{k}"
             )
-            for k in range(5)
+            for k in range(9)
         ],
     )
-    ent = F.pmod(F.col("h0"), F.lit(n_entities))
-    # hot-entity substitution for rel targets
-    tgt_raw = F.pmod(F.col("h1"), F.lit(n_entities))
-    is_hot = F.pmod(F.col("h2"), F.lit(100)) < hot_fraction_pct
-    tgt = F.when(is_hot, F.pmod(F.col("h2"), F.lit(N_HOT))).otherwise(tgt_raw)
-    d = F.col("h3")
+    def _mention(h_ent, h_tgt, h_hot, h_d, h_m):
+        """One mention body from four independent hash streams."""
+        ent = F.pmod(h_ent, F.lit(n_entities))
+        # hot-entity substitution for rel targets
+        tgt_raw = F.pmod(h_tgt, F.lit(n_entities))
+        is_hot = F.pmod(h_hot, F.lit(100)) < hot_fraction_pct
+        tgt = F.when(is_hot, F.pmod(h_hot, F.lit(N_HOT))).otherwise(tgt_raw)
+        d = h_d
+        m = F.pmod(h_m, F.lit(5))
+
+        e_s = F.concat(F.lit("E"), ent.cast("string"))
+        t_s = F.concat(F.lit("T"), F.pmod(ent, F.lit(5)).cast("string"))
+        tgt_s = F.concat(F.lit("E"), tgt.cast("string"))
+        alias_s = F.concat(
+            F.lit("E"),
+            (ent - F.when(F.pmod(ent, F.lit(8)) == 0, 0).otherwise(1)).cast("string"),
+        )
+        pred = (
+            F.when(F.pmod(d, F.lit(3)) == 0, F.lit("connects_to"))
+            .when(F.pmod(d, F.lit(3)) == 1, F.lit("feeds"))
+            .otherwise(F.lit("controls"))
+        )
+
+        decl = F.concat(
+            F.lit("«decl "), e_s, F.lit(" type:"), t_s,
+            F.lit(" p_int="), F.pmod(d, F.lit(97)).cast("string"),
+            F.lit(" p_bool="),
+            F.when(F.pmod(d, F.lit(2)) == 0, F.lit("true")).otherwise(F.lit("false")),
+            F.lit(" p_enum=kind:Unit.V"), F.pmod(d, F.lit(3)).cast("string"),
+            F.lit("»"),
+        )
+        about = F.concat(
+            F.lit("«about "), e_s,
+            F.lit(" q_str=s"), F.pmod(d, F.lit(23)).cast("string"),
+            F.lit(" q_int="), F.pmod(d, F.lit(41)).cast("string"),
+            F.lit("»"),
+        )
+        rel = F.concat(
+            F.lit("«rel "), e_s, F.lit(" "), pred, F.lit(" "),
+            F.when(
+                F.pmod(d, F.lit(11)) == 0,
+                F.concat(F.lit("X"), F.pmod(d, F.lit(50)).cast("string")),
+            ).otherwise(tgt_s),
+            F.lit("»"),
+        )
+        same = F.concat(F.lit("«same "), e_s, F.lit(" "), alias_s, F.lit("»"))
+        unk = F.concat(
+            F.lit("«unk z"), F.pmod(d, F.lit(13)).cast("string"), F.lit("»")
+        )
+
+        # m: 0 decl, 1 about, 2 rel, 3 same-or-unk, 4 rel (refs dominate)
+        return (
+            F.when(m == 0, decl)
+            .when(m == 1, about)
+            .when(m == 2, rel)
+            .when(m == 3, F.when(F.pmod(d, F.lit(5)) == 0, same).otherwise(unk))
+            .otherwise(rel)
+        )
+
     m = F.pmod(F.col("h4"), F.lit(5))
-
-    e_s = F.concat(F.lit("E"), ent.cast("string"))
-    t_s = F.concat(F.lit("T"), F.pmod(ent, F.lit(5)).cast("string"))
-    tgt_s = F.concat(F.lit("E"), tgt.cast("string"))
-    alias_s = F.concat(
-        F.lit("E"),
-        (ent - F.when(F.pmod(ent, F.lit(8)) == 0, 0).otherwise(1)).cast("string"),
-    )
-    pred = (
-        F.when(F.pmod(d, F.lit(3)) == 0, F.lit("connects_to"))
-        .when(F.pmod(d, F.lit(3)) == 1, F.lit("feeds"))
-        .otherwise(F.lit("controls"))
-    )
-
-    decl = F.concat(
-        F.lit("«decl "), e_s, F.lit(" type:"), t_s,
-        F.lit(" p_int="), F.pmod(d, F.lit(97)).cast("string"),
-        F.lit(" p_bool="),
-        F.when(F.pmod(d, F.lit(2)) == 0, F.lit("true")).otherwise(F.lit("false")),
-        F.lit(" p_enum=kind:Unit.V"), F.pmod(d, F.lit(3)).cast("string"),
-        F.lit("»"),
-    )
-    about = F.concat(
-        F.lit("«about "), e_s,
-        F.lit(" q_str=s"), F.pmod(d, F.lit(23)).cast("string"),
-        F.lit(" q_int="), F.pmod(d, F.lit(41)).cast("string"),
-        F.lit("»"),
-    )
-    rel = F.concat(
-        F.lit("«rel "), e_s, F.lit(" "), pred, F.lit(" "),
-        F.when(
-            F.pmod(d, F.lit(11)) == 0,
-            F.concat(F.lit("X"), F.pmod(d, F.lit(50)).cast("string")),
-        ).otherwise(tgt_s),
-        F.lit("»"),
-    )
-    same = F.concat(F.lit("«same "), e_s, F.lit(" "), alias_s, F.lit("»"))
-    unk = F.concat(F.lit("«unk z"), F.pmod(d, F.lit(13)).cast("string"), F.lit("»"))
-
-    # m: 0 decl, 1 about, 2 rel, 3 same-or-unk, 4 rel (refs dominate)
-    mention = (
-        F.when(m == 0, decl)
-        .when(m == 1, about)
-        .when(m == 2, rel)
-        .when(m == 3, F.when(F.pmod(d, F.lit(5)) == 0, same).otherwise(unk))
-        .otherwise(rel)
-    )
+    d = F.col("h3")
+    mention = _mention(F.col("h0"), F.col("h1"), F.col("h2"), d, F.col("h4"))
+    # ~1/3 of turns carry a SECOND mention from independent streams
+    # (multi-mention turns, reference loops every child element,
+    # cimpy/cimimport.py:234-241); a later mention can overwrite an
+    # earlier one's attrs within the same turn (setattr order)
+    second = F.when(
+        F.pmod(F.col("h8"), F.lit(3)) == 0,
+        F.concat(
+            F.lit(" also "),
+            _mention(F.col("h5"), F.col("h6"), F.col("h2"), F.col("h7"), F.col("h8")),
+        ),
+    ).otherwise(F.lit(""))
 
     role = (
         F.when(m == 0, F.lit("user"))
@@ -115,7 +137,8 @@ def generate_transcripts(
         F.col("turn_idx").cast("int").alias("turn_idx"),
         role.alias("role"),
         F.concat(
-            F.lit("turn "), F.col("turn_idx").cast("string"), F.lit(" notes: "), mention
+            F.lit("turn "), F.col("turn_idx").cast("string"), F.lit(" notes: "),
+            mention, second,
         ).alias("text"),
         F.when(m == 2, F.concat(F.lit("tool_"), F.pmod(d, F.lit(7)).cast("string"))).alias(
             "tool"

@@ -9,55 +9,45 @@ the per-query SQL readable.
 
 from __future__ import annotations
 
-from cimpy_spark.fixtures.events_transcripts import N_ENT
+from cimpy_spark.fixtures.events_transcripts import N_ENT, slots_cte_sql
 
-# Per-event derived fields (DuckDB dialect: // integer division).
-T_CTE = f"""
-t AS (
-  SELECT event_id AS e,
-         event_id // 4 AS d,
-         event_id % {N_ENT} AS ent,
-         event_id % 4 AS m,
-         'c' || CAST(user_id AS STRING) AS conv_id,
-         CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS INT) AS turn_idx,
-         CASE event_id % 4 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
-              WHEN 2 THEN 'tool' ELSE 'system' END AS role
-  FROM events
-)
-"""
+# Per-event `t` + per-mention-slot `s` CTEs (DuckDB dialect), shared
+# with the extraction oracle so both derive from ONE slot arithmetic.
+T_CTE = slots_cte_sql("//", "events")
 
 # All extracted triples (same shape the Spark extractor emits).
+_PROV = "conv_id, turn_idx, mention_idx, role"
 TRIPLES_CTE = f"""
 triples AS (
   SELECT 'E' || CAST(ent AS STRING) AS subj, 'rdf_type' AS pred,
          'T' || CAST(ent % 5 AS STRING) AS obj, 'type' AS obj_kind,
-         conv_id, turn_idx, role FROM t WHERE m = 0
+         {_PROV} FROM s WHERE m = 0
   UNION ALL
   SELECT 'E' || CAST(ent AS STRING), 'p_int', CAST(d % 97 AS STRING),
-         'literal', conv_id, turn_idx, role FROM t WHERE m = 0
+         'literal', {_PROV} FROM s WHERE m = 0
   UNION ALL
   SELECT 'E' || CAST(ent AS STRING), 'p_bool',
          CASE WHEN d % 2 = 0 THEN 'true' ELSE 'false' END,
-         'literal', conv_id, turn_idx, role FROM t WHERE m = 0
+         'literal', {_PROV} FROM s WHERE m = 0
   UNION ALL
   SELECT 'E' || CAST(ent AS STRING), 'p_enum', 'V' || CAST(d % 3 AS STRING),
-         'enum', conv_id, turn_idx, role FROM t WHERE m = 0
+         'enum', {_PROV} FROM s WHERE m = 0
   UNION ALL
   SELECT 'E' || CAST(ent AS STRING), 'q_str', 's' || CAST(d % 23 AS STRING),
-         'literal', conv_id, turn_idx, role FROM t WHERE m = 1
+         'literal', {_PROV} FROM s WHERE m = 1
   UNION ALL
   SELECT 'E' || CAST(ent AS STRING), 'q_int', CAST(d % 41 AS STRING),
-         'literal', conv_id, turn_idx, role FROM t WHERE m = 1
+         'literal', {_PROV} FROM s WHERE m = 1
   UNION ALL
   SELECT 'E' || CAST(ent AS STRING),
          CASE d % 3 WHEN 0 THEN 'connects_to' WHEN 1 THEN 'feeds' ELSE 'controls' END,
          CASE WHEN d % 11 = 0 THEN 'X' || CAST(d % 50 AS STRING)
               ELSE 'E' || CAST((ent * 7 + 3) % {N_ENT} AS STRING) END,
-         'ref', conv_id, turn_idx, role FROM t WHERE m = 2
+         'ref', {_PROV} FROM s WHERE m = 2
   UNION ALL
   SELECT 'E' || CAST(ent AS STRING), 'sameAs',
          'E' || CAST(ent - (CASE WHEN ent % 8 = 0 THEN 0 ELSE 1 END) AS STRING),
-         'ref', conv_id, turn_idx, role FROM t WHERE m = 3 AND d % 5 = 0
+         'ref', {_PROV} FROM s WHERE m = 3 AND d % 5 = 0
 )
 """
 
@@ -67,7 +57,7 @@ ENTITIES_CTE = """
 entities AS (
   SELECT DISTINCT 'E' || CAST(ent AS STRING) AS entity_id,
          'T' || CAST(ent % 5 AS STRING) AS type
-  FROM t WHERE m = 0
+  FROM s WHERE m = 0
 )
 """
 
@@ -113,7 +103,12 @@ canon_edges AS (
 )
 """
 
-# Canonical node attributes, first-wins by stable (conv_id, turn_idx).
+# Canonical node attributes in stable (conv_id, turn_idx, mention_idx)
+# mention order: the TYPE is first-wins (the reference instantiates a
+# class once per rdf:ID and never re-types, cimpy/cimimport.py:141,
+# 150-151); literal/enum attributes are LAST-wins (the reference's
+# unconditional setattr per parsed element means the last write in
+# file order sticks, cimpy/cimimport.py:255-273).
 NODES_CTE = """
 nodes AS (
   SELECT entity_id, attr, value, profile FROM (
@@ -121,11 +116,23 @@ nodes AS (
            tr.role AS profile,
            row_number() OVER (
              PARTITION BY c.canonical_id, tr.pred
-             ORDER BY tr.conv_id, tr.turn_idx
+             ORDER BY tr.conv_id, tr.turn_idx, tr.mention_idx
            ) AS rn
     FROM triples tr
     JOIN cmap c ON tr.subj = c.entity_id
-    WHERE tr.obj_kind IN ('literal', 'enum', 'type')
+    WHERE tr.obj_kind = 'type'
+  ) WHERE rn = 1
+  UNION ALL
+  SELECT entity_id, attr, value, profile FROM (
+    SELECT c.canonical_id AS entity_id, tr.pred AS attr, tr.obj AS value,
+           tr.role AS profile,
+           row_number() OVER (
+             PARTITION BY c.canonical_id, tr.pred
+             ORDER BY tr.conv_id DESC, tr.turn_idx DESC, tr.mention_idx DESC
+           ) AS rn
+    FROM triples tr
+    JOIN cmap c ON tr.subj = c.entity_id
+    WHERE tr.obj_kind IN ('literal', 'enum')
   ) WHERE rn = 1
 )
 """
@@ -214,6 +221,31 @@ def multihop_sql() -> str:
     FROM canon_edges e1
     JOIN canon_edges e2 ON e1.dst = e2.src
     WHERE e1.pred = 'connects_to' AND e2.pred = 'feeds'
+    """
+
+
+def khop_sql(k: int = 3) -> str:
+    """Exact k-hop pairs over connects_to (independent k-way join)."""
+    joins = " ".join(
+        f"JOIN ce e{i} ON e{i - 1}.dst = e{i}.src" for i in range(2, k + 1)
+    )
+    return PIPELINE_CTES + f"""
+    , ce AS (SELECT DISTINCT src, dst FROM canon_edges WHERE pred = 'connects_to')
+    SELECT DISTINCT e1.src AS src, e{k}.dst AS dst
+    FROM ce e1 {joins}
+    """
+
+
+def reachability_sql() -> str:
+    """Transitive closure over feeds edges (recursive CTE)."""
+    return PIPELINE_CTES + """
+    , fe AS (SELECT DISTINCT src, dst FROM canon_edges WHERE pred = 'feeds'),
+    freach(src, dst) AS (
+      SELECT src, dst FROM fe
+      UNION
+      SELECT r.src, e.dst FROM freach r JOIN fe e ON e.src = r.dst
+    )
+    SELECT src, dst FROM freach
     """
 
 

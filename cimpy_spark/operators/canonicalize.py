@@ -26,19 +26,35 @@ from pyspark.sql import functions as F
 
 
 def canonical_map(
-    entities: DataFrame, same_links: DataFrame, max_iter: int = 25
+    entities: DataFrame,
+    same_links: DataFrame,
+    max_iter: int = 25,
+    small_threshold: int | None = None,
 ) -> DataFrame:
     """(entity_id, canonical_id) for every declared entity.
 
     `entities`: one row per declared entity (column ``entity_id``).
     `same_links`: (src, dst) sameAs pairs (directed, raw).
     """
-    labels = canonical_labels(entities, same_links, max_iter)
+    kw = {} if small_threshold is None else {"small_threshold": small_threshold}
+    labels = canonical_labels(entities, same_links, max_iter, **kw)
     return entities.join(labels, "entity_id").select("entity_id", "canonical_id")
 
 
+# Below this many (undirected, deduped) sameAs links, connected
+# components run as a driver-side union-find over ONE collect — the
+# distributed loop's ~0.5-1s/round fixed job latency dominates real
+# work at small scale (9 rounds ≈ 7s for 600 links). 1M links ≈ tens
+# of MB on the driver — safely collectable; above that, the O(log d)
+# pointer-jumping loop takes over.
+SMALL_LINKS_THRESHOLD = 1_000_000
+
+
 def canonical_labels(
-    entities: DataFrame, same_links: DataFrame, max_iter: int = 25
+    entities: DataFrame,
+    same_links: DataFrame,
+    max_iter: int = 25,
+    small_threshold: int = SMALL_LINKS_THRESHOLD,
 ) -> DataFrame:
     """(entity_id, canonical_id) for EVERY vertex — declared entities
     and raw alias endpoints alike. This is the lossless contraction:
@@ -56,13 +72,13 @@ def canonical_labels(
         eager=True,
     )
 
-    # size the iteration working set to the data: the sameAs link set
-    # is usually tiny relative to the corpus, and a fixed
-    # shuffle-partition count would make every round pay hundreds of
-    # empty tasks. ~50k rows per partition, capped at the session's
-    # shuffle parallelism (at 10^12-turn scale this lands back on the
-    # full parallelism).
+    # the count also sizes the loop's working set below (the link set
+    # is usually tiny relative to the corpus; a fixed shuffle width
+    # would pay hundreds of near-empty tasks per round)
     n_edges = edges.count()
+    if n_edges <= small_threshold:
+        return _small_graph_labels(entities, edges)
+
     shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     n_parts = max(1, min(shuffle_parts, n_edges // 50_000 + 1))
     edges = edges.repartition(n_parts, "a")
@@ -77,19 +93,66 @@ def canonical_labels(
         eager=True,
     )
 
-    # pin the loop's shuffle width to the working-set size (restored
-    # after); AQE would coalesce anyway but only after scheduling the
-    # empty tasks each round
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
-    try:
-        labels = _iterate(edges, labels, max_iter)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    # per-plan repartitions above pin the working-set width for the
+    # loop inputs; intermediate shuffles inside the loop are coalesced
+    # at runtime by AQE (coalescePartitions) — no session-global
+    # shuffle.partitions mutation (it leaked into concurrent queries
+    # and raced between concurrent loops).
+    labels = _iterate(edges, labels, max_iter)
 
     return labels.select(
         F.col("a").alias("entity_id"), F.col("comp").alias("canonical_id")
     )
+
+
+def _small_graph_labels(entities: DataFrame, edges: DataFrame) -> DataFrame:
+    """Driver-side union-find over a collected (small) link set.
+
+    Only the EDGES are collected — the (possibly huge) entity
+    dictionary is never moved: entities outside the alias graph label
+    themselves via a broadcast left join against the endpoint map.
+    Produces byte-identical labels to the distributed loop (min id per
+    component; equivalence-tested both ways)."""
+    spark = entities.sparkSession
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        parent.setdefault(x, x)
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in edges.collect():
+        ra, rb = find(row["a"]), find(row["b"])
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo  # min-id election, as in the loop
+
+    pairs = [(v, find(v)) for v in parent]
+    if not pairs:
+        return entities.select(
+            F.col("entity_id"), F.col("entity_id").alias("canonical_id")
+        )
+    ep_map = spark.createDataFrame(pairs, "entity_id string, canonical_id string")
+    declared = entities.select("entity_id").join(
+        F.broadcast(ep_map), "entity_id", "left"
+    ).select(
+        "entity_id",
+        F.coalesce("canonical_id", "entity_id").alias("canonical_id"),
+    )
+    # endpoint vertices that are ALSO declared already carry a label
+    # above; subtract them without shuffling the big entities side
+    # (broadcast semi to find the overlap, broadcast anti to remove it
+    # — an anti join against `entities` directly would shuffle the
+    # full dictionary)
+    matched = entities.select("entity_id").join(
+        F.broadcast(ep_map.select("entity_id")), "entity_id", "left_semi"
+    )
+    endpoint_only = ep_map.join(F.broadcast(matched), "entity_id", "left_anti")
+    return declared.unionByName(endpoint_only)
 
 
 def _checkpoint(df: DataFrame, eager: bool = False) -> DataFrame:
@@ -285,9 +348,9 @@ def incremental_canonical_nodes(
     entities: DataFrame,
     cmap_rows: int | None = 0,
 ) -> DataFrame:
-    """Touched-component node re-election: recompute the first-wins
-    attribute election ONLY for canonical entities the increment can
-    have changed —
+    """Touched-component node re-election: recompute the attribute
+    election (first-wins type / last-wins attrs, see canonical_nodes)
+    ONLY for canonical entities the increment can have changed —
 
     - canonicals (new labeling) of subjects mentioned in the increment
       (new attribute rows may win or add elections), and
@@ -296,9 +359,9 @@ def incremental_canonical_nodes(
 
     Everything else carries over from the committed nodes snapshot
     verbatim: an election over an unchanged member set with no new
-    mentions cannot change (first-wins is a pure min over the group).
-    At corpus scale this recomputes the increment's neighborhood, not
-    the graph.
+    mentions cannot change (both elections are pure min/max over the
+    group). At corpus scale this recomputes the increment's
+    neighborhood, not the graph.
     """
     # canonical ids whose member set or mention set changed. Only
     # attribute-kind mentions can move an election — ref/sameAs
@@ -367,15 +430,23 @@ def canonical_nodes(
     """Long-format node attributes after canonical merge.
 
     Output: (entity_id, attr, value, profile) — one row per canonical
-    entity × attribute, value elected first-wins by stable (conv_id,
-    turn_idx) turn order (the distributed analog of the reference
-    setting attributes in file order, cimpy/cimimport.py:215-231).
+    entity × attribute, elected in stable (conv_id, turn_idx,
+    mention_idx) mention order, mirroring the reference's file/element
+    processing order:
+
+    - ``rdf_type`` is FIRST-wins: the reference instantiates a class
+      once per rdf:ID and never re-types on later files
+      (cimpy/cimimport.py:141,150-151);
+    - literal/enum attributes are LAST-wins: the reference's
+      unconditional ``setattr`` per parsed element means the last
+      write in processing order sticks (cimpy/cimimport.py:255-273).
+
     `profile` is the role of the elected mention — the reference's
     per-attribute serializationProfile provenance
     (cimpy/cimimport.py:347-356), which drives output partitioning so
     attributes land in their provenance partition
-    (cimpy/cimexport.py:258-287 analog). min_by on a struct keeps it
-    a single hash aggregation (no window sort).
+    (cimpy/cimexport.py:258-287 analog). min_by/max_by on a struct
+    keep it a single hash aggregation (no window sort).
     """
     attrs = triples.filter(F.col("obj_kind").isin("literal", "enum", "type"))
     merged = attrs.join(
@@ -384,10 +455,22 @@ def canonical_nodes(
         ),
         "subj",
     )
-    order_key = F.struct("conv_id", "turn_idx")
-    return merged.groupBy(
-        F.col("canonical_id").alias("entity_id"), F.col("pred").alias("attr")
-    ).agg(
-        F.min_by("obj", order_key).alias("value"),
-        F.min_by("role", order_key).alias("profile"),
+    order_key = F.struct("conv_id", "turn_idx", "mention_idx")
+    is_type = F.col("attr") == "rdf_type"
+    return (
+        merged.groupBy(
+            F.col("canonical_id").alias("entity_id"), F.col("pred").alias("attr")
+        )
+        .agg(
+            F.min_by("obj", order_key).alias("__first_v"),
+            F.max_by("obj", order_key).alias("__last_v"),
+            F.min_by("role", order_key).alias("__first_p"),
+            F.max_by("role", order_key).alias("__last_p"),
+        )
+        .select(
+            "entity_id",
+            "attr",
+            F.when(is_type, F.col("__first_v")).otherwise(F.col("__last_v")).alias("value"),
+            F.when(is_type, F.col("__first_p")).otherwise(F.col("__last_p")).alias("profile"),
+        )
     )

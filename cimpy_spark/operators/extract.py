@@ -1,21 +1,25 @@
 """Stage 1 — triple extraction (Arrow-batched, no per-row Python).
 
 Parses planted mentions out of transcript ``text`` into long-format
-``(subj, pred, obj, obj_kind)`` triples carrying per-turn provenance
-``(conv_id, turn_idx, role)``. This is the Spark-first reimagining of
-the reference's two-pass XML walk: where cimpy streams elements and
-dispatches on ``rdf:ID`` / ``rdf:about`` / ``rdf:resource``
-(cimpy/cimimport.py:118,215-219,252-254), we batch whole partitions
-through ``mapInPandas`` and dispatch with vectorized pandas string
-ops. The enum-URL suffix rule (keep text after the last '.',
-cimpy/cimimport.py:334-345) and the unknown-pattern skip+count rule
-(cimpy/cimimport.py:127-135) are reproduced 1:1.
+``(subj, pred, obj, obj_kind)`` triples carrying per-mention
+provenance ``(conv_id, turn_idx, mention_idx, role)``. This is the
+Spark-first reimagining of the reference's two-pass XML walk: where
+cimpy streams elements and dispatches on ``rdf:ID`` / ``rdf:about`` /
+``rdf:resource`` (cimpy/cimimport.py:118,215-219,252-254), we batch
+whole partitions through Arrow and dispatch with vectorized kernels.
+EVERY «…» span in a turn is extracted (the reference loops over every
+child element of every subject, cimpy/cimimport.py:234-241);
+``mention_idx`` is the within-turn element order, part of the stable
+provenance key used by downstream elections. The enum-URL suffix rule
+(keep text after the last '.', cimpy/cimimport.py:334-345) and the
+unknown-pattern skip+count rule (cimpy/cimimport.py:127-135) are
+reproduced 1:1.
 
 Scale notes
 -----------
 - Narrow stage: runs on input partitions, no shuffle. At 10^12 turns
-  the only cost is scan + Arrow transfer; regex work is C-level
-  (pandas str ops), batch size bounded by
+  the only cost is scan + Arrow transfer; regex work is C-level (RE2
+  kernels / pandas str ops), batch size bounded by
   ``spark.sql.execution.arrow.maxRecordsPerBatch``.
 - Column pruning: we select exactly the 4 needed columns before the
   UDF so the parquet scan reads nothing else.
@@ -26,6 +30,7 @@ from __future__ import annotations
 import re
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -33,11 +38,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 TRIPLE_SCHEMA = (
-    "conv_id string, turn_idx int, role string, "
+    "conv_id string, turn_idx int, mention_idx int, role string, "
     "subj string, pred string, obj string, obj_kind string"
 )
 
-# One mention per «...» span. Grammar documented in
+# Every «...» span is a mention. Grammar documented in
 # cimpy_spark/fixtures/events_transcripts.py.
 _MENTION = re.compile(r"«([^»]*)»")
 _DECL = re.compile(r"^decl (E\d+) type:(T\d+)((?: \w+=[^ ]+)*)$")
@@ -47,6 +52,9 @@ _SAME = re.compile(r"^same (E\d+) (E\d+)$")
 _ATTR = re.compile(r"(\w+)=([^ ]+)")
 _ENUM_SUFFIX = re.compile(r"^kind:\w+\.(\w+)$")
 
+_PROV_COLS = ["conv_id", "turn_idx", "mention_idx", "role"]
+_OUT_FIELDS = [*_PROV_COLS, "subj", "pred", "obj", "obj_kind"]
+
 
 def _attr_triples(subj: pd.Series, attrs: pd.Series, prov: pd.DataFrame) -> pd.DataFrame:
     """Explode ' k=v k=v' attr strings into typed triples (vectorized)."""
@@ -54,26 +62,33 @@ def _attr_triples(subj: pd.Series, attrs: pd.Series, prov: pd.DataFrame) -> pd.D
     exploded = pd.DataFrame({"subj": subj, "pair": pairs, **prov}).explode("pair")
     exploded = exploded[exploded["pair"].notna()]
     if len(exploded) == 0:
-        return pd.DataFrame(
-            columns=["conv_id", "turn_idx", "role", "subj", "pred", "obj", "obj_kind"]
-        )
+        return pd.DataFrame(columns=_OUT_FIELDS)
     exploded["pred"] = exploded["pair"].str[0]
     raw = exploded["pair"].str[1]
     enum_suffix = raw.str.extract(_ENUM_SUFFIX, expand=False)
     is_enum = enum_suffix.notna()
     exploded["obj"] = raw.where(~is_enum, enum_suffix)
     exploded["obj_kind"] = is_enum.map({True: "enum", False: "literal"})
-    return exploded[["conv_id", "turn_idx", "role", "subj", "pred", "obj", "obj_kind"]]
+    return exploded[_OUT_FIELDS]
+
+
+def _mention_frame(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One row per «…» mention with provenance: (conv_id, turn_idx,
+    mention_idx, role, m) — findall + explode + cumcount, all
+    vectorized."""
+    base = pdf[["conv_id", "turn_idx", "role"]].reset_index(drop=True)
+    base["m"] = pdf["text"].str.findall(_MENTION).values
+    e = base.explode("m")
+    e = e[e["m"].notna()]
+    e["mention_idx"] = e.groupby(level=0).cumcount()
+    return e.reset_index(drop=True)
 
 
 def _parse_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-    mention = pdf["text"].str.extract(_MENTION, expand=False)
-    prov_cols = ["conv_id", "turn_idx", "role"]
+    mf = _mention_frame(pdf)
+    m = mf["m"]
+    prov = mf[_PROV_COLS]
     out: list[pd.DataFrame] = []
-
-    has = mention.notna()
-    m = mention[has]
-    prov = pdf.loc[has, prov_cols]
 
     # decl — entity declaration (rdf:ID analog)
     decl = m.str.extract(_DECL)
@@ -83,7 +98,7 @@ def _parse_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         out.append(
             pd.DataFrame(
                 {
-                    **{c: p[c].values for c in prov_cols},
+                    **{c: p[c].values for c in _PROV_COLS},
                     "subj": decl.loc[dmask, 0].values,
                     "pred": "rdf_type",
                     "obj": decl.loc[dmask, 1].values,
@@ -95,7 +110,7 @@ def _parse_batch(pdf: pd.DataFrame) -> pd.DataFrame:
             _attr_triples(
                 decl.loc[dmask, 0],
                 decl.loc[dmask, 2],
-                {c: p[c] for c in prov_cols},
+                {c: p[c] for c in _PROV_COLS},
             )
         )
 
@@ -108,7 +123,7 @@ def _parse_batch(pdf: pd.DataFrame) -> pd.DataFrame:
             _attr_triples(
                 about.loc[amask, 0],
                 about.loc[amask, 1],
-                {c: p[c] for c in prov_cols},
+                {c: p[c] for c in _PROV_COLS},
             )
         )
 
@@ -120,7 +135,7 @@ def _parse_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         out.append(
             pd.DataFrame(
                 {
-                    **{c: p[c].values for c in prov_cols},
+                    **{c: p[c].values for c in _PROV_COLS},
                     "subj": rel.loc[rmask, 0].values,
                     "pred": rel.loc[rmask, 1].values,
                     "obj": rel.loc[rmask, 2].values,
@@ -137,7 +152,7 @@ def _parse_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         out.append(
             pd.DataFrame(
                 {
-                    **{c: p[c].values for c in prov_cols},
+                    **{c: p[c].values for c in _PROV_COLS},
                     "subj": same.loc[smask, 0].values,
                     "pred": "sameAs",
                     "obj": same.loc[smask, 1].values,
@@ -147,11 +162,10 @@ def _parse_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         )
 
     if not out:
-        return pd.DataFrame(
-            columns=["conv_id", "turn_idx", "role", "subj", "pred", "obj", "obj_kind"]
-        )
+        return pd.DataFrame(columns=_OUT_FIELDS)
     res = pd.concat(out, ignore_index=True)
     res["turn_idx"] = res["turn_idx"].astype("int32")
+    res["mention_idx"] = res["mention_idx"].astype("int32")
     return res
 
 
@@ -161,14 +175,12 @@ def _parse_batch(pdf: pd.DataFrame) -> pd.DataFrame:
 # RE2-compiled named-group regexes; ~2x the pandas-path throughput.
 # ---------------------------------------------------------------------------
 
-_A_MENTION = "«(?P<m>[^»]*)»"
+_A_BODY = "^(?P<m>[^»]*)»"
 _A_DECL = r"^decl (?P<subj>E\d+) type:(?P<typ>T\d+)(?P<attrs>(?: \w+=[^ ]+)*)$"
 _A_ABOUT = r"^about (?P<subj>E\d+)(?P<attrs>(?: \w+=[^ ]+)*)$"
 _A_REL = r"^rel (?P<subj>E\d+) (?P<pred>\w+) (?P<dst>[EX]\d+)$"
 _A_SAME = r"^same (?P<a>E\d+) (?P<b>E\d+)$"
 _A_ENUM = r"^kind:\w+\.(?P<suf>\w+)$"
-
-_OUT_FIELDS = ["conv_id", "turn_idx", "role", "subj", "pred", "obj", "obj_kind"]
 
 
 def _const(val: str, n: int) -> pa.Array:
@@ -179,12 +191,52 @@ def _const(val: str, n: int) -> pa.Array:
 
 def _out_batch(prov: dict, subj, pred, obj, kind) -> pa.RecordBatch:
     return pa.RecordBatch.from_arrays(
-        [prov["conv_id"], prov["turn_idx"], prov["role"], subj, pred, obj, kind],
+        [prov[c] for c in _PROV_COLS] + [subj, pred, obj, kind],
         names=_OUT_FIELDS,
     )
 
 
-def _attr_batches(batch, idx, subj, attrs) -> list[pa.RecordBatch]:
+def _group_cumcount(parents: np.ndarray) -> np.ndarray:
+    """Consecutive 0..k-1 index within runs of equal (sorted) parents."""
+    if len(parents) == 0:
+        return parents.astype(np.int32)
+    starts = np.flatnonzero(np.r_[True, parents[1:] != parents[:-1]])
+    run_lengths = np.diff(np.r_[starts, len(parents)])
+    return (np.arange(len(parents)) - np.repeat(starts, run_lengths)).astype(np.int32)
+
+
+def _mention_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
+    """One row per «…» mention: (conv_id, turn_idx, mention_idx, role,
+    m). Splitting + regex are Arrow C++ kernels; within-turn indexing
+    is vectorized NumPy over the list offsets — still no per-row
+    Python."""
+    text = batch.column("text")
+    parts = pc.split_pattern(text, "«")
+    flat = pc.list_flatten(parts)  # drops null lists, keeps row order
+    parents = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False)
+    body = pc.struct_field(pc.extract_regex(flat, _A_BODY), "m")
+    # fragment 0 of each row is the pre-mention prefix (no «» body);
+    # any fragment without a closing » is malformed and skipped, like
+    # the reference skipping unparseable elements
+    valid = pc.is_valid(body).to_numpy(zero_copy_only=False)
+    keep = np.flatnonzero(valid)
+    m_parents = parents[keep]
+    mention_idx = pa.array(_group_cumcount(m_parents), type=pa.int32())
+    keep_idx = pa.array(keep)
+    row_idx = pa.array(m_parents)
+    return pa.RecordBatch.from_arrays(
+        [
+            pc.take(batch.column("conv_id"), row_idx),
+            pc.take(batch.column("turn_idx"), row_idx),
+            mention_idx,
+            pc.take(batch.column("role"), row_idx),
+            pc.take(body, keep_idx),
+        ],
+        names=["conv_id", "turn_idx", "mention_idx", "role", "m"],
+    )
+
+
+def _attr_batches(mentions, idx, subj, attrs) -> list[pa.RecordBatch]:
     """Explode ' k=v k=v' attr strings (aligned with idx) into typed
     triples — list kernels only."""
     parts = pc.split_pattern(pc.utf8_ltrim_whitespace(attrs), " ")
@@ -203,23 +255,17 @@ def _attr_batches(batch, idx, subj, attrs) -> list[pa.RecordBatch]:
     obj = pc.if_else(is_enum, suf, v)
     kind = pc.if_else(is_enum, _const("enum", len(flat)), _const("literal", len(flat)))
     row_idx = pc.take(idx, parents)
-    prov = {
-        c: pc.take(batch.column(c), row_idx)
-        for c in ("conv_id", "turn_idx", "role")
-    }
+    prov = {c: pc.take(mentions.column(c), row_idx) for c in _PROV_COLS}
     return [_out_batch(prov, pc.take(subj, parents), k, obj, kind)]
 
 
 def _parse_arrow_batch(batch: pa.RecordBatch) -> list[pa.RecordBatch]:
-    text = batch.column("text")
-    m = pc.struct_field(pc.extract_regex(text, _A_MENTION), "m")
+    mentions = _mention_batch(batch)
+    m = mentions.column("m")
     out: list[pa.RecordBatch] = []
 
     def prov_at(idx):
-        return {
-            c: pc.take(batch.column(c), idx)
-            for c in ("conv_id", "turn_idx", "role")
-        }
+        return {c: pc.take(mentions.column(c), idx) for c in _PROV_COLS}
 
     # decl — rdf:ID analog
     decl = pc.extract_regex(m, _A_DECL)
@@ -233,7 +279,7 @@ def _parse_arrow_batch(batch: pa.RecordBatch) -> list[pa.RecordBatch]:
             _out_batch(prov_at(idx), subj, _const("rdf_type", n), typ, _const("type", n))
         )
         out.extend(
-            _attr_batches(batch, idx, subj, pc.take(pc.struct_field(decl, "attrs"), idx))
+            _attr_batches(mentions, idx, subj, pc.take(pc.struct_field(decl, "attrs"), idx))
         )
 
     # about — rdf:about analog
@@ -243,7 +289,7 @@ def _parse_arrow_batch(batch: pa.RecordBatch) -> list[pa.RecordBatch]:
     if len(idx):
         out.extend(
             _attr_batches(
-                batch,
+                mentions,
                 idx,
                 pc.take(subj_all, idx),
                 pc.take(pc.struct_field(about, "attrs"), idx),
@@ -309,22 +355,28 @@ def extract_triples_pandas(transcripts: DataFrame) -> DataFrame:
 
 
 def extraction_metrics(transcripts: DataFrame) -> DataFrame:
-    """Grouped mention-kind counts, incl. unknown patterns.
+    """Grouped mention-kind counts over EVERY mention, plus turns with
+    no mention at all.
 
     Analog of the reference's grouped error/info accounting
     (cimpy/cimimport.py:41-66): unknown patterns are *counted*, never
-    raised. Pure column expressions — stays in whole-stage codegen.
+    raised. Pure column expressions (regexp_extract_all + explode_outer
+    + when-chain) — stays in whole-stage codegen, no Python.
     """
+    mention = F.explode_outer(
+        F.regexp_extract_all(F.col("text"), F.lit("«([^»]*)»"), 1)
+    ).alias("m")
     kind = (
-        F.when(F.col("text").rlike("«decl "), F.lit("decl"))
-        .when(F.col("text").rlike("«about "), F.lit("about"))
-        .when(F.col("text").rlike("«rel "), F.lit("rel"))
-        .when(F.col("text").rlike("«same "), F.lit("same"))
-        .when(F.col("text").rlike("«"), F.lit("unknown_pattern"))
-        .otherwise(F.lit("no_mention"))
+        F.when(F.col("m").isNull(), F.lit("no_mention"))
+        .when(F.col("m").startswith("decl "), F.lit("decl"))
+        .when(F.col("m").startswith("about "), F.lit("about"))
+        .when(F.col("m").startswith("rel "), F.lit("rel"))
+        .when(F.col("m").startswith("same "), F.lit("same"))
+        .otherwise(F.lit("unknown_pattern"))
     )
     return (
-        transcripts.select(kind.alias("pattern_kind"))
+        transcripts.select(mention)
+        .select(kind.alias("pattern_kind"))
         .groupBy("pattern_kind")
         .agg(F.count(F.lit(1)).alias("n"))
     )

@@ -28,12 +28,50 @@ def declared_entities(triples: DataFrame) -> DataFrame:
 
     First declaration wins the type (reference instantiates once per
     rdf:ID, cimpy/cimimport.py:141); deterministic election by
-    (conv_id, turn_idx) using min_by on a struct — one shuffle on
-    entity_id, map-side partial aggregation applies.
+    (conv_id, turn_idx, mention_idx) using min_by on a struct — one
+    shuffle on entity_id, map-side partial aggregation applies.
     """
     decls = triples.filter(F.col("pred") == "rdf_type")
     return decls.groupBy(F.col("subj").alias("entity_id")).agg(
-        F.min_by("obj", F.struct("conv_id", "turn_idx")).alias("type")
+        F.min_by("obj", F.struct("conv_id", "turn_idx", "mention_idx")).alias("type")
+    )
+
+
+def declared_entities_keyed(triples: DataFrame) -> DataFrame:
+    """`declared_entities` plus the WINNING election key
+    (conv_id, turn_idx, mention_idx).
+
+    The key makes the first-wins election increment-composable: a
+    committed keyed dictionary merged with an increment's keyed
+    dictionary re-elects by pure min — no rescan of old triples
+    (min(old winner, new rows) = min(all rows)). One struct-min keeps
+    it a single hash aggregation."""
+    decls = triples.filter(F.col("pred") == "rdf_type")
+    w = F.min(
+        F.struct("conv_id", "turn_idx", "mention_idx", F.col("obj").alias("type"))
+    ).alias("w")
+    return (
+        decls.groupBy(F.col("subj").alias("entity_id"))
+        .agg(w)
+        .select(
+            "entity_id", "w.type", "w.conv_id", "w.turn_idx", "w.mention_idx"
+        )
+    )
+
+
+def merge_keyed_entities(old_keyed: DataFrame, new_keyed: DataFrame) -> DataFrame:
+    """Merge a committed keyed dictionary with an increment's keyed
+    dictionary — the incremental form of `declared_entities_keyed`
+    (first declaration in stable order wins; composable because each
+    side already carries its minimum)."""
+    both = old_keyed.unionByName(new_keyed)
+    w = F.min(
+        F.struct("conv_id", "turn_idx", "mention_idx", "type")
+    ).alias("w")
+    return (
+        both.groupBy("entity_id")
+        .agg(w)
+        .select("entity_id", "w.type", "w.conv_id", "w.turn_idx", "w.mention_idx")
     )
 
 
@@ -50,12 +88,22 @@ def resolve_references(
     the quarantine (computing them as separate semi/anti joins would
     run the full refs⋈dictionary join twice over the corpus).
 
-    Physical strategy (broadcast_dict=None → auto): broadcast the
-    dictionary while it fits (shuffle-free linking); above the
-    threshold switch to the salted shuffled join so hub entities
-    don't pin one reducer. Both paths are semantically identical
-    (tested); the threshold is entity *count* because the dictionary
-    is one string column.
+    Physical strategy, tri-state:
+    - ``broadcast_dict=True`` (callers with a known row count, e.g.
+      the materialized path's ledger): explicit broadcast —
+      shuffle-free linking;
+    - ``broadcast_dict=False``: salted shuffled join so hub entities
+      don't pin one reducer;
+    - ``broadcast_dict=None`` (default): plain equi-join, letting AQE
+      pick broadcast vs shuffled from RUNTIME statistics — no eager
+      count() job at plan-build time (the dictionary side is a
+      one-column aggregate output, exactly what AQE's
+      auto-broadcast-conversion is for; skewed shuffled joins are
+      covered by AQE skew-join splitting).
+
+    All paths are semantically identical (tested); the explicit
+    threshold is entity *count* because the dictionary is one string
+    column.
     """
     refs = triples.filter(
         (F.col("obj_kind") == "ref") & (F.col("pred") != "sameAs")
@@ -66,9 +114,8 @@ def resolve_references(
         "__hit", F.lit(1)
     )
     if broadcast_dict is None:
-        broadcast_dict = entities.count() <= broadcast_threshold
-
-    if broadcast_dict:
+        joined = refs.join(dict_df, "dst", "left")  # AQE decides
+    elif broadcast_dict:
         joined = refs.join(F.broadcast(dict_df), "dst", "left")
     else:
         joined = salted_join(refs, dict_df, "dst", salt_buckets, "left")
@@ -127,9 +174,11 @@ def incremental_resolve(
     recheck_dict = new_entities_only.select(F.col("entity_id").alias("dst")).withColumn(
         "__hit", F.lit(1)
     )
-    # same broadcast policy as the main dictionary: an increment can be
-    # bootstrap-sized, so don't broadcast unconditionally
-    if broadcast_dict:
+    # same tri-state broadcast policy as the main dictionary (an
+    # increment can be bootstrap-sized, so don't broadcast
+    # unconditionally): True → explicit broadcast, None/False → plain
+    # join with AQE runtime conversion
+    if broadcast_dict is True:
         recheck_dict = F.broadcast(recheck_dict)
     rechecked = (
         dangling.join(recheck_dict, "dst", "left")

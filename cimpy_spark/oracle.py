@@ -7,11 +7,16 @@ Deliberately written the way the reference works — per-row loops,
 dicts, mutable state (cimpy/cimimport.py:84-372) — so it shares no
 code path with the Spark pipeline:
 
+- EVERY «…» mention in a turn is processed in order (the reference
+  loops over every child element of every subject,
+  cimpy/cimimport.py:234-241); stable processing order is
+  (conv_id, turn_idx, mention_idx) — the file/element order analog;
 - pass 1: declarations instantiate typed entities, first declaration
-  wins the type (cimpy/cimimport.py:141,150-151); rows processed in
-  stable (conv_id, turn_idx) order (the file-order analog);
-- pass 2: attribute updates first-wins; references resolved against
-  the dict, dangling → counted quarantine (cimpy/cimimport.py:281-288);
+  wins the type (cimpy/cimimport.py:141,150-151);
+- pass 2: literal/enum attribute updates are LAST-wins — the
+  reference's unconditional setattr per parsed element
+  (cimpy/cimimport.py:255-273); references resolved against the dict,
+  dangling → counted quarantine (cimpy/cimimport.py:281-288);
   many-valued references deduped on append (:294-300); enum values
   keep the suffix after the last '.' (:334-345);
 - sameAs links feed a union-find; canonical id = min of component
@@ -63,40 +68,44 @@ class _UnionFind:
             self.parent[hi] = lo
 
 
+def _mentions(rows: list[dict]):
+    """Yield mention bodies in stable (conv_id, turn_idx, mention_idx)
+    order."""
+    ordered = sorted(rows, key=lambda r: (r["conv_id"], r["turn_idx"]))
+    for r in ordered:
+        for m in _MENTION.finditer(r["text"] or ""):
+            yield m.group(1)
+
+
 def run_oracle(rows: list[dict]) -> OracleResult:
     """rows: transcript dicts with conv_id, turn_idx, text (role/ts
-    ignored here). Stable order = (conv_id, turn_idx)."""
-    ordered = sorted(rows, key=lambda r: (r["conv_id"], r["turn_idx"]))
-
+    ignored here). Stable order = (conv_id, turn_idx, mention_idx)."""
     triples: set = set()
     entities: dict[str, str] = {}
-    attrs: dict[tuple[str, str], str] = {}  # (entity, attr) -> first value
+    attrs: dict[tuple[str, str], str] = {}  # (entity, attr) -> last value
     raw_refs: list[tuple[str, str, str]] = []
     sames: list[tuple[str, str]] = []
     unknown = 0
 
     # pass 1+2 over parsed mentions (our grammar has no intra-turn
-    # ordering subtleties; forward references are deferred to the
-    # resolution step below, mirroring the reference's second pass)
-    for r in ordered:
-        m = _MENTION.search(r["text"] or "")
-        if not m:
-            continue
-        body = m.group(1)
+    # ordering subtleties beyond attr overwrite order; forward
+    # references are deferred to the resolution step below, mirroring
+    # the reference's second pass)
+    for body in _mentions(rows):
         d = _DECL.match(body)
         if d:
             subj, typ, attrstr = d.group(1), d.group(2), d.group(3)
             if subj not in entities:
-                entities[subj] = typ  # first declaration wins
+                entities[subj] = typ  # first declaration wins the type
             triples.add((subj, "rdf_type", typ, "type"))
             for k, v in _ATTR.findall(attrstr):
                 e = _ENUM.match(v)
                 if e:
                     triples.add((subj, k, e.group(1), "enum"))
-                    attrs.setdefault((subj, k), e.group(1))
+                    attrs[(subj, k)] = e.group(1)  # setattr: last wins
                 else:
                     triples.add((subj, k, v, "literal"))
-                    attrs.setdefault((subj, k), v)
+                    attrs[(subj, k)] = v
             continue
         a = _ABOUT.match(body)
         if a:
@@ -105,10 +114,10 @@ def run_oracle(rows: list[dict]) -> OracleResult:
                 e = _ENUM.match(v)
                 if e:
                     triples.add((subj, k, e.group(1), "enum"))
-                    attrs.setdefault((subj, k), e.group(1))
+                    attrs[(subj, k)] = e.group(1)
                 else:
                     triples.add((subj, k, v, "literal"))
-                    attrs.setdefault((subj, k), v)
+                    attrs[(subj, k)] = v
             continue
         rel = _REL.match(body)
         if rel:
@@ -143,31 +152,25 @@ def run_oracle(rows: list[dict]) -> OracleResult:
         (cmap[s], p, cmap[d]) for s, p, d in edges if s in cmap and d in cmap
     }
 
-    # canonical node attrs: first-wins across the merged component —
-    # replay attrs in stable order against canonical ids
+    # canonical node attrs: replay in stable order against canonical
+    # ids — type first-wins, literal/enum last-wins (setattr semantics)
     nodes: dict[tuple[str, str], str] = {}
-    for r in ordered:
-        m = _MENTION.search(r["text"] or "")
-        if not m:
-            continue
-        body = m.group(1)
+    for body in _mentions(rows):
         d = _DECL.match(body)
         a = _ABOUT.match(body)
         subj = attrstr = None
-        extra: list[tuple[str, str]] = []
         if d:
             subj, attrstr = d.group(1), d.group(3)
-            extra = [("rdf_type", d.group(2))]
         elif a:
             subj, attrstr = a.group(1), a.group(2)
         if subj is None or subj not in cmap:
             continue
         canon = cmap[subj]
-        for k, v in extra:
-            nodes.setdefault((canon, k), v)
+        if d:
+            nodes.setdefault((canon, "rdf_type"), d.group(2))  # first wins
         for k, v in _ATTR.findall(attrstr):
             e = _ENUM.match(v)
-            nodes.setdefault((canon, k), e.group(1) if e else v)
+            nodes[(canon, k)] = e.group(1) if e else v  # last wins
 
     return OracleResult(
         triples=triples,

@@ -102,6 +102,61 @@ def multihop(canon_edges: DataFrame, pred1: str = "connects_to", pred2: str = "f
     return e1.join(e2, "b").select("a", "b", "c").distinct()
 
 
+def khop(canon_edges: DataFrame, pred: str = "connects_to", k: int = 3) -> DataFrame:
+    """Variable-length traversal: distinct (src, dst) pairs connected
+    by a path of exactly `k` edges of `pred` — the generalization of
+    `multihop` to arbitrary depth (reference chains 3 pointer hops,
+    cimpy/utils.py:65-78). Chained equi-joins with a per-round
+    distinct; at cluster scale each round shuffles on the join key
+    only and the pair set stays deduped (no path explosion)."""
+    e = (
+        canon_edges.filter(F.col("pred") == pred)
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .distinct()
+    )
+    paths = e
+    for _ in range(k - 1):
+        paths = (
+            paths.join(e.select(F.col("a").alias("b"), F.col("b").alias("c")), "b")
+            .select("a", F.col("c").alias("b"))
+            .distinct()
+        )
+    return paths.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+
+
+def reachability(
+    canon_edges: DataFrame, pred: str = "feeds", max_iter: int = 30
+) -> DataFrame:
+    """Fixpoint reachability (transitive closure) over `pred` edges —
+    semi-naive iteration: each round extends only the FRONTIER (pairs
+    discovered last round) by one edge and anti-joins the accumulated
+    closure, so work per round is proportional to new pairs, not the
+    closure (same driver-loop + localCheckpoint recipe as the CC
+    operator; terminates on cycles because the pair set is finite and
+    monotone)."""
+    e = (
+        canon_edges.filter(F.col("pred") == pred)
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .distinct()
+    )
+    step = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    total = e.localCheckpoint(eager=True)
+    frontier = total
+    for _ in range(max_iter):
+        nxt = (
+            frontier.join(step, "b")
+            .select("a", F.col("c").alias("b"))
+            .distinct()
+            .join(total, ["a", "b"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            return total.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        total = total.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    raise RuntimeError(f"reachability did not converge in {max_iter} iterations")
+
+
 def value_rollup(
     canon_edges: DataFrame,
     nodes: DataFrame,

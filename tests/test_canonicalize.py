@@ -41,6 +41,8 @@ def test_long_chain_converges(spark):
 
     Min-label propagation needs O(chain length) rounds; assert it
     still reaches the fixpoint within the bound (SURVEY.md §7 risk a).
+    small_threshold=0 forces the DISTRIBUTED loop (the default would
+    take the driver union-find fast path at this size).
     """
     n = 40
     ents = _df(spark, [(f"v{i:02d}",) for i in range(n)], "entity_id string")
@@ -50,10 +52,36 @@ def test_long_chain_converges(spark):
         "src string, dst string",
     )
     # default max_iter: pointer jumping must converge in O(log n)
-    cm = canonical_map(ents, links)
+    cm = canonical_map(ents, links, small_threshold=0)
     assert (
         cm.filter(F.col("canonical_id") != "v00").count() == 0
     )
+
+
+def test_small_and_distributed_cc_paths_identical(spark):
+    """The driver union-find fast path and the pointer-jumping loop
+    must produce byte-identical labelings — including labels for
+    undeclared alias endpoints (the lossless contraction contract)."""
+    from cimpy_spark.fixtures.events_transcripts import transcripts_from_events
+    from cimpy_spark.operators.canonicalize import canonical_labels
+    from cimpy_spark.operators.extract import extract_triples
+    from cimpy_spark.operators.link import declared_entities
+    from cimpy_spark.pipeline import same_links
+    from tests.conftest import SF_TINY
+
+    triples = extract_triples(transcripts_from_events(spark, SF_TINY)).cache()
+    ents = declared_entities(triples).select("entity_id")
+    links = same_links(triples)
+    fast = {
+        (r["entity_id"], r["canonical_id"])
+        for r in canonical_labels(ents, links).collect()  # fast path
+    }
+    loop = {
+        (r["entity_id"], r["canonical_id"])
+        for r in canonical_labels(ents, links, small_threshold=0).collect()
+    }
+    assert fast == loop and len(fast) > 0
+    triples.unpersist()
 
 
 def test_incremental_cc_merges_across_old_components(spark):

@@ -1,6 +1,7 @@
 """Hand-built semantic corner cases, pipeline vs pure-Python oracle
 (reference corners: forward refs cimpy/cimimport.py:79-83, dedupe
-:294-300, first-wins :215-231, dangling :281-288)."""
+:294-300, first-wins type :141 / last-wins setattr :255-273,
+dangling :281-288, multi-mention turns :234-241)."""
 
 from __future__ import annotations
 
@@ -16,6 +17,7 @@ ROWS = [
     ("c1", 1, "user", "«decl E1 type:T1 p_int=5 p_bool=true p_enum=kind:Unit.V1»"),
     ("c1", 2, "tool", "«decl E2 type:T2 p_int=7 p_bool=false p_enum=kind:Unit.V0»"),
     # duplicate declaration, different attrs: first (conv,turn) wins
+    # the TYPE; the attrs obey last-wins setattr order
     ("c0", 9, "user", "«decl E1 type:T9 p_int=99 p_bool=false p_enum=kind:Unit.V2»"),
     # self-reference
     ("c1", 3, "user", "«rel E2 controls E2»"),
@@ -32,6 +34,23 @@ ROWS = [
     # unknown pattern + no mention
     ("c3", 0, "user", "«unk z9»"),
     ("c3", 1, "user", "no mention here"),
+    # TWO declarations in one turn (reference loops all child elements,
+    # cimpy/cimimport.py:234-241) + an intra-turn ref between them
+    (
+        "c4",
+        0,
+        "user",
+        "pair «decl E7 type:T1 p_int=1 p_bool=true p_enum=kind:Unit.V0» and "
+        "«decl E8 type:T2 p_int=2 p_bool=false p_enum=kind:Unit.V1» then "
+        "«rel E7 feeds E8»",
+    ),
+    # conflicting attr writes WITHIN one turn: later mention wins
+    # (setattr order = mention order)
+    ("c4", 1, "user", "«about E7 q_int=10» … «about E7 q_int=20»"),
+    # conflicting attr across turns: the LAST turn's write wins
+    # (reference's unconditional setattr, cimpy/cimimport.py:255-273)
+    ("c4", 2, "user", "«about E8 q_int=30»"),
+    ("c4", 3, "user", "«about E8 q_int=40»"),
 ]
 
 
@@ -70,6 +89,19 @@ def test_edge_cases_match_oracle(spark):
     assert nodes == oracle.nodes
     # merged entity: q_str from E3's about lands on canonical E1
     assert ("E1", "q_str", "sA") in nodes
+    # last-wins scalar merge (reference setattr order):
+    # within one turn, the later mention wins …
+    assert ("E7", "q_int", "20") in nodes
+    # … across turns, the later turn wins …
+    assert ("E8", "q_int", "40") in nodes
+    # … and across the merged component (c0 decl p_int=99 → c1 decl
+    # p_int=5 → c2 decl of aliased E3 p_int=1), the final write wins
+    assert ("E1", "p_int", "1") in nodes
+    # while the TYPE stays first-wins (first instantiation, c0's T9)
+    assert ("E1", "rdf_type", "T9") in nodes
+    # two decls in one turn both instantiate + intra-turn ref resolves
+    assert ents["E7"] == "T1" and ents["E8"] == "T2"
+    assert ("E7", "feeds", "E8") in edges
 
 
 def test_salted_link_path_identical(spark):

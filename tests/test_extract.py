@@ -26,15 +26,46 @@ def test_extract_kinds(spark):
     triples = extract_triples(t).cache()
     kinds = {r["obj_kind"] for r in triples.select("obj_kind").distinct().collect()}
     assert kinds == {"type", "literal", "enum", "ref"}
-    # decl turns: 1 type + 3 attr triples each
-    n_decl_turns = t.filter(F.col("text").contains("«decl")).count()
+    # every decl MENTION yields exactly 1 type triple (turns may carry
+    # several decls — count mentions, not turns)
+    n_decl_mentions = t.select(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("«decl "), 0)).alias("k")
+    ).agg(F.sum("k")).collect()[0][0]
     n_type = triples.filter(F.col("pred") == "rdf_type").count()
-    assert n_type == n_decl_turns
+    assert n_type == n_decl_mentions
     # enum suffix rule: only the part after the last '.' is kept
     enums = triples.filter(F.col("obj_kind") == "enum")
     bad = enums.filter(~F.col("obj").rlike("^V[0-9]$")).count()
     assert bad == 0
     triples.unpersist()
+
+
+def test_multi_mention_turns_extracted_in_order(spark):
+    """A turn with several «…» spans yields one mention_idx per span,
+    in text order (reference loops every child element,
+    cimpy/cimimport.py:234-241)."""
+    rows = [
+        (
+            "c1",
+            0,
+            "user",
+            "x «decl E1 type:T1 p_int=1 p_bool=true p_enum=kind:Unit.V0» mid "
+            "«rel E1 feeds E2» end «same E1 E2»",
+            None,
+        ),
+        ("c1", 1, "user", "no mention", None),
+    ]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string"
+    )
+    got = extract_triples(t).collect()
+    by_mention = {}
+    for r in got:
+        by_mention.setdefault(r["mention_idx"], set()).add((r["pred"], r["obj"]))
+    assert set(by_mention) == {0, 1, 2}
+    assert ("rdf_type", "T1") in by_mention[0]
+    assert by_mention[1] == {("feeds", "E2")}
+    assert by_mention[2] == {("sameAs", "E2")}
 
 
 def test_unknown_patterns_counted_not_raised(spark):

@@ -24,12 +24,16 @@ def test_dangling_refs_quarantined_not_dropped_silently(spark):
     triples = _triples(spark)
     entities = declared_entities(triples)
     edges, quarantine = link_references(triples, entities)
-    # planted dangling targets are the X<n> ids — all quarantined
+    # every explicit X<n> target is quarantined; E<j> targets are
+    # quarantined exactly when undeclared at this scale
+    declared = {r["entity_id"] for r in entities.collect()}
     q = quarantine.collect()
-    assert all(r["dst"].startswith("X") for r in q)
+    assert all(r["dst"] not in declared for r in q)
+    assert any(r["dst"].startswith("X") for r in q)
     assert sum(r["n_refs"] for r in q) > 0
     # no dangling target survives into edges
     assert edges.filter(F.col("dst").startswith("X")).count() == 0
+    assert edges.join(entities.withColumnRenamed("entity_id", "dst"), "dst", "left_anti").count() == 0
 
 
 def test_edges_deduped(spark):
