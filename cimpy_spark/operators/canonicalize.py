@@ -339,6 +339,86 @@ def canonical_edges(
     )
 
 
+def incremental_canonical_edges(
+    old_canon_edges: DataFrame,
+    edges: DataFrame,
+    candidate_entities: DataFrame,
+    old_labels: DataFrame,
+    new_labels: DataFrame,
+    cmap: DataFrame,
+    cmap_rows: int | None = 0,
+) -> DataFrame:
+    """Rewrite-only-what-the-increment-touched canonical edges.
+
+    Ingest is monotone (edges are never deleted), and relabeling is
+    per-component merge: when components merge, only the LOSING
+    component's members change label (the winner keeps the min id).
+    So a committed canonical edge row stays derivable unless one of
+    its endpoints' OLD canonical ids belongs to a losing component;
+    everything else is reachable only through raw edges the increment
+    touched.
+
+    - `candidate_entities`: entity ids the increment may involve as
+      edge endpoints (the increment's ref subjects/objects plus the
+      previously-dangling tail) — increment-sized by construction.
+    - carried = old rows with neither endpoint in a losing component
+      (two broadcast anti-joins over the tiny losing-label set).
+    - recomputed = full rewrite of raw edges touching a relabeled or
+      candidate entity (membership via broadcast flags — a narrow
+      scan, no corpus shuffle).
+    - overlap between the two (a recomputed row that equals a carried
+      row, e.g. a new raw edge landing on an existing canonical pair)
+      is removed with a broadcast semi/anti pair, never a global
+      dedupe: the only corpus-sized operations are narrow scans.
+    """
+    relabeled = (
+        old_labels.alias("o")
+        .join(new_labels.alias("n"), "entity_id")
+        .filter(F.col("o.canonical_id") != F.col("n.canonical_id"))
+        .select(
+            "entity_id", F.col("o.canonical_id").alias("old_c")
+        )
+    )
+    losing = relabeled.select(F.col("old_c").alias("c")).distinct()
+    touched_ents = (
+        relabeled.select("entity_id")
+        .unionByName(candidate_entities.select("entity_id"))
+        .distinct()
+    )
+
+    # raw edges with any endpoint touched — broadcast flag joins, narrow
+    ms = touched_ents.select(F.col("entity_id").alias("src")).withColumn(
+        "__ms", F.lit(1)
+    )
+    md = touched_ents.select(F.col("entity_id").alias("dst")).withColumn(
+        "__md", F.lit(1)
+    )
+    touched_raw = (
+        edges.join(F.broadcast(ms), "src", "left")
+        .join(F.broadcast(md), "dst", "left")
+        .filter(F.col("__ms").isNotNull() | F.col("__md").isNotNull())
+        .select("src", "pred", "dst")
+    )
+    recomputed = canonical_edges(touched_raw, cmap, cmap_rows)
+
+    carried = old_canon_edges.select("src", "pred", "dst").join(
+        F.broadcast(losing.select(F.col("c").alias("src"))), "src", "left_anti"
+    ).join(
+        F.broadcast(losing.select(F.col("c").alias("dst"))), "dst", "left_anti"
+    ).select("src", "pred", "dst")
+
+    # subtract recomputed∩carried without a global dedupe: find the
+    # overlap by scanning old rows against the (small, broadcast)
+    # recomputed set, then anti-join recomputed against that overlap
+    overlap = carried.join(
+        F.broadcast(recomputed), ["src", "pred", "dst"], "left_semi"
+    )
+    fresh = recomputed.join(
+        F.broadcast(overlap), ["src", "pred", "dst"], "left_anti"
+    )
+    return carried.unionByName(fresh)
+
+
 def incremental_canonical_nodes(
     old_nodes: DataFrame,
     all_triples: DataFrame,

@@ -27,8 +27,9 @@ from cimpy_spark.operators.canonicalize import (
 )
 from cimpy_spark.operators.extract import extract_triples
 from cimpy_spark.operators.link import (
-    declared_entities,
+    declared_entities_keyed,
     edges_from_resolved,
+    merge_keyed_entities,
     quarantine_from_resolved,
     resolve_references,
 )
@@ -60,8 +61,11 @@ def run_pipeline(
     )
     triples = out["triples"]
 
+    # committed KEYED (entity_id, type, conv_id, turn_idx, mention_idx):
+    # carrying the winning election key makes the dictionary
+    # increment-composable (min(old winner, new rows) = min(all rows))
     out["entities"] = ledger.run_stage(
-        spark, "entities", lambda: declared_entities(triples), force=force
+        spark, "entities", lambda: declared_entities_keyed(triples), force=force
     )
     entities = out["entities"]
 
@@ -127,10 +131,15 @@ def ingest_increment(
     The new-conversation filter is a left-anti join against the
     committed triples' conv_ids (at 10^12-turn scale this becomes a
     partition-watermark check against the lineage ledger — same
-    semantics, cheaper lookup). Downstream stages (linking,
-    canonicalization, materialization) recompute over the merged
-    triple set: sameAs links may join old and new components, so the
-    canonical map is global by construction.
+    semantics, cheaper lookup). EVERY downstream stage is incremental
+    when its committed snapshot postdates the triples commit:
+    entities merge keyed dictionaries, linking re-joins only the
+    increment + dangling tail, CC iterates only the increment's links
+    over the committed contraction, canonical edges rewrite only
+    increment-touched raw edges, and node elections recompute only
+    touched components. All are equivalence-tested against a single
+    full run (sameAs links may join old and new components, so the
+    canonical map stays global by construction).
     """
     ledger = LineageLedger(out_dir)
     if not ledger.is_committed("triples"):
@@ -170,6 +179,22 @@ def ingest_increment(
         if old_labels is not None and ledger.committed_after("nodes", "triples")
         else None
     )
+    old_canon_edges = None
+    if (
+        old_labels is not None
+        and use_inc_link
+        and ledger.committed_after("canon_edges", "triples")
+    ):
+        if ledger.records()["canon_edges"]["rows_out"] > 0:
+            old_canon_edges = spark.read.parquet(
+                ledger.stage_dir("canon_edges")
+            ).localCheckpoint(eager=True)
+        else:
+            # a partitioned write of an EMPTY stage leaves no parquet
+            # files to infer a schema from — stand in an empty frame
+            old_canon_edges = spark.createDataFrame(
+                [], "src string, pred string, dst string"
+            )
     seen = committed.select("conv_id").distinct()
     fresh = transcripts.join(seen, "conv_id", "left_anti")
     new_triples = extract_triples(fresh).localCheckpoint(eager=True)
@@ -184,9 +209,17 @@ def ingest_increment(
         spark, "triples", lambda: merged, partition_by=["obj_kind"], force=True
     )
     triples = out["triples"]
-    out["entities"] = ledger.run_stage(
-        spark, "entities", lambda: declared_entities(triples), force=True
-    )
+
+    def _entities():
+        if old_entities is not None:
+            # merge committed keyed dictionary with the increment's —
+            # no rescan of old declarations
+            return merge_keyed_entities(
+                old_entities, declared_entities_keyed(new_triples)
+            )
+        return declared_entities_keyed(triples)
+
+    out["entities"] = ledger.run_stage(spark, "entities", _entities, force=True)
     entities = out["entities"]
 
     n_entities = ledger.records()["entities"]["rows_out"]
@@ -240,10 +273,46 @@ def ingest_increment(
         force=True,
     )
     cmap = out["cmap"]
+
+    def _canon_edges():
+        if old_canon_edges is not None:
+            from cimpy_spark.operators.canonicalize import (
+                incremental_canonical_edges,
+            )
+
+            # endpoints the increment can have introduced as edges:
+            # the increment's refs, the previously-dangling tail, AND
+            # newly-declared entities (an old resolved edge whose src
+            # was undeclared produces its first canonical row when the
+            # increment declares that src — linking checks only dst)
+            new_refs = new_triples.filter(
+                (F.col("obj_kind") == "ref") & (F.col("pred") != "sameAs")
+            )
+            dangling = old_linked.filter(~F.col("resolved"))
+            new_decls = new_triples.filter(F.col("pred") == "rdf_type").select(
+                F.col("subj").alias("entity_id")
+            )
+            cand = (
+                new_refs.select(F.col("subj").alias("entity_id"))
+                .unionByName(new_refs.select(F.col("obj").alias("entity_id")))
+                .unionByName(dangling.select(F.col("src").alias("entity_id")))
+                .unionByName(dangling.select(F.col("dst").alias("entity_id")))
+                .unionByName(new_decls)
+                .distinct()
+            )
+            return incremental_canonical_edges(
+                old_canon_edges,
+                out["edges"],
+                cand,
+                old_labels,
+                out["cmap_full"],
+                cmap,
+                cmap_rows=ledger.records()["cmap_full"]["rows_out"],
+            )
+        return canonical_edges(out["edges"], cmap)
+
     out["canon_edges"] = ledger.run_stage(
-        spark, "canon_edges",
-        lambda: canonical_edges(out["edges"], cmap),
-        partition_by=["pred"], force=True,
+        spark, "canon_edges", _canon_edges, partition_by=["pred"], force=True
     )
 
     def _nodes():
