@@ -188,6 +188,27 @@ def _q_contract_controls(spark, sf_dir):
     return contract_edges(_graph(spark, sf_dir).canon_edges, "controls")
 
 
+def _q_enum_dictionary(spark, sf_dir):
+    from cimpy_spark.operators.extract import enum_url_dictionary
+
+    return enum_url_dictionary(transcripts_from_events(spark, sf_dir))
+
+
+def _q_enum_roundtrip(spark, sf_dir):
+    from cimpy_spark.operators.extract import enum_url_dictionary, expand_enum_urls
+
+    return expand_enum_urls(
+        _graph(spark, sf_dir).nodes,
+        enum_url_dictionary(transcripts_from_events(spark, sf_dir)),
+    )
+
+
+def _q_snapshot_meta(spark, sf_dir):
+    from cimpy_spark.operators.extract import snapshot_meta
+
+    return snapshot_meta(_graph(spark, sf_dir).triples)
+
+
 def _q_schema_cast(spark, sf_dir):
     from cimpy_spark.operators.schema import fixture_schema, schema_cast
 
@@ -346,6 +367,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_delete_t0": _q_delete_t0,
         "kg_schema_cast": _q_schema_cast,
         "kg_schema_quarantine": _q_schema_quarantine,
+        "kg_enum_dictionary": _q_enum_dictionary,
+        "kg_enum_roundtrip": _q_enum_roundtrip,
+        "kg_snapshot_meta": _q_snapshot_meta,
         "kg_contract_controls": _q_contract_controls,
         "doc_token_count": _q_doc_token_count,
         "doc_quality": _q_doc_quality,
@@ -411,6 +435,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_assembly": oracles.assembly_sql(),
         "kg_per_type_stats": oracles.per_type_stats_sql(),
         "kg_delete_t0": oracles.delete_t0_sql(),
+        "kg_enum_dictionary": oracles.enum_dictionary_sql(),
+        "kg_enum_roundtrip": oracles.enum_roundtrip_sql(),
+        "kg_snapshot_meta": oracles.snapshot_meta_sql(),
         "kg_schema_cast": _schema_cast_oracle(),
         "kg_schema_quarantine": (
             "SELECT attr, status, count(*) AS n FROM ("

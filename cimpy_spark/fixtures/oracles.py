@@ -224,6 +224,44 @@ def multihop_sql() -> str:
     """
 
 
+ENUM_URLS_CTE = """
+urls AS (
+  SELECT DISTINCT 'V' || CAST(d % 3 AS STRING) AS suffix,
+         'kind:Unit.V' || CAST(d % 3 AS STRING) AS url
+  FROM s WHERE m = 0
+)
+"""
+
+
+def enum_dictionary_sql() -> str:
+    return (
+        _with(T_CTE, ENUM_URLS_CTE) + "\nSELECT suffix, url FROM urls"
+    )
+
+
+def enum_roundtrip_sql() -> str:
+    return PIPELINE_CTES + """
+    , urls AS (
+      SELECT DISTINCT 'V' || CAST(d % 3 AS STRING) AS value,
+             'kind:Unit.V' || CAST(d % 3 AS STRING) AS url
+      FROM s WHERE m = 0
+    )
+    SELECT n.entity_id, n.attr, n.value, u.url
+    FROM nodes n JOIN urls u USING (value)
+    """
+
+
+def snapshot_meta_sql() -> str:
+    return PIPELINE_CTES + """
+    SELECT role AS profile,
+           count(*) AS n_triples,
+           count(DISTINCT subj) AS n_subjects,
+           count(DISTINCT conv_id) AS n_convs,
+           CAST(sum(CASE WHEN obj_kind = 'ref' THEN 1 ELSE 0 END) AS BIGINT) AS n_refs
+    FROM triples GROUP BY role
+    """
+
+
 def khop_sql(k: int = 3) -> str:
     """Exact k-hop pairs over connects_to (independent k-way join)."""
     joins = " ".join(

@@ -354,6 +354,51 @@ def extract_triples_pandas(transcripts: DataFrame) -> DataFrame:
     return pruned.mapInPandas(gen, schema=TRIPLE_SCHEMA)
 
 
+def enum_url_dictionary(transcripts: DataFrame) -> DataFrame:
+    """Broadcastable enum-URL dictionary (suffix, url).
+
+    The reference memoizes full enum URLs down to their suffix during
+    import (cimpy/cimimport.py:334-345) and re-expands them at export
+    (cimpy/cimexport.py:87-94). The engine's triples carry only the
+    suffix; this narrow scan + distinct rebuilds the URL map so
+    `expand_enum_urls` can round-trip. Pure column expressions; the
+    result is O(enum domain), trivially broadcast."""
+    urls = transcripts.select(
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit("(kind:\\w+\\.\\w+)"), 1)
+        ).alias("url")
+    ).distinct()
+    return urls.select(
+        F.regexp_extract("url", "\\.(\\w+)$", 1).alias("suffix"), "url"
+    )
+
+
+def expand_enum_urls(nodes: DataFrame, enum_dict: DataFrame) -> DataFrame:
+    """Round-trip re-expansion: enum-suffixed node attributes joined
+    back to their full URLs (the export-side of the reference's enum
+    memoization, cimpy/cimexport.py:87-94). Broadcast join — the
+    dictionary is O(enum domain). Output: (entity_id, attr, value,
+    url)."""
+    return nodes.join(
+        F.broadcast(enum_dict.withColumnRenamed("suffix", "value")), "value"
+    ).select("entity_id", "attr", "value", "url")
+
+
+def snapshot_meta(triples: DataFrame) -> DataFrame:
+    """Per-profile snapshot header: grouped content counts — the
+    analog of the reference's model-description header (author /
+    profile / created, cimpy/cimexport.py:378-389, parsed back at
+    cimpy/cimimport.py:164-178). Deterministic content columns only
+    (wall-clock commit times live in the lineage ledger); one tiny
+    aggregation."""
+    return triples.groupBy(F.col("role").alias("profile")).agg(
+        F.count(F.lit(1)).alias("n_triples"),
+        F.countDistinct("subj").alias("n_subjects"),
+        F.countDistinct("conv_id").alias("n_convs"),
+        F.sum((F.col("obj_kind") == "ref").cast("long")).alias("n_refs"),
+    )
+
+
 def extraction_metrics(transcripts: DataFrame) -> DataFrame:
     """Grouped mention-kind counts over EVERY mention, plus turns with
     no mention at all.

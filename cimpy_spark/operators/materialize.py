@@ -36,7 +36,7 @@ from cimpy_spark.operators.link import (
 from cimpy_spark.plans.lineage import LineageLedger
 
 STAGES = [
-    "triples", "entities", "linked", "edges", "quarantine",
+    "triples", "meta", "entities", "linked", "edges", "quarantine",
     "cmap_full", "cmap", "canon_edges", "nodes",
 ]
 
@@ -60,6 +60,14 @@ def run_pipeline(
         partition_by=["obj_kind"], force=force,
     )
     triples = out["triples"]
+
+    # per-profile snapshot header (model-description analog,
+    # cimpy/cimexport.py:378-389); commit wall time lives in the ledger
+    from cimpy_spark.operators.extract import snapshot_meta
+
+    out["meta"] = ledger.run_stage(
+        spark, "meta", lambda: snapshot_meta(triples), force=force
+    )
 
     # committed KEYED (entity_id, type, conv_id, turn_idx, mention_idx):
     # carrying the winning election key makes the dictionary
@@ -218,6 +226,12 @@ def ingest_increment(
                 old_entities, declared_entities_keyed(new_triples)
             )
         return declared_entities_keyed(triples)
+
+    from cimpy_spark.operators.extract import snapshot_meta
+
+    out["meta"] = ledger.run_stage(
+        spark, "meta", lambda: snapshot_meta(triples), force=True
+    )
 
     out["entities"] = ledger.run_stage(spark, "entities", _entities, force=True)
     entities = out["entities"]

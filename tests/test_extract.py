@@ -68,6 +68,31 @@ def test_multi_mention_turns_extracted_in_order(spark):
     assert by_mention[2] == {("sameAs", "E2")}
 
 
+def test_enum_url_roundtrip(spark):
+    """suffix → URL re-expansion is lossless (reference memoizes URLs
+    on import, cimpy/cimimport.py:334-345, and re-expands on export,
+    cimpy/cimexport.py:87-94)."""
+    from cimpy_spark import pipeline as P
+    from cimpy_spark.operators.extract import enum_url_dictionary, expand_enum_urls
+
+    t = transcripts_from_events(spark, SF_TINY)
+    d = enum_url_dictionary(t)
+    rows = d.collect()
+    assert {(r["suffix"], r["url"]) for r in rows} == {
+        ("V0", "kind:Unit.V0"), ("V1", "kind:Unit.V1"), ("V2", "kind:Unit.V2")
+    }
+    nodes = P.build_graph(t).nodes
+    expanded = expand_enum_urls(nodes, d)
+    # every re-expanded URL re-suffixes to the original value
+    bad = expanded.filter(
+        F.regexp_extract("url", "\\.(\\w+)$", 1) != F.col("value")
+    ).count()
+    assert bad == 0
+    # every enum-valued node row round-trips (p_enum domain = V0..V2)
+    n_enum_nodes = nodes.filter(F.col("value").rlike("^V[0-9]$")).count()
+    assert expanded.count() == n_enum_nodes
+
+
 def test_unknown_patterns_counted_not_raised(spark):
     t = transcripts_from_events(spark, SF_TINY)
     m = {r["pattern_kind"]: r["n"] for r in extraction_metrics(t).collect()}
