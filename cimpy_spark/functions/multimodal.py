@@ -52,27 +52,35 @@ def _decode_stub(payload: bytes) -> tuple[int, int]:
 
 
 def extract_features(bin_docs: DataFrame) -> DataFrame:
-    """Arrow-batched feature extraction over binary payloads:
-    (doc_id, n_bytes, fake_width, fake_height, payload_md5)."""
+    """Feature extraction over binary payloads:
+    (doc_id, n_bytes, fake_width, fake_height, payload_md5).
+
+    Everything expressible as a column expression stays JVM-side
+    (``length``/``md5`` over binary — whole-stage codegen, matters
+    when payloads are megabytes); the Arrow-batched Python UDF carries
+    ONLY the decode step, with the precomputed columns passed through
+    the batch untouched. One scan, no join, narrow."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = pdf["payload"]
-            md5s = payloads.map(lambda b: hashlib.md5(bytes(b)).hexdigest())
-            dims = payloads.map(lambda b: _decode_stub(bytes(b)))
+            dims = pdf["payload"].map(lambda b: _decode_stub(bytes(b)))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_bytes": payloads.map(len).astype("int32"),
+                    "n_bytes": pdf["n_bytes"],
                     "fake_width": dims.map(lambda d: d[0]).astype("int32"),
                     "fake_height": dims.map(lambda d: d[1]).astype("int32"),
-                    "payload_md5": md5s,
+                    "payload_md5": pdf["payload_md5"],
                 }
             )
 
-    return bin_docs.select("doc_id", "payload").mapInPandas(
-        gen, schema=FEATURE_SCHEMA
+    pre = bin_docs.select(
+        "doc_id",
+        F.length("payload").cast("int").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+        "payload",
     )
+    return pre.mapInPandas(gen, schema=FEATURE_SCHEMA)
 
 
 def features_oracle_sql() -> str:

@@ -35,7 +35,25 @@ def canonical_map(
 
     `entities`: one row per declared entity (column ``entity_id``).
     `same_links`: (src, dst) sameAs pairs (directed, raw).
+
+    Small link sets short-circuit to ONE broadcast join: the declared
+    restriction drops undeclared-endpoint labels anyway, so the full
+    lossless labeling is never materialized on this path.
     """
+    threshold = SMALL_LINKS_THRESHOLD if small_threshold is None else small_threshold
+    pairs = _collect_if_small(_sym_links(same_links), threshold)
+    if pairs is not None:
+        ep_map = _union_find_df(entities.sparkSession, pairs)
+        if ep_map is None:
+            return entities.select(
+                "entity_id", F.col("entity_id").alias("canonical_id")
+            )
+        return entities.select("entity_id").join(
+            F.broadcast(ep_map), "entity_id", "left"
+        ).select(
+            "entity_id",
+            F.coalesce("canonical_id", "entity_id").alias("canonical_id"),
+        )
     kw = {} if small_threshold is None else {"small_threshold": small_threshold}
     labels = canonical_labels(entities, same_links, max_iter, **kw)
     return entities.join(labels, "entity_id").select("entity_id", "canonical_id")
@@ -66,19 +84,20 @@ def canonical_labels(
     # Undirected, deduped link set; restrict to declared entities is
     # not required (labels for undeclared alias endpoints are simply
     # dropped at the end by the final join).
-    fwd = same_links.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    edges = _checkpoint(
-        fwd.union(fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct(),
-        eager=True,
-    )
+    edges_plan = _sym_links(same_links)
 
-    # the count also sizes the loop's working set below (the link set
-    # is usually tiny relative to the corpus; a fixed shuffle width
-    # would pay hundreds of near-empty tasks per round)
+    # ONE limit-probe job decides the path AND, when small, already
+    # delivers the complete edge set (limit N+1 returns everything if
+    # fewer rows exist) — no separate checkpoint/count/collect jobs
+    pairs = _collect_if_small(edges_plan, small_threshold)
+    if pairs is not None:
+        return _small_graph_labels(entities, pairs)
+
+    edges = _checkpoint(edges_plan, eager=True)
+    # the count sizes the loop's working set (the link set is usually
+    # tiny relative to the corpus; a fixed shuffle width would pay
+    # hundreds of near-empty tasks per round)
     n_edges = edges.count()
-    if n_edges <= small_threshold:
-        return _small_graph_labels(entities, edges)
-
     shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     n_parts = max(1, min(shuffle_parts, n_edges // 50_000 + 1))
     edges = edges.repartition(n_parts, "a")
@@ -105,15 +124,28 @@ def canonical_labels(
     )
 
 
-def _small_graph_labels(entities: DataFrame, edges: DataFrame) -> DataFrame:
-    """Driver-side union-find over a collected (small) link set.
+def _sym_links(same_links: DataFrame) -> DataFrame:
+    """Undirected, deduped link set (a, b)."""
+    fwd = same_links.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    return fwd.union(
+        fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
 
-    Only the EDGES are collected — the (possibly huge) entity
-    dictionary is never moved: entities outside the alias graph label
-    themselves via a broadcast left join against the endpoint map.
-    Produces byte-identical labels to the distributed loop (min id per
-    component; equivalence-tested both ways)."""
-    spark = entities.sparkSession
+
+def _collect_if_small(edges_plan: DataFrame, threshold: int):
+    """Collect the edge set iff it is within the threshold — a single
+    limit-probe job: limit(threshold+1) returns the COMPLETE set when
+    fewer rows exist, else a sentinel row proving the set is large
+    (never collects more than threshold+1 rows)."""
+    rows = edges_plan.limit(threshold + 1).collect()
+    return rows if len(rows) <= threshold else None
+
+
+def _union_find_df(spark, pairs) -> DataFrame | None:
+    """(entity_id, canonical_id) map for every alias-graph ENDPOINT —
+    driver union-find with path compression; min-id root election,
+    byte-identical to the distributed loop. Returns None for an empty
+    link set."""
     parent: dict[str, str] = {}
 
     def find(x: str) -> str:
@@ -125,18 +157,31 @@ def _small_graph_labels(entities: DataFrame, edges: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    for row in edges.collect():
+    for row in pairs:
         ra, rb = find(row["a"]), find(row["b"])
         if ra != rb:
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo  # min-id election, as in the loop
 
-    pairs = [(v, find(v)) for v in parent]
-    if not pairs:
+    if not parent:
+        return None
+    return spark.createDataFrame(
+        [(v, find(v)) for v in parent], "entity_id string, canonical_id string"
+    )
+
+
+def _small_graph_labels(entities: DataFrame, pairs) -> DataFrame:
+    """Full lossless labeling from a collected (small) link set.
+
+    Only the EDGES were collected — the (possibly huge) entity
+    dictionary is never moved: entities outside the alias graph label
+    themselves via a broadcast left join against the endpoint map."""
+    spark = entities.sparkSession
+    ep_map = _union_find_df(spark, pairs)
+    if ep_map is None:
         return entities.select(
             F.col("entity_id"), F.col("entity_id").alias("canonical_id")
         )
-    ep_map = spark.createDataFrame(pairs, "entity_id string, canonical_id string")
     declared = entities.select("entity_id").join(
         F.broadcast(ep_map), "entity_id", "left"
     ).select(

@@ -55,10 +55,18 @@ def run_pipeline(
     ledger = LineageLedger(out_dir)
     out: dict[str, DataFrame] = {}
 
-    out["triples"] = ledger.run_stage(
-        spark, "triples", lambda: extract_triples(transcripts),
-        partition_by=["obj_kind"], force=force,
-    )
+    # fact stage is APPEND-ONLY (Iceberg-append stand-in): the
+    # bootstrap writes increment 0; later ingest_increment calls add
+    # increment dirs without ever rewriting old ones
+    from cimpy_spark.operators.extract import TRIPLE_SCHEMA
+
+    if not force and ledger.is_committed("triples"):
+        out["triples"] = ledger.read_append_stage(spark, "triples", TRIPLE_SCHEMA)
+    else:
+        out["triples"] = ledger.run_append_stage(
+            spark, "triples", lambda: extract_triples(transcripts),
+            partition_by=["obj_kind"], reset=True,
+        )
     triples = out["triples"]
 
     # per-profile snapshot header (model-description analog,
@@ -153,7 +161,9 @@ def ingest_increment(
     if not ledger.is_committed("triples"):
         return run_pipeline(spark, transcripts, out_dir)
 
-    committed = spark.read.parquet(ledger.stage_dir("triples"))
+    from cimpy_spark.operators.extract import TRIPLE_SCHEMA
+
+    committed = ledger.read_append_stage(spark, "triples", TRIPLE_SCHEMA)
     # Trust the committed labeling ONLY if it was committed after the
     # current triples snapshot: a crash between the triples commit and
     # the cmap_full commit of a previous increment leaves a stale
@@ -206,15 +216,13 @@ def ingest_increment(
     seen = committed.select("conv_id").distinct()
     fresh = transcripts.join(seen, "conv_id", "left_anti")
     new_triples = extract_triples(fresh).localCheckpoint(eager=True)
-    # materialize BEFORE overwriting the snapshot we are reading from
-    # (lazy plans must not scan a dir mid-overwrite); on a real
-    # cluster this is an Iceberg append — no rewrite of old files at all
-    merged = committed.unionByName(new_triples).localCheckpoint(eager=True)
 
-    # commit the merged triple snapshot, then force downstream stages
+    # APPEND the increment (old increment dirs are never rewritten —
+    # O(increment) IO, the Iceberg-append semantics), then force the
+    # derived stages, each of which is itself incremental below
     out: dict[str, DataFrame] = {}
-    out["triples"] = ledger.run_stage(
-        spark, "triples", lambda: merged, partition_by=["obj_kind"], force=True
+    out["triples"] = ledger.run_append_stage(
+        spark, "triples", lambda: new_triples, partition_by=["obj_kind"]
     )
     triples = out["triples"]
 

@@ -57,11 +57,12 @@ class LineageLedger:
         return os.path.join(self.out_dir, stage)
 
     def is_committed(self, stage: str) -> bool:
-        d = self.stage_dir(stage)
-        return (
-            stage in self.records()
-            and os.path.exists(os.path.join(d, "_SUCCESS"))
-        )
+        recs = self.records()
+        if stage not in recs:
+            return False
+        if "increments" in recs[stage]:  # append-only stage
+            return self.is_append_committed(stage)
+        return os.path.exists(os.path.join(self.stage_dir(stage), "_SUCCESS"))
 
     def commit(
         self,
@@ -81,6 +82,107 @@ class LineageLedger:
         # append-only ledger; last record per stage wins on read
         with open(self.path, "a") as f:
             f.write(json.dumps(rec) + "\n")
+
+    # ---- append-only stages (Iceberg-append stand-in) ----------------
+    #
+    # A fact stage at 10^12-turn scale must never be rewritten per
+    # increment. Each append writes ONLY the increment to
+    # <stage>/inc_<n>/ and commits a ledger record listing all live
+    # increment dirs; the snapshot reader is the union of those dirs.
+    # On Iceberg this is a metadata-only append commit; here the
+    # `_SUCCESS`-per-increment + last-ledger-record-wins convention
+    # gives the same crash semantics: an increment exists iff its dir
+    # is complete AND a committed record lists it. A crash between the
+    # two leaves an orphan dir that the retry overwrites in place
+    # (same index), so resume is idempotent.
+
+    def append_increments(self, stage: str) -> list[str]:
+        """Committed increment dirs for an append stage (absolute)."""
+        rec = self.records().get(stage)
+        if not rec or "increments" not in rec:
+            return []
+        return [os.path.join(self.stage_dir(stage), i) for i in rec["increments"]]
+
+    def is_append_committed(self, stage: str) -> bool:
+        dirs = self.append_increments(stage)
+        return bool(dirs) and all(
+            os.path.exists(os.path.join(p, "_SUCCESS")) for p in dirs
+        )
+
+    def read_append_stage(self, spark: SparkSession, stage: str, schema) -> DataFrame:
+        # one reader per increment dir, unioned: a single multi-path
+        # read over hive-partitioned increments trips Spark's
+        # conflicting-directory-structure check, and per-dir readers
+        # keep partition pruning per increment (Iceberg replaces this
+        # with one snapshot scan)
+        from functools import reduce
+
+        dfs = [
+            spark.read.schema(schema).parquet(p)
+            for p in self.append_increments(stage)
+        ]
+        return reduce(lambda a, b: a.unionByName(b), dfs)
+
+    def run_append_stage(
+        self,
+        spark: SparkSession,
+        stage: str,
+        build_increment: "callable[[], DataFrame]",
+        partition_by: list[str] | None = None,
+        reset: bool = False,
+    ) -> DataFrame:
+        """Append one increment to the stage and return the reader over
+        ALL committed increments. `reset=True` starts the increment
+        list over (bootstrap/force). Old increment dirs are never
+        rewritten — O(increment) IO per call, not O(corpus)."""
+        d = self.stage_dir(stage)
+        rec = self.records().get(stage)
+        incs = (
+            list(rec["increments"])
+            if (rec and "increments" in rec and not reset)
+            else []
+        )
+        prev_rows = rec["rows_out"] if (rec and incs) else 0
+        prev_parts = rec["partitions"] if (rec and incs) else 0
+
+        df = build_increment()
+        inc_name = f"inc_{len(incs):05d}"
+        inc_dir = os.path.join(d, inc_name)
+        writer = df.write.mode("overwrite")  # overwrites crash leftovers
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(inc_dir)
+        out_inc = spark.read.schema(df.schema).parquet(inc_dir)
+
+        from pyspark.sql import functions as F
+
+        def _rel(p: str) -> str:
+            p = p.removeprefix("file://").removeprefix("file:")
+            return os.path.relpath(p, d)
+
+        per_file = {
+            _rel(r["f"]): r["n"]
+            for r in out_inc.groupBy(F.input_file_name().alias("f"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        inc_rows = sum(per_file.values())
+        incs.append(inc_name)
+        with open(self.path, "a") as f:
+            f.write(
+                json.dumps(
+                    {
+                        "stage": stage,
+                        "rows_out": prev_rows + inc_rows,
+                        "partitions": prev_parts + len(per_file),
+                        "partition_rows": per_file,
+                        "increments": incs,
+                        "committed": True,
+                    }
+                )
+                + "\n"
+            )
+        return self.read_append_stage(spark, stage, df.schema)
 
     def run_stage(
         self,

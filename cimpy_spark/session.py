@@ -36,7 +36,18 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Arrow batch size, measured both ways on this box (4M-turn
+        # extraction): 40k rows/batch is +34% per-core at LOW
+        # parallelism (8 cores — fewer IPC frames dominate), but at 16+
+        # cores the memory bus is the binding constraint and 10k wins
+        # outright (1.28M vs 1.22M turns/s at 16 cores) AND scales
+        # better (4→16 efficiency 0.897 vs 0.713 — smaller bursts,
+        # better cache locality). Default to the at-scale winner;
+        # override per-run via SPARK_GRAFT_ARROW_BATCH.
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("SPARK_GRAFT_ARROW_BATCH", "10000"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

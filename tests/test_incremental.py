@@ -49,14 +49,18 @@ def test_crash_between_triples_and_cmap_commits(spark, tmp_path):
     d = str(tmp_path / "crash")
     ingest_increment(spark, t1, d)
 
-    # simulate the crash: commit the MERGED triples (as the increment
-    # would) and stop — cmap_full still reflects only batch 1
+    # simulate the crash: APPEND the increment's triples (as the
+    # increment would) and stop — cmap_full still reflects only batch 1
+    from cimpy_spark.operators.extract import TRIPLE_SCHEMA
+
     ledger = LineageLedger(d)
-    committed = spark.read.parquet(ledger.stage_dir("triples"))
-    merged = committed.unionByName(
-        extract_triples(t.join(committed.select("conv_id").distinct(), "conv_id", "left_anti"))
+    committed = ledger.read_append_stage(spark, "triples", TRIPLE_SCHEMA)
+    new_triples = extract_triples(
+        t.join(committed.select("conv_id").distinct(), "conv_id", "left_anti")
     ).localCheckpoint(eager=True)
-    ledger.run_stage(spark, "triples", lambda: merged, partition_by=["obj_kind"], force=True)
+    ledger.run_append_stage(
+        spark, "triples", lambda: new_triples, partition_by=["obj_kind"]
+    )
 
     # resume: must detect the stale cmap_full and recompute fully
     res = ingest_increment(spark, t, d)
@@ -94,6 +98,37 @@ def test_incremental_nodes_exclude_undeclared_aliases(spark, tmp_path):
     assert inc_nodes == full_nodes
     # the undeclared alias's attr is absent everywhere
     assert not any(n[1] == "q_int" and n[2] == "7" for n in inc_nodes)
+
+
+def test_triples_append_only_no_rewrite(spark, tmp_path):
+    """The fact stage must never rewrite committed increments
+    (Iceberg-append semantics): batch 2 adds inc_00001 and leaves
+    inc_00000's files byte-untouched."""
+    import glob
+    import os
+
+    t = transcripts_from_events(spark, SF_TINY).cache()
+    convs = [r["conv_id"] for r in t.select("conv_id").distinct().collect()]
+    half = set(sorted(convs)[: len(convs) // 2])
+    d = str(tmp_path / "kg")
+    ingest_increment(spark, t.filter(F.col("conv_id").isin(list(half))), d)
+
+    inc0 = f"{d}/triples/inc_00000"
+    before = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(f"{inc0}/**", recursive=True)
+        if os.path.isfile(p)
+    }
+    assert before
+
+    ingest_increment(spark, t, d)
+    after = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(f"{inc0}/**", recursive=True)
+        if os.path.isfile(p)
+    }
+    assert after == before  # no rewrite of old increment files
+    assert os.path.isdir(f"{d}/triples/inc_00001")
 
 
 def test_incremental_noop_when_no_new_convs(spark, tmp_path):
