@@ -309,6 +309,43 @@ def _q_stream_extract(spark, sf_dir):
     return spark.table("stream_extract_q")
 
 
+def _q_stream_conv_state(spark, sf_dir):
+    """Stateful streaming (applyInPandasWithState): drain the bounded
+    transcript stream through the per-conversation state operator;
+    updates are monotone, so max-per-conversation over the update log
+    is the final state — which must equal the batch aggregate (the
+    DuckDB oracle)."""
+    from pyspark.sql import functions as F
+
+    from cimpy_spark.streaming.ingest import (
+        conversation_state,
+        run_to_memory_sink,
+        stream_transcripts,
+    )
+
+    d = _scratch_dir("cimpy_state_")
+    # 24 round-robin files / maxFilesPerTrigger=8 → 3 micro-batches,
+    # so per-conversation state genuinely crosses batch boundaries
+    transcripts_from_events(spark, sf_dir).repartition(24).write.mode(
+        "overwrite"
+    ).parquet(f"{d}/in")
+    run_to_memory_sink(
+        conversation_state(stream_transcripts(spark, f"{d}/in")),
+        "stream_conv_state_q",
+        mode="update",
+        checkpoint=f"{d}/ckpt",
+    )
+    return (
+        spark.table("stream_conv_state_q")
+        .groupBy("conv_id")
+        .agg(
+            F.max("n_turns").alias("n_turns"),
+            F.max("n_mentions").alias("n_mentions"),
+            F.max("max_turn_idx").alias("max_turn_idx"),
+        )
+    )
+
+
 def _q_incremental_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-gated incremental ingest: feed the corpus in two batches
     through ingest_increment (incremental CC included) and return the
@@ -385,6 +422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_neardup_pairs": _q_emb_neardup,
         "mm_features": _q_mm_features,
         "kg_incremental_edges": _q_incremental_edges,
+        "stream_conv_state": _q_stream_conv_state,
         "stream_extract_triples": _q_stream_extract,
         "tpch_pricing_summary": A.pricing_summary,
         "tpch_revenue_by_nation": A.revenue_by_nation,
@@ -461,5 +499,6 @@ def oracle_sql() -> dict[str, str]:
         "mm_features": _mm_features_oracle(),
         "kg_incremental_edges": oracles.canonical_edges_sql(),
         "stream_extract_triples": triples_oracle_sql("//", "events"),
+        "stream_conv_state": oracles.conv_state_sql(),
         **A.ANALYTICS_ORACLES,
     }

@@ -262,6 +262,17 @@ def snapshot_meta_sql() -> str:
     """
 
 
+def conv_state_sql() -> str:
+    """Batch equivalent of the stateful-streaming conversation state."""
+    return _with(T_CTE) + """
+    SELECT conv_id,
+           count(*) AS n_turns,
+           CAST(sum(n_mentions) AS BIGINT) AS n_mentions,
+           CAST(max(turn_idx) AS INT) AS max_turn_idx
+    FROM t GROUP BY conv_id
+    """
+
+
 def khop_sql(k: int = 3) -> str:
     """Exact k-hop pairs over connects_to (independent k-way join)."""
     joins = " ".join(

@@ -62,15 +62,62 @@ def windowed_mention_counts(
     )
 
 
-def run_to_memory_sink(stream: DataFrame, name: str, mode: str = "append"):
+def conversation_state(transcripts: DataFrame) -> DataFrame:
+    """Custom STATEFUL streaming operator via ``applyInPandasWithState``
+    (beyond the reference, which is batch-only): per-conversation
+    running state — turns seen, mentions seen, highest turn index —
+    maintained across micro-batches and emitted as an update row per
+    batch. Counts inside the state function are vectorized pandas over
+    each group batch (no per-row Python).
+
+    State is keyed by conv_id (the stream's natural partitioning);
+    at 10^12-turn scale the state store holds one tiny row per live
+    conversation, and updates are monotone — so the FINAL state per
+    conversation equals the batch aggregate, which is how the oracle
+    gates it (`stream_conv_state`)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "conv_id string, n_turns long, n_mentions long, max_turn_idx int"
+    state_schema = "n_turns long, n_mentions long, max_turn_idx int"
+
+    def update(key, pdfs, state: GroupState):
+        n_turns, n_mentions, max_turn = (
+            state.get if state.exists else (0, 0, -1)
+        )
+        for pdf in pdfs:
+            n_turns += len(pdf)
+            n_mentions += int(pdf["text"].str.count("«").sum())
+            if len(pdf):
+                max_turn = max(max_turn, int(pdf["turn_idx"].max()))
+        state.update((n_turns, n_mentions, max_turn))
+        yield pd.DataFrame(
+            {
+                "conv_id": [key[0]],
+                "n_turns": [n_turns],
+                "n_mentions": [n_mentions],
+                "max_turn_idx": [max_turn],
+            }
+        )
+
+    return transcripts.groupBy("conv_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def run_to_memory_sink(
+    stream: DataFrame, name: str, mode: str = "append", checkpoint: str | None = None
+):
     """Drain a bounded file stream into an in-memory table (test/dev
     helper); returns the query after processing all available data."""
-    q = (
+    w = (
         stream.writeStream.format("memory")
         .queryName(name)
         .outputMode(mode)
         .trigger(availableNow=True)
-        .start()
     )
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    q = w.start()
     q.awaitTermination()
     return q

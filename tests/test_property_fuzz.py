@@ -65,7 +65,12 @@ def transcript(draw):
     rows = []
     for i in range(n):
         conv = f"c{draw(st.integers(0, 4))}"
-        text = draw(NOISE) + draw(mention()) + draw(NOISE)
+        # 0-3 mentions per turn — fuzzes the multi-mention extraction
+        # path (mention_idx ordering, same-turn attr overwrites)
+        k = draw(st.integers(0, 3))
+        text = draw(NOISE) + "".join(
+            draw(mention()) + draw(NOISE) for _ in range(k)
+        )
         rows.append((conv, i, "user", text, None))
     return rows
 

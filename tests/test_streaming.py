@@ -45,3 +45,53 @@ def test_windowed_counts(spark, tmp_path):
         spark.sql("SELECT sum(n_turns) AS s FROM stream_windows").collect()[0]["s"]
     )
     assert total == spark.read.parquet(d).count()
+
+
+def test_stateful_conversation_state_crosses_batches(spark, tmp_path):
+    """applyInPandasWithState: state must accumulate ACROSS
+    micro-batches (not restart per batch), and the final state must
+    equal the batch aggregate."""
+    from pyspark.sql import functions as F
+
+    from cimpy_spark.streaming.ingest import conversation_state
+
+    t = transcripts_from_events(spark, SF_TINY)
+    d = str(tmp_path / "state_in")
+    # 24 round-robin files / maxFilesPerTrigger=8 -> 3 micro-batches
+    t.repartition(24).write.parquet(d)
+    run_to_memory_sink(
+        conversation_state(stream_transcripts(spark, d)),
+        "conv_state_t",
+        mode="update",
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    updates = spark.table("conv_state_t")
+    # statefulness: at least one conversation emitted several update
+    # rows with strictly growing counts (state carried across batches)
+    multi = (
+        updates.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_updates"),
+            F.countDistinct("n_turns").alias("n_distinct"),
+        )
+        .filter((F.col("n_updates") > 1) & (F.col("n_distinct") > 1))
+        .count()
+    )
+    assert multi > 0
+    # final state per conversation == batch aggregate
+    final = updates.groupBy("conv_id").agg(
+        F.max("n_turns").alias("n_turns"),
+        F.max("n_mentions").alias("n_mentions"),
+        F.max("max_turn_idx").alias("max_turn_idx"),
+    )
+    batch = t.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(F.size(F.regexp_extract_all(F.col("text"), F.lit("«"), 0))).alias(
+            "n_mentions"
+        ),
+        F.max("turn_idx").alias("max_turn_idx"),
+    )
+    cols = ["conv_id", "n_turns", "n_mentions", "max_turn_idx"]
+    a = final.select(*cols)
+    b = batch.select(*[F.col(c).cast(dict(zip(cols, ["string", "long", "long", "int"]))[c]).alias(c) for c in cols])
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
