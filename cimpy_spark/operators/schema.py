@@ -147,6 +147,41 @@ def schema_cast(nodes: DataFrame, schema_df: DataFrame) -> DataFrame:
     )
 
 
+def route_to_profiles(nodes: DataFrame, schema_df: DataFrame) -> DataFrame:
+    """Export-side profile routing: each attribute row is assigned the
+    profile the SCHEMA designates for it (the reference resolves each
+    attribute's serialization profile from the class model at export,
+    cimpy/cimexport.py:258-287 — NOT from where the value was
+    observed); attributes the schema doesn't know keep their observed
+    provenance, and rdf_type rows stay with their declaration's
+    profile. Output: (entity_id, attr, value, export_profile) — the
+    partition key for a profile-routed export sink.
+
+    One broadcast join; narrow."""
+    types = nodes.filter(F.col("attr") == "rdf_type").select(
+        "entity_id", F.col("value").alias("type")
+    )
+    routed = (
+        nodes.join(types, "entity_id")
+        .join(
+            F.broadcast(
+                schema_df.select(
+                    "type", "attr", F.col("profiles")[0].alias("__route")
+                )
+            ),
+            ["type", "attr"],
+            "left",
+        )
+        .select(
+            "entity_id",
+            "attr",
+            "value",
+            F.coalesce("__route", "profile").alias("export_profile"),
+        )
+    )
+    return routed
+
+
 def schema_quarantine_counts(cast_df: DataFrame) -> DataFrame:
     """A1-style grouped accounting of what the cast stage skipped
     (cimpy/cimimport.py:41-66,243-249): (attr, status, n)."""
@@ -168,11 +203,32 @@ def schema_table_sql() -> str:
             if domain is None
             else "[" + ", ".join(f"'{v}'" for v in domain) + "]"
         )
-        rows.append(f"('{t}', '{attr}', '{dtype}', {dflt_sql}, {dom_sql})")
+        rows.append(
+            f"('{t}', '{attr}', '{dtype}', {dflt_sql}, {dom_sql}, '{profiles[0]}')"
+        )
     return (
-        "schema_t(type, attr, dtype, default_value, enum_domain) AS (VALUES "
+        "schema_t(type, attr, dtype, default_value, enum_domain, route) AS (VALUES "
         + ", ".join(rows)
         + ")"
+    )
+
+
+def profile_routing_oracle_sql(pipeline_ctes: str) -> str:
+    """DuckDB oracle for `kg_profile_routing`."""
+    return (
+        pipeline_ctes
+        + ", "
+        + schema_table_sql()
+        + """
+    , etypes AS (
+      SELECT entity_id, value AS type FROM nodes WHERE attr = 'rdf_type'
+    )
+    SELECT n.entity_id, n.attr, n.value,
+           COALESCE(s.route, n.profile) AS export_profile
+    FROM nodes n
+    JOIN etypes t USING (entity_id)
+    LEFT JOIN schema_t s ON s.type = t.type AND s.attr = n.attr
+    """
     )
 
 

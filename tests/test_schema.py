@@ -66,6 +66,32 @@ def test_quarantine_counts(spark):
     assert q == {("p_enum", "bad_literal"): 1, ("q_str", "unknown_attr"): 1}
 
 
+def test_profile_routing_follows_schema_not_provenance(spark):
+    """Export routing comes from the schema (reference resolves each
+    attribute's serialization profile from the class model,
+    cimexport.py:258-287), not from where the value was observed."""
+    from cimpy_spark.operators.schema import route_to_profiles
+
+    t = _cast(spark).sparkSession.createDataFrame(
+        # q_int observed on a 'tool' turn, but schema routes it to
+        # 'assistant'; zz_custom unknown -> keeps observed provenance
+        [
+            ("c1", 0, "user", "«decl E1 type:T0 p_int=5 p_bool=true p_enum=kind:Unit.V1»", None),
+            ("c1", 1, "tool", "«about E1 q_int=9 zz_custom=x»", None),
+        ],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    )
+    nodes = P.build_graph(t).nodes
+    routed = {
+        (r["attr"]): r["export_profile"]
+        for r in route_to_profiles(nodes, fixture_schema(spark)).collect()
+    }
+    assert routed["q_int"] == "assistant"  # schema wins over 'tool'
+    assert routed["p_int"] == "user"
+    assert routed["zz_custom"] == "tool"  # unknown attr keeps provenance
+    assert routed["rdf_type"] == "user"  # declaration profile
+
+
 def test_new_attr_is_a_data_change_not_a_code_change(spark):
     """Extending the schema table changes cast behavior with zero code
     edits — the point of schema-as-data (SURVEY §1.3)."""
