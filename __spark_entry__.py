@@ -278,6 +278,10 @@ def _q_doc_ngram_jaccard(spark, sf_dir):
     return D.ngram_jaccard(docs, D.minhash_candidates(docs))
 
 
+def _q_doc_dedup_corpus(spark, sf_dir):
+    return D.dedup_corpus(_docs(spark, sf_dir))
+
+
 def _q_doc_simhash(spark, sf_dir):
     return D.simhash(_docs(spark, sf_dir))
 
@@ -423,6 +427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash_candidates": _q_doc_minhash_candidates,
         "doc_ngram_jaccard": _q_doc_ngram_jaccard,
         "doc_simhash": _q_doc_simhash,
+        "doc_dedup_corpus": _q_doc_dedup_corpus,
         "emb_cosine_topk": _q_emb_cosine_topk,
         "emb_lsh_buckets": _q_emb_lsh_buckets,
         "emb_ivf_topk": _q_emb_ivf_topk,
@@ -506,6 +511,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_minhash_candidates": doc_oracles.minhash_candidates_sql(),
         "doc_ngram_jaccard": doc_oracles.ngram_jaccard_sql(),
         "doc_simhash": doc_oracles.simhash_sql(),
+        "doc_dedup_corpus": doc_oracles.dedup_corpus_sql(),
         "emb_cosine_topk": doc_oracles.cosine_topk_sql(),
         "emb_lsh_buckets": doc_oracles.lsh_buckets_sql(),
         "emb_ivf_topk": doc_oracles.ivf_topk_sql(),

@@ -204,6 +204,50 @@ def ngram_jaccard(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     )
 
 
+def dedup_corpus(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """End-to-end near-duplicate corpus dedup — the composition a
+    training-data pipeline actually runs:
+
+    1. LSH candidate generation (bucketed, max_bucket-capped),
+    2. exact n-gram Jaccard verify at `threshold`,
+    3. connected components over the verified dup pairs (transitive:
+       A≈B≈C collapses to one cluster) via the SAME CC operator the
+       KG pipeline uses — union-find fast path under 1M pairs,
+       pointer-jumping loop above,
+    4. canonical election: min doc_id per cluster survives.
+
+    Doc ids are zero-padded to strings for the CC operator so
+    lexicographic min == numeric min. Output:
+    (doc_id, canonical_doc_id, is_kept).
+    """
+    from cimpy_spark.operators.canonicalize import canonical_labels
+
+    dup_pairs = ngram_jaccard(docs, minhash_candidates(docs, n_hashes, n_bands, max_bucket)).filter(
+        F.col("jaccard") >= threshold
+    )
+    pad = "%012d"
+    links = dup_pairs.select(
+        F.format_string(pad, "doc_a").alias("src"),
+        F.format_string(pad, "doc_b").alias("dst"),
+    )
+    ids = docs.select(F.format_string(pad, "doc_id").alias("entity_id"))
+    labels = canonical_labels(ids, links)
+    return (
+        ids.join(labels, "entity_id")
+        .select(
+            F.col("entity_id").cast("bigint").alias("doc_id"),
+            F.col("canonical_id").cast("bigint").alias("canonical_doc_id"),
+        )
+        .withColumn("is_kept", F.col("doc_id") == F.col("canonical_doc_id"))
+    )
+
+
 def simhash(docs: DataFrame, n_bits: int = 16) -> DataFrame:
     """16-bit SimHash over distinct word tokens: bit j of a token's
     md5 (parity of hex digit j) votes ±1; the sign of each bit-sum is

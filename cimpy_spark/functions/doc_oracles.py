@@ -127,24 +127,50 @@ def minhash_candidates_sql() -> str:
     return f"WITH {SIG_CTES} SELECT doc_a, doc_b FROM cand"
 
 
+JAC_CTES = f"""
+{SIG_CTES},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+),
+jac AS (
+  SELECT c.doc_a, c.doc_b,
+         round(COALESCE(i.n_inter, 0) * 1.0
+               / (za.n + zb.n - COALESCE(i.n_inter, 0)), 6) AS jaccard
+  FROM cand c
+  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+  JOIN sizes za ON za.doc_id = c.doc_a
+  JOIN sizes zb ON zb.doc_id = c.doc_b
+)
+"""
+
+
 def ngram_jaccard_sql() -> str:
+    return f"WITH {JAC_CTES} SELECT doc_a, doc_b, jaccard FROM jac"
+
+
+def dedup_corpus_sql(threshold: float = 0.8) -> str:
+    """End-to-end dedup oracle: verified dup pairs -> transitive
+    closure -> min-id canonical election."""
     return f"""
-    WITH {SIG_CTES},
-    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-    inter AS (
-      SELECT c.doc_a, c.doc_b, count(*) AS n_inter
-      FROM cand c
-      JOIN sh sa ON sa.doc_id = c.doc_a
-      JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
-      GROUP BY c.doc_a, c.doc_b
-    )
-    SELECT c.doc_a, c.doc_b,
-           round(COALESCE(i.n_inter, 0) * 1.0
-                 / (za.n + zb.n - COALESCE(i.n_inter, 0)), 6) AS jaccard
-    FROM cand c
-    LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
-    JOIN sizes za ON za.doc_id = c.doc_a
-    JOIN sizes zb ON zb.doc_id = c.doc_b
+    WITH RECURSIVE {JAC_CTES},
+    dup AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= {threshold}),
+    sym AS (SELECT doc_a AS a, doc_b AS b FROM dup
+            UNION SELECT doc_b, doc_a FROM dup),
+    reach(a, b) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN sym e ON r.b = e.a
+    ),
+    cmapd AS (SELECT a AS doc_id, min(b) AS canonical_doc_id
+              FROM reach GROUP BY a)
+    SELECT doc_id, canonical_doc_id,
+           doc_id = canonical_doc_id AS is_kept
+    FROM cmapd
     """
 
 

@@ -125,7 +125,30 @@ def test_neardup_max_bucket_bounds_degenerate_pairs(spark, emb):
     assert uncapped.count() == 200 * 199 // 2
 
 
-def test_fingerprint_deterministic_per_text(spark, docs):
+def test_dedup_corpus_transitive_clusters(spark, docs):
+    """A≈B≈C must collapse to ONE cluster with min-id canonical, and
+    unique docs keep themselves."""
+    sample = docs.select("doc_id", "text").limit(30)
+    trip = (
+        sample.union(
+            sample.select((F.col("doc_id") + 1000).alias("doc_id"), "text")
+        ).union(
+            sample.select((F.col("doc_id") + 2000).alias("doc_id"), "text")
+        )
+    )
+    res = D.dedup_corpus(trip, threshold=0.99)
+    rows = {r["doc_id"]: (r["canonical_doc_id"], r["is_kept"]) for r in res.collect()}
+    assert len(rows) == 90
+    base_ids = [r["doc_id"] for r in sample.collect()]
+    for b in base_ids:
+        # identical triplet {b, b+1000, b+2000} -> canonical min = b
+        assert rows[b] == (b, True)
+        assert rows[b + 1000][0] == rows[b + 2000][0] == rows[b][0]
+        assert not rows[b + 1000][1] and not rows[b + 2000][1]
+    # survivors = one per cluster
+    assert sum(1 for v in rows.values() if v[1]) == res.select(
+        "canonical_doc_id"
+    ).distinct().count()
     fp = T.fingerprint(docs)
     joined = (
         docs.select("doc_id", "text")
