@@ -282,6 +282,18 @@ def _q_doc_dedup_corpus(spark, sf_dir):
     return D.dedup_corpus(_docs(spark, sf_dir))
 
 
+def _q_doc_simhash_candidates(spark, sf_dir):
+    return D.simhash_candidates(_docs(spark, sf_dir))
+
+
+def _q_doc_corpus_filter(spark, sf_dir):
+    return T.corpus_filter(_docs(spark, sf_dir))
+
+
+def _q_kg_adjacency(spark, sf_dir):
+    return P.adjacency(_graph(spark, sf_dir).canon_edges)
+
+
 def _q_doc_simhash(spark, sf_dir):
     return D.simhash(_docs(spark, sf_dir))
 
@@ -428,6 +440,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ngram_jaccard": _q_doc_ngram_jaccard,
         "doc_simhash": _q_doc_simhash,
         "doc_dedup_corpus": _q_doc_dedup_corpus,
+        "doc_simhash_candidates": _q_doc_simhash_candidates,
+        "doc_corpus_filter": _q_doc_corpus_filter,
+        "kg_adjacency": _q_kg_adjacency,
         "emb_cosine_topk": _q_emb_cosine_topk,
         "emb_lsh_buckets": _q_emb_lsh_buckets,
         "emb_ivf_topk": _q_emb_ivf_topk,
@@ -512,6 +527,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_ngram_jaccard": doc_oracles.ngram_jaccard_sql(),
         "doc_simhash": doc_oracles.simhash_sql(),
         "doc_dedup_corpus": doc_oracles.dedup_corpus_sql(),
+        "doc_simhash_candidates": doc_oracles.simhash_candidates_sql(),
+        "doc_corpus_filter": doc_oracles.corpus_filter_sql(),
+        "kg_adjacency": oracles.adjacency_sql(),
         "emb_cosine_topk": doc_oracles.cosine_topk_sql(),
         "emb_lsh_buckets": doc_oracles.lsh_buckets_sql(),
         "emb_ivf_topk": doc_oracles.ivf_topk_sql(),

@@ -215,6 +215,14 @@ def node_degree_sql() -> str:
     """
 
 
+def adjacency_sql() -> str:
+    return PIPELINE_CTES + """
+    SELECT src, pred, list(dst ORDER BY dst) AS neighbors,
+           count(*) AS n_neighbors
+    FROM canon_edges GROUP BY src, pred
+    """
+
+
 def multihop_sql() -> str:
     return PIPELINE_CTES + """
     SELECT DISTINCT e1.src AS a, e1.dst AS b, e2.dst AS c

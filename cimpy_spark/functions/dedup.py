@@ -283,3 +283,58 @@ def simhash(docs: DataFrame, n_bits: int = 16) -> DataFrame:
         ],
     )
     return toks.select("doc_id", fp.cast("long").alias("simhash"))
+
+
+def simhash_candidates(
+    docs: DataFrame,
+    n_bits: int = 32,
+    n_bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """SimHash near-duplicate pairs: band the fingerprint into
+    ``n_bands`` equal bit slices — by pigeonhole, any pair within
+    ``max_hamming < n_bands`` bit flips shares at least one identical
+    band — bucket-join on (band, slice value), cap oversize buckets,
+    then verify Hamming distance exactly with ``bit_count(xor)``
+    (all JVM-side). Output: (doc_a, doc_b, hamming).
+
+    32-bit fingerprints (md5 has exactly 32 hex digits to vote with):
+    8-bit band slices give 256-way buckets per band; degenerate slices
+    (e.g. short docs voting identically) are dropped by the cap,
+    A1-style, like the MinHash path."""
+    band_bits = n_bits // n_bands
+    sh = simhash(docs, n_bits=n_bits)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright("simhash", b * band_bits)
+                .bitwiseAND(F.lit(2**band_bits - 1))
+                .alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    keys = sh.select("doc_id", "simhash", F.explode(bands).alias("bk")).select(
+        "doc_id", "simhash", "bk.band", "bk.band_key"
+    )
+    big = (
+        keys.groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > max_bucket)
+        .select("band", "band_key")
+    )
+    ok = keys.join(F.broadcast(big), ["band", "band_key"], "left_anti")
+    a = ok.select("band", "band_key", F.col("doc_id").alias("doc_a"),
+                  F.col("simhash").alias("sha"))
+    b = ok.select("band", "band_key", F.col("doc_id").alias("doc_b"),
+                  F.col("simhash").alias("shb"))
+    ham = F.expr("bit_count(sha ^ shb)")
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -174,9 +174,9 @@ def dedup_corpus_sql(threshold: float = 0.8) -> str:
     """
 
 
-def simhash_sql() -> str:
+def _simhash_ctes(n_bits: int = 16) -> str:
     return f"""
-    WITH toks AS (
+    toks AS (
       SELECT DISTINCT doc_id, tok
       FROM (SELECT doc_id, unnest({WORDS}) AS tok FROM documents)
     ),
@@ -184,12 +184,61 @@ def simhash_sql() -> str:
       SELECT doc_id, j,
              sum(CASE WHEN (strpos('0123456789abcdef', substring(md5(tok), j, 1)) - 1) % 2 = 1
                  THEN 1 ELSE -1 END) AS s
-      FROM toks, (SELECT unnest(generate_series(1, 16)) AS j) jj
+      FROM toks, (SELECT unnest(generate_series(1, {n_bits})) AS j) jj
       GROUP BY doc_id, j
+    ),
+    shs AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN s > 0 THEN power(2.0, j - 1) ELSE 0 END) AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id
     )
-    SELECT doc_id,
-           CAST(sum(CASE WHEN s > 0 THEN power(2.0, j - 1) ELSE 0 END) AS BIGINT) AS simhash
-    FROM bits GROUP BY doc_id
+    """
+
+
+def simhash_sql(n_bits: int = 16) -> str:
+    return f"WITH {_simhash_ctes(n_bits)} SELECT doc_id, simhash FROM shs"
+
+
+def simhash_candidates_sql(
+    n_bits: int = 32,
+    n_bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket: int = MINHASH_MAX_BUCKET,
+) -> str:
+    band_bits = n_bits // n_bands
+    band_vals = ", ".join(f"({b})" for b in range(n_bands))
+    return f"""
+    WITH {_simhash_ctes(n_bits)},
+    bands AS (
+      SELECT doc_id, simhash, bb.b AS band,
+             (simhash >> ({band_bits} * bb.b)) & {2**band_bits - 1} AS band_key
+      FROM shs, (VALUES {band_vals}) bb(b)
+    ),
+    okb AS (
+      SELECT band, band_key FROM bands
+      GROUP BY band, band_key HAVING count(*) <= {max_bucket}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+    JOIN okb k ON k.band = a.band AND k.band_key = a.band_key
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
+def corpus_filter_sql(
+    min_quality: float = 0.5, dedup_threshold: float = 0.8
+) -> str:
+    return f"""
+    SELECT q.doc_id, q.quality, l.lang_pred, d.is_kept,
+           (q.quality >= {min_quality}
+            AND l.lang_pred IN ('en', 'dataese')
+            AND d.is_kept) AS selected
+    FROM ({quality_score_sql()}) q
+    JOIN ({lang_id_sql()}) l USING (doc_id)
+    JOIN ({dedup_corpus_sql(dedup_threshold)}) d USING (doc_id)
     """
 
 

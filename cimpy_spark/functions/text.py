@@ -106,6 +106,41 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+def corpus_filter(
+    docs: DataFrame,
+    min_quality: float = 0.5,
+    langs: tuple = ("en", "dataese"),
+    dedup_threshold: float = 0.8,
+) -> DataFrame:
+    """Training-corpus selection — the decision a data pipeline
+    actually ships: quality gate + language gate + near-duplicate
+    keep, in one plan. Output: (doc_id, quality, lang_pred, is_kept,
+    selected). All three inputs are existing oracle-gated operators;
+    joins are on doc_id (co-partitioned aggregations, no skew)."""
+    from cimpy_spark.functions.dedup import dedup_corpus
+
+    q = quality_score(docs).select("doc_id", "quality")
+    lang = lang_id(docs).select("doc_id", "lang_pred")
+    keep = dedup_corpus(docs, threshold=dedup_threshold).select(
+        "doc_id", "is_kept"
+    )
+    return (
+        q.join(lang, "doc_id")
+        .join(keep, "doc_id")
+        .select(
+            "doc_id",
+            "quality",
+            "lang_pred",
+            "is_kept",
+            (
+                (F.col("quality") >= min_quality)
+                & F.col("lang_pred").isin(*langs)
+                & F.col("is_kept")
+            ).alias("selected"),
+        )
+    )
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Document fingerprint = lexicographic-min md5 over word 5-grams
     (a 1-permutation MinHash; rolling-hash analog), falling back to

@@ -102,6 +102,18 @@ def multihop(canon_edges: DataFrame, pred1: str = "connects_to", pred2: str = "f
     return e1.join(e2, "b").select("a", "b", "c").distinct()
 
 
+def adjacency(canon_edges: DataFrame) -> DataFrame:
+    """Many-valued reference view: per (src, pred), the sorted
+    neighbor array — the reference's list-valued attributes (e.g.
+    Terminal lists, appended with dedupe, cimpy/cimimport.py:294-300)
+    as a grouped array column. Single hash aggregation; sort_array
+    makes the array engine-stable for the oracle."""
+    return canon_edges.groupBy("src", "pred").agg(
+        F.sort_array(F.collect_list("dst")).alias("neighbors"),
+        F.count(F.lit(1)).alias("n_neighbors"),
+    )
+
+
 def khop(canon_edges: DataFrame, pred: str = "connects_to", k: int = 3) -> DataFrame:
     """Variable-length traversal: distinct (src, dst) pairs connected
     by a path of exactly `k` edges of `pred` — the generalization of

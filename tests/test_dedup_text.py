@@ -125,6 +125,22 @@ def test_neardup_max_bucket_bounds_degenerate_pairs(spark, emb):
     assert uncapped.count() == 200 * 199 // 2
 
 
+def test_simhash_candidates_find_identicals(spark, docs):
+    """Identical texts have identical fingerprints → hamming 0 →
+    always candidates (any band matches)."""
+    sample = docs.select("doc_id", "text").limit(40)
+    dupd = _with_copies(sample, "doc_id")
+    cands = D.simhash_candidates(dupd)
+    planted = sample.select(
+        F.col("doc_id").alias("doc_a"), (F.col("doc_id") + 1000000).alias("doc_b")
+    )
+    found = planted.join(cands, ["doc_a", "doc_b"], "inner")
+    assert found.count() == 40
+    assert found.join(cands, ["doc_a", "doc_b"]).filter(
+        F.col("hamming") != 0
+    ).count() == 0
+
+
 def test_dedup_corpus_transitive_clusters(spark, docs):
     """A≈B≈C must collapse to ONE cluster with min-id canonical, and
     unique docs keep themselves."""
