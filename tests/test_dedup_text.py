@@ -126,19 +126,25 @@ def test_neardup_max_bucket_bounds_degenerate_pairs(spark, emb):
 
 
 def test_simhash_candidates_find_identicals(spark, docs):
-    """Identical texts have identical fingerprints → hamming 0 →
-    always candidates (any band matches)."""
+    """Identical texts have identical fingerprints → hamming 0 → found
+    whenever their buckets survive the cap; with the cap lifted,
+    recall on exact dups is 1.0."""
     sample = docs.select("doc_id", "text").limit(40)
     dupd = _with_copies(sample, "doc_id")
-    cands = D.simhash_candidates(dupd)
     planted = sample.select(
         F.col("doc_id").alias("doc_a"), (F.col("doc_id") + 1000000).alias("doc_b")
     )
-    found = planted.join(cands, ["doc_a", "doc_b"], "inner")
-    assert found.count() == 40
-    assert found.join(cands, ["doc_a", "doc_b"]).filter(
+    uncapped = D.simhash_candidates(dupd, max_bucket=10**9)
+    missed = planted.join(uncapped, ["doc_a", "doc_b"], "left_anti").count()
+    assert missed == 0
+    # every planted pair that IS emitted carries hamming 0
+    assert planted.join(uncapped, ["doc_a", "doc_b"]).filter(
         F.col("hamming") != 0
     ).count() == 0
+    # the default cap stays sound: emitted pairs are a subset of the
+    # uncapped pairs
+    capped = D.simhash_candidates(dupd)
+    assert capped.join(uncapped, ["doc_a", "doc_b"], "left_anti").count() == 0
 
 
 def test_dedup_corpus_transitive_clusters(spark, docs):
