@@ -356,6 +356,52 @@ def ingest_increment(
     return out
 
 
+def write_bucketed_graph(
+    spark: SparkSession,
+    nodes: DataFrame,
+    canon_edges: DataFrame,
+    n_buckets: int = 16,
+    prefix: str = "kg",
+) -> tuple[str, str]:
+    """Bucketed co-located sink: nodes bucketed+sorted by entity_id,
+    edges by src, SAME bucket count — so the hot consumer join
+    (edges ⋈ nodes on src=entity_id, the reference's pointer-chase
+    CIM2DPsim.py:465-476 at scale) runs with ZERO exchanges on either
+    side (verified by plan test). At 10^9-node scale this converts the
+    per-query shuffle into a one-time write-side clustering; on a real
+    deployment the same layout is an Iceberg bucket-partition spec.
+
+    Returns the two table names (registered in the session catalog;
+    files under spark.sql.warehouse.dir)."""
+    import shutil
+
+    nodes_t = f"{prefix}_nodes_bucketed"
+    edges_t = f"{prefix}_edges_bucketed"
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix("file:")
+    for t in (nodes_t, edges_t):
+        # idempotent rewrite: drop the catalog entry AND any orphaned
+        # location a previous session left behind (the in-memory
+        # catalog forgets tables across sessions; the files don't)
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        if warehouse:
+            shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+    (
+        nodes.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, "entity_id")
+        .sortBy("entity_id")
+        .saveAsTable(nodes_t)
+    )
+    (
+        canon_edges.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, "src")
+        .sortBy("src")
+        .saveAsTable(edges_t)
+    )
+    return nodes_t, edges_t
+
+
 def roundtrip_check(spark: SparkSession, out_dir: str) -> bool:
     """Materialize → re-read → re-derive invariant views and compare
     (the reference's import→export→import fixpoint,

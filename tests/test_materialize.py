@@ -70,3 +70,42 @@ def test_roundtrip_fixpoint(spark, tmp_path):
     t = transcripts_from_events(spark, SF_TINY)
     run_pipeline(spark, t, out_dir)
     assert roundtrip_check(spark, out_dir)
+
+
+def test_bucketed_graph_join_is_exchange_free(spark, tmp_path):
+    """Bucketed co-located sink: the consumer join on the bucket key
+    must run without a shuffle on either side."""
+    from pyspark.sql import functions as F
+
+    from cimpy_spark import pipeline as P
+    from cimpy_spark.fixtures.events_transcripts import transcripts_from_events
+    from cimpy_spark.operators.materialize import write_bucketed_graph
+    from tests.conftest import SF_TINY
+
+    g = P.build_graph(transcripts_from_events(spark, SF_TINY))
+    nodes_t, edges_t = write_bucketed_graph(spark, g.nodes, g.canon_edges)
+    n = spark.table(nodes_t)
+    e = spark.table(edges_t)
+    joined = e.join(n, e.src == n.entity_id).select("src", "pred", "attr", "value")
+    # tiny test tables would broadcast (which also avoids a shuffle);
+    # disable broadcast so the plan must rely on the BUCKET layout —
+    # the scale-relevant case where neither side broadcasts
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    )
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        for k in keys:
+            spark.conf.set(k, "-1")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
+    # and it returns the same rows as the unbucketed join
+    plain = g.canon_edges.join(
+        g.nodes, g.canon_edges.src == g.nodes.entity_id
+    ).select("src", "pred", "attr", "value")
+    assert joined.exceptAll(plain).count() == 0
+    assert plain.exceptAll(joined).count() == 0
