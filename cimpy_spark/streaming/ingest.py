@@ -105,6 +105,37 @@ def conversation_state(transcripts: DataFrame) -> DataFrame:
     )
 
 
+def stream_ingest(spark, input_dir: str, out_dir: str):
+    """Streaming KG maintenance end-to-end: each micro-batch of
+    transcript files flows through the SAME batch-incremental ingest
+    (extract only unseen conversations, append-only triples,
+    incremental link/CC/node stages) via ``foreachBatch`` — the Spark
+    pattern for transactional/stateful sinks that Structured Streaming
+    can't express declaratively.
+
+    Arrival invariant: a conversation must arrive atomically within
+    one micro-batch (stage input files partitioned by conv_id; the
+    Iceberg-snapshot analog of 'a profile file arrives whole') —
+    ingest_increment's seen-conversation skip assumes a conversation
+    is never extended after first sight. The bounded drain
+    (availableNow) leaves the committed snapshot equal to a single
+    batch run over all input (equivalence-tested)."""
+    from cimpy_spark.operators.materialize import ingest_increment
+
+    def _sink(batch_df, _batch_id: int):
+        ingest_increment(spark, batch_df, out_dir)
+
+    q = (
+        stream_transcripts(spark, input_dir)
+        .writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", f"{out_dir}/_stream_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def run_to_memory_sink(
     stream: DataFrame, name: str, mode: str = "append", checkpoint: str | None = None
 ):

@@ -95,3 +95,35 @@ def test_stateful_conversation_state_crosses_batches(spark, tmp_path):
     a = final.select(*cols)
     b = batch.select(*[F.col(c).cast(dict(zip(cols, ["string", "long", "long", "int"]))[c]).alias(c) for c in cols])
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_stream_ingest_equals_batch_pipeline(spark, tmp_path):
+    """foreachBatch-driven incremental graph maintenance: draining the
+    transcript stream must leave the SAME committed snapshot as one
+    batch run over all input. Input files are conversation-atomic
+    (partitioned by conv_id), the arrival invariant."""
+    from pyspark.sql import functions as F
+
+    from cimpy_spark.operators.materialize import run_pipeline
+    from cimpy_spark.plans.lineage import LineageLedger
+    from cimpy_spark.streaming.ingest import stream_ingest
+
+    t = transcripts_from_events(spark, SF_TINY).cache()
+    d_in = str(tmp_path / "in")
+    # 16 conv-atomic files / maxFilesPerTrigger=8 -> 2 micro-batches
+    t.repartition(16, "conv_id").write.parquet(d_in)
+
+    d_stream = str(tmp_path / "stream_out")
+    stream_ingest(spark, d_in, d_stream)
+
+    d_full = str(tmp_path / "full_out")
+    full = run_pipeline(spark, t, d_full)
+
+    ledger = LineageLedger(d_stream)
+    for stage in ("entities", "cmap", "canon_edges", "nodes"):
+        a = spark.read.parquet(ledger.stage_dir(stage))
+        b = full[stage]
+        cols = sorted(b.columns)
+        assert a.count() == b.count(), stage
+        assert a.select(*cols).exceptAll(b.select(*cols)).count() == 0, stage
+        assert b.select(*cols).exceptAll(a.select(*cols)).count() == 0, stage
