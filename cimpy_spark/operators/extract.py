@@ -44,7 +44,7 @@ TRIPLE_SCHEMA = (
 
 # Every «...» span is a mention. Grammar documented in
 # cimpy_spark/fixtures/events_transcripts.py.
-_MENTION = re.compile(r"«([^»]*)»")
+_MENTION = re.compile(r"«([^«»]*)»")
 _DECL = re.compile(r"^decl (E\d+) type:(T\d+)((?: \w+=[^ ]+)*)$")
 _ABOUT = re.compile(r"^about (E\d+)((?: \w+=[^ ]+)*)$")
 _REL = re.compile(r"^rel (E\d+) (\w+) ([EX]\d+)$")
@@ -175,7 +175,9 @@ def _parse_batch(pdf: pd.DataFrame) -> pd.DataFrame:
 # RE2-compiled named-group regexes; ~2x the pandas-path throughput.
 # ---------------------------------------------------------------------------
 
-_A_BODY = "^(?P<m>[^»]*)»"
+_A_BODY = "^(?P<m>[^«»]*)»"  # body may not contain « — keeps the
+# split-based scan and the regex-scan (pandas/oracle) semantics identical
+# on pathological nested-« input
 _A_DECL = r"^decl (?P<subj>E\d+) type:(?P<typ>T\d+)(?P<attrs>(?: \w+=[^ ]+)*)$"
 _A_ABOUT = r"^about (?P<subj>E\d+)(?P<attrs>(?: \w+=[^ ]+)*)$"
 _A_REL = r"^rel (?P<subj>E\d+) (?P<pred>\w+) (?P<dst>[EX]\d+)$"
@@ -215,11 +217,14 @@ def _mention_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
     flat = pc.list_flatten(parts)  # drops null lists, keeps row order
     parents = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False)
     body = pc.struct_field(pc.extract_regex(flat, _A_BODY), "m")
-    # fragment 0 of each row is the pre-mention prefix (no «» body);
-    # any fragment without a closing » is malformed and skipped, like
-    # the reference skipping unparseable elements
+    # fragment 0 of each row is the pre-first-« prefix and is NEVER a
+    # mention (even if it happens to contain a stray » — without this
+    # guard, "»x «..." would mint a phantom empty mention the regex
+    # scan does not see); fragments without a closing » are malformed
+    # and skipped, like the reference skipping unparseable elements
+    frag_pos = _group_cumcount(parents)
     valid = pc.is_valid(body).to_numpy(zero_copy_only=False)
-    keep = np.flatnonzero(valid)
+    keep = np.flatnonzero(valid & (frag_pos > 0))
     m_parents = parents[keep]
     mention_idx = pa.array(_group_cumcount(m_parents), type=pa.int32())
     keep_idx = pa.array(keep)
@@ -409,7 +414,7 @@ def extraction_metrics(transcripts: DataFrame) -> DataFrame:
     + when-chain) — stays in whole-stage codegen, no Python.
     """
     mention = F.explode_outer(
-        F.regexp_extract_all(F.col("text"), F.lit("«([^»]*)»"), 1)
+        F.regexp_extract_all(F.col("text"), F.lit("«([^«»]*)»"), 1)
     ).alias("m")
     kind = (
         F.when(F.col("m").isNull(), F.lit("no_mention"))

@@ -28,7 +28,7 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 
-_MENTION = re.compile(r"«([^»]*)»")
+_MENTION = re.compile(r"«([^«»]*)»")
 _DECL = re.compile(r"^decl (E\d+) type:(T\d+)((?: \w+=[^ ]+)*)$")
 _ABOUT = re.compile(r"^about (E\d+)((?: \w+=[^ ]+)*)$")
 _REL = re.compile(r"^rel (E\d+) (\w+) ([EX]\d+)$")

@@ -87,7 +87,7 @@ def conversation_state(transcripts: DataFrame) -> DataFrame:
         )
         for pdf in pdfs:
             n_turns += len(pdf)
-            n_mentions += int(pdf["text"].str.count("«").sum())
+            n_mentions += int(pdf["text"].str.count("«[^«»]*»").sum())
             if len(pdf):
                 max_turn = max(max_turn, int(pdf["turn_idx"].max()))
         state.update((n_turns, n_mentions, max_turn))

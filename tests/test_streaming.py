@@ -86,7 +86,7 @@ def test_stateful_conversation_state_crosses_batches(spark, tmp_path):
     )
     batch = t.groupBy("conv_id").agg(
         F.count(F.lit(1)).alias("n_turns"),
-        F.sum(F.size(F.regexp_extract_all(F.col("text"), F.lit("«"), 0))).alias(
+        F.sum(F.size(F.regexp_extract_all(F.col("text"), F.lit("«[^«»]*»"), 0))).alias(
             "n_mentions"
         ),
         F.max("turn_idx").alias("max_turn_idx"),
