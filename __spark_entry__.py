@@ -310,6 +310,10 @@ def _q_emb_ivf_topk(spark, sf_dir):
     return SIM.ivf_topk(_emb(spark, sf_dir))
 
 
+def _q_emb_kmeans_ivf_topk(spark, sf_dir):
+    return SIM.kmeans_ivf_topk(_emb(spark, sf_dir))
+
+
 def _q_stream_extract(spark, sf_dir):
     """Streaming-path extraction, oracle-gated: stage the transcripts
     as files, drain a bounded file-source stream through the SAME
@@ -446,6 +450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_topk": _q_emb_cosine_topk,
         "emb_lsh_buckets": _q_emb_lsh_buckets,
         "emb_ivf_topk": _q_emb_ivf_topk,
+        "emb_kmeans_ivf_topk": _q_emb_kmeans_ivf_topk,
         "emb_neardup_pairs": _q_emb_neardup,
         "mm_features": _q_mm_features,
         "kg_incremental_edges": _q_incremental_edges,
@@ -533,6 +538,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_cosine_topk": doc_oracles.cosine_topk_sql(),
         "emb_lsh_buckets": doc_oracles.lsh_buckets_sql(),
         "emb_ivf_topk": doc_oracles.ivf_topk_sql(),
+        "emb_kmeans_ivf_topk": doc_oracles.kmeans_ivf_topk_sql(),
         "emb_neardup_pairs": doc_oracles.neardup_pairs_sql(),
         "mm_features": _mm_features_oracle(),
         "kg_incremental_edges": oracles.canonical_edges_sql(),

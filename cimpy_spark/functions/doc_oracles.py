@@ -336,6 +336,100 @@ def ivf_topk_sql(n_queries: int = 8, k: int = 5, nprobe: int = 2) -> str:
 NEARDUP_MAX_BUCKET = 128  # mirror similarity.MAX_BUCKET
 
 
+def kmeans_ivf_topk_sql(
+    k: int = 4,
+    iters: int = 2,
+    n_queries: int = 8,
+    topk: int = 5,
+    nprobe: int = 2,
+) -> str:
+    """IVF with a trained Lloyd quantizer — same deterministic recipe
+    as the engine: seed centroids = vec_id<k, per-iter argmin on
+    dist² rounded 6dp (tie → smaller cell), per-dim means rounded 9dp,
+    empty cells keep their centroid."""
+    d2 = (
+        "round(list_dot_product(a.emb, a.emb)"
+        " - 2 * list_dot_product(a.emb, c.cemb)"
+        " + list_dot_product(c.cemb, c.cemb), 6)"
+    )
+    parts = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cell, emb AS cemb FROM e WHERE vec_id < {k})",
+    ]
+    for it in range(1, iters + 1):
+        prev = f"c{it - 1}"
+        parts.append(f"""
+    a{it} AS (
+      SELECT vec_id, emb, cell FROM (
+        SELECT a.vec_id, a.emb, c.cell,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY {d2} ASC, c.cell ASC) AS rk
+        FROM e a, {prev} c
+      ) WHERE rk = 1
+    )""")
+        parts.append(f"""
+    m{it} AS (
+      SELECT cell, list(c ORDER BY i) AS cemb FROM (
+        SELECT a.cell, nums.i AS i, round(avg(a.emb[nums.i]), 9) AS c
+        FROM a{it} a, (SELECT unnest(generate_series(1, 64)) AS i) nums
+        WHERE nums.i <= len(a.emb)
+        GROUP BY a.cell, nums.i
+      ) GROUP BY cell
+    )""")
+        parts.append(f"""
+    c{it} AS (
+      SELECT p.cell, COALESCE(m.cemb, p.cemb) AS cemb
+      FROM {prev} p LEFT JOIN m{it} m USING (cell)
+    )""")
+    last_c = f"c{iters}"
+    parts.append(f"""
+    afinal AS (
+      SELECT vec_id, emb, cell FROM (
+        SELECT a.vec_id, a.emb, c.cell,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY {d2} ASC, c.cell ASC) AS rk
+        FROM e a, {last_c} c
+      ) WHERE rk = 1
+    )""")
+    parts.append(f"q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < {n_queries})")
+    parts.append(f"""
+    cellsim AS (
+      SELECT q.query_id, c.cell,
+             round(list_dot_product(q.qemb, c.cemb)
+                   / (sqrt(list_dot_product(q.qemb, q.qemb))
+                      * sqrt(list_dot_product(c.cemb, c.cemb))), 6) AS csim
+      FROM q, {last_c} c
+    )""")
+    parts.append(f"""
+    probed AS (
+      SELECT query_id, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY csim DESC, cell ASC) AS crk FROM cellsim
+      ) WHERE crk <= {nprobe}
+    )""")
+    parts.append(f"""
+    sims AS (
+      SELECT p.query_id, b.vec_id AS neighbor_id,
+             round(list_dot_product(q.qemb, b.emb)
+                   / (sqrt(list_dot_product(q.qemb, q.qemb))
+                      * sqrt(list_dot_product(b.emb, b.emb))), 6) AS sim
+      FROM probed p
+      JOIN q ON q.query_id = p.query_id
+      JOIN afinal b ON b.cell = p.cell
+      WHERE b.vec_id <> p.query_id
+    )""")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, sim FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY sim DESC, neighbor_id ASC) AS rank FROM sims
+    ) WHERE rank <= {topk}
+    """
+    )
+
+
 def neardup_pairs_sql(
     threshold: float = 0.99, max_bucket: int = NEARDUP_MAX_BUCKET
 ) -> str:

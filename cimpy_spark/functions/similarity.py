@@ -187,6 +187,138 @@ def ivf_topk(
 MAX_BUCKET = 128  # max vectors per LSH bucket before it is dropped as degenerate
 
 
+def _dist2(emb, centroid: list):
+    """Squared L2 distance to a constant centroid, via the dot-product
+    identity (no per-dim explode): |v|² − 2·v·c + |c|²."""
+    c = F.array(*[F.lit(float(x)) for x in centroid])
+    cc = float(sum(x * x for x in centroid))
+    return _dot(emb, emb) - 2.0 * _dot(emb, c) + F.lit(cc)
+
+
+def kmeans_cells(
+    embeddings: DataFrame, k: int = 4, iters: int = 2
+) -> tuple[DataFrame, list]:
+    """Deterministic Lloyd k-means coarse quantizer.
+
+    - init: centroids = the embeddings of vec_id 0..k-1 (fixed seeds —
+      reproducible across engines, no RNG);
+    - per iteration: assign each vector to the argmin-dist² centroid
+      (distances rounded to 6dp, ties to the smaller cell — exactly
+      mirrored in the SQL oracle), then recompute centroids as per-dim
+      means rounded to 9dp (empty cells keep their centroid).
+
+    Assignment is a narrow pass (k dot products per row, centroids as
+    broadcast literals); the update is one explode + grouped avg —
+    the standard train step, run on a sample at corpus scale. Returns
+    (assignments (vec_id, cell), trained centroids as Python lists).
+    """
+    base = embeddings.select("vec_id", _as_double("embedding").alias("emb"))
+    seeds = (
+        base.filter(F.col("vec_id") < k)
+        .orderBy("vec_id")
+        .collect()
+    )
+    centroids = [list(r["emb"]) for r in seeds]
+
+    def assign(cents: list) -> DataFrame:
+        cell = None
+        best = None
+        for j, c in enumerate(cents):
+            d = F.round(_dist2(F.col("emb"), c), 6)
+            if cell is None:
+                cell, best = F.lit(j), d
+            else:
+                cond = d < best
+                cell = F.when(cond, F.lit(j)).otherwise(cell)
+                best = F.when(cond, d).otherwise(best)
+        return base.select("vec_id", "emb", cell.cast("int").alias("cell"))
+
+    for _ in range(iters):
+        assigned = assign(centroids)
+        means = (
+            assigned.select("cell", F.posexplode("emb").alias("i", "v"))
+            .groupBy("cell", "i")
+            .agg(F.round(F.avg("v"), 9).alias("c"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("i", "c"))),
+                    lambda x: x["c"],
+                ).alias("cemb")
+            )
+            .collect()
+        )
+        by_cell = {r["cell"]: list(r["cemb"]) for r in means}
+        centroids = [by_cell.get(j, centroids[j]) for j in range(k)]
+
+    return assign(centroids).select("vec_id", "cell"), centroids
+
+
+def kmeans_ivf_topk(
+    embeddings: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    n_queries: int = 8,
+    topk: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF ANN with a TRAINED coarse quantizer (vs `ivf_topk`'s
+    label-as-cell stand-in): Lloyd k-means cells, queries probe the
+    nprobe nearest centroids by cosine, exact rank within probed
+    cells. Output: (query_id, neighbor_id, rank, sim)."""
+    assignments, centroids = kmeans_cells(embeddings, k, iters)
+    base = embeddings.select(
+        "vec_id", _as_double("embedding").alias("emb")
+    ).join(assignments, "vec_id")
+    q = base.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    # rank cells per query by centroid cosine (centroids are constants)
+    cell_sims = None
+    for j, c in enumerate(centroids):
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        cnorm = float(sum(x * x for x in c)) ** 0.5
+        s = q.select(
+            "query_id",
+            F.lit(j).alias("cell"),
+            F.round(
+                _dot(F.col("qemb"), carr) / (_norm(F.col("qemb")) * F.lit(cnorm)),
+                6,
+            ).alias("csim"),
+        )
+        cell_sims = s if cell_sims is None else cell_sims.unionByName(s)
+    wcell = Window.partitionBy("query_id").orderBy(
+        F.col("csim").desc(), F.col("cell").asc()
+    )
+    probed = (
+        cell_sims.withColumn("crk", F.row_number().over(wcell))
+        .filter(F.col("crk") <= nprobe)
+        .select("query_id", "cell")
+    )
+    cand = (
+        probed.join(q, "query_id")
+        .join(base, "cell")
+        .filter(F.col("query_id") != F.col("vec_id"))
+    )
+    sims = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(
+            _dot(F.col("qemb"), F.col("emb"))
+            / (_norm(F.col("qemb")) * _norm(F.col("emb"))),
+            6,
+        ).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
 def neardup_pairs(
     embeddings: DataFrame, threshold: float = 0.99, max_bucket: int = MAX_BUCKET
 ) -> DataFrame:
