@@ -32,28 +32,12 @@ from functools import reduce
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from cimpy_spark.functions.text import shingle_array
+
 N_HASHES = 12
 N_BANDS = 4  # rows-per-band r = 3
 MAX_BUCKET = 32  # max docs per LSH bucket before it is dropped as boilerplate
 
-HEX = "0123456789abcdef"
-
-
-def _shingle_array(n: int = 3, col: str = "text"):
-    """Distinct word n-grams of `col` as a per-row array — the narrow
-    substrate shared by MinHash and Jaccard (same construction as
-    text.shingles, without the explode)."""
-    w = F.split(F.trim(F.col(col)), "\\s+")
-    idx = F.when(
-        F.size(w) >= n, F.sequence(F.lit(0), F.size(w) - n)
-    ).otherwise(F.array().cast("array<int>"))
-    gram = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(n)]
-        ),
-    )
-    return F.array_distinct(gram)
 
 
 def exact_duplicates(docs: DataFrame) -> DataFrame:
@@ -77,7 +61,7 @@ def _sig_docs(docs: DataFrame, n_hashes: int) -> DataFrame:
     projection so whole-stage codegen evaluates it once, not once per
     seed. Docs with no shingles (< n words) are excluded, matching the
     grouped formulation where they contribute no rows."""
-    sh = docs.select("doc_id", _shingle_array(3).alias("sh")).filter(
+    sh = docs.select("doc_id", shingle_array(3).alias("sh")).filter(
         F.size("sh") > 0
     )
 
@@ -129,6 +113,23 @@ def minhash_band_keys(
     )
 
 
+def drop_oversize_buckets(
+    keys: DataFrame, key_cols: list[str], max_bucket: int
+) -> DataFrame:
+    """Shared cap plan for every LSH family here (MinHash bands,
+    SimHash slices, hyperplane buckets): count bucket sizes (cheap,
+    map-side combinable), exclude buckets over the cap via a broadcast
+    anti-join — the oversize set is tiny by construction, so the only
+    corpus-sized operation is a narrow scan."""
+    big = (
+        keys.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > max_bucket)
+        .select(*key_cols)
+    )
+    return keys.join(F.broadcast(big), key_cols, "left_anti")
+
+
 def oversize_buckets(
     docs: DataFrame,
     n_hashes: int = N_HASHES,
@@ -157,13 +158,7 @@ def minhash_candidates(
     are excluded via a broadcast anti-join on the (tiny) oversize set,
     bounding the self-join at n_buckets × max_bucket² pairs."""
     keys = minhash_band_keys(docs, n_hashes, n_bands)
-    big = (
-        keys.groupBy("band", "band_key")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") > max_bucket)
-        .select("band", "band_key")
-    )
-    ok = keys.join(F.broadcast(big), ["band", "band_key"], "left_anti")
+    ok = drop_oversize_buckets(keys, ["band", "band_key"], max_bucket)
     a = ok.select("band", "band_key", F.col("doc_id").alias("doc_a"))
     b = ok.select("band", "band_key", F.col("doc_id").alias("doc_b"))
     return (
@@ -177,7 +172,7 @@ def minhash_candidates(
 def ngram_jaccard(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     """Exact word-3-gram Jaccard similarity for candidate pairs —
     the verify stage after LSH: (doc_a, doc_b, jaccard)."""
-    sh = docs.select("doc_id", F.explode(_shingle_array(3)).alias("shingle"))
+    sh = docs.select("doc_id", F.explode(shingle_array(3)).alias("shingle"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
@@ -222,16 +217,16 @@ def dedup_corpus(
        pointer-jumping loop above,
     4. canonical election: min doc_id per cluster survives.
 
-    Doc ids are zero-padded to strings for the CC operator so
-    lexicographic min == numeric min. Output:
-    (doc_id, canonical_doc_id, is_kept).
+    Doc ids (non-negative int64) are zero-padded to 20 digits for the
+    CC operator so lexicographic min == numeric min across the full
+    int64 range. Output: (doc_id, canonical_doc_id, is_kept).
     """
     from cimpy_spark.operators.canonicalize import canonical_labels
 
     dup_pairs = ngram_jaccard(docs, minhash_candidates(docs, n_hashes, n_bands, max_bucket)).filter(
         F.col("jaccard") >= threshold
     )
-    pad = "%012d"
+    pad = "%020d"  # int64 max is 19 digits — padding must cover it
     links = dup_pairs.select(
         F.format_string(pad, "doc_a").alias("src"),
         F.format_string(pad, "doc_b").alias("dst"),
@@ -319,13 +314,7 @@ def simhash_candidates(
     keys = sh.select("doc_id", "simhash", F.explode(bands).alias("bk")).select(
         "doc_id", "simhash", "bk.band", "bk.band_key"
     )
-    big = (
-        keys.groupBy("band", "band_key")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") > max_bucket)
-        .select("band", "band_key")
-    )
-    ok = keys.join(F.broadcast(big), ["band", "band_key"], "left_anti")
+    ok = drop_oversize_buckets(keys, ["band", "band_key"], max_bucket)
     a = ok.select("band", "band_key", F.col("doc_id").alias("doc_a"),
                   F.col("simhash").alias("sha"))
     b = ok.select("band", "band_key", F.col("doc_id").alias("doc_b"),

@@ -93,9 +93,10 @@ def exact_duplicates_sql() -> str:
     """
 
 
-# Mirror the engine's LSH bucket cap (dedup.MAX_BUCKET): buckets with
-# more members than the cap are boilerplate and excluded from pairing.
-MINHASH_MAX_BUCKET = 32
+# The engine's LSH bucket caps, imported so engine and oracle can
+# never silently desynchronize.
+from cimpy_spark.functions.dedup import MAX_BUCKET as MINHASH_MAX_BUCKET  # noqa: E402
+from cimpy_spark.functions.similarity import MAX_BUCKET as _NEARDUP_CAP  # noqa: E402
 
 SIG_CTES = f"""
 {NUMS}, {W_CTE}, {SH3_CTE},
@@ -333,7 +334,7 @@ def ivf_topk_sql(n_queries: int = 8, k: int = 5, nprobe: int = 2) -> str:
     """
 
 
-NEARDUP_MAX_BUCKET = 128  # mirror similarity.MAX_BUCKET
+NEARDUP_MAX_BUCKET = _NEARDUP_CAP
 
 
 def kmeans_ivf_topk_sql(

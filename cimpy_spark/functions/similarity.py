@@ -218,13 +218,18 @@ def kmeans_cells(
         .orderBy("vec_id")
         .collect()
     )
-    centroids = [list(r["emb"]) for r in seeds]
+    # cell ids ARE the seed vec_ids (robust to gaps in the id space —
+    # the oracle seeds cells the same way); ascending order fixes the
+    # argmin tie-break
+    centroids = {int(r["vec_id"]): list(r["emb"]) for r in seeds}
+    if not centroids:
+        raise ValueError(f"kmeans_cells: no seed vectors with vec_id < {k}")
 
-    def assign(cents: list) -> DataFrame:
+    def assign(cents: dict) -> DataFrame:
         cell = None
         best = None
-        for j, c in enumerate(cents):
-            d = F.round(_dist2(F.col("emb"), c), 6)
+        for j in sorted(cents):
+            d = F.round(_dist2(F.col("emb"), cents[j]), 6)
             if cell is None:
                 cell, best = F.lit(j), d
             else:
@@ -249,7 +254,8 @@ def kmeans_cells(
             .collect()
         )
         by_cell = {r["cell"]: list(r["cemb"]) for r in means}
-        centroids = [by_cell.get(j, centroids[j]) for j in range(k)]
+        # empty cells keep their previous centroid
+        centroids = {j: by_cell.get(j, c) for j, c in centroids.items()}
 
     return assign(centroids).select("vec_id", "cell"), centroids
 
@@ -275,7 +281,8 @@ def kmeans_ivf_topk(
     )
     # rank cells per query by centroid cosine (centroids are constants)
     cell_sims = None
-    for j, c in enumerate(centroids):
+    for j in sorted(centroids):
+        c = centroids[j]
         carr = F.array(*[F.lit(float(x)) for x in c])
         cnorm = float(sum(x * x for x in c)) ** 0.5
         s = q.select(
@@ -324,23 +331,20 @@ def neardup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (vec_a < vec_b) with
     sim ≥ threshold, candidates restricted to shared LSH buckets
-    (identical vectors always share a bucket, so exact dups are never
-    missed). Buckets with more than max_bucket members (degenerate
-    regions) are excluded via a broadcast anti-join on the tiny
-    oversize set, bounding the self-join at n_buckets × max_bucket²
-    pairs. Output: (vec_a, vec_b, sim)."""
+    (identical vectors always share a bucket, so exact dups are found
+    UNLESS their bucket exceeds max_bucket — degenerate regions are
+    deliberately dropped). Buckets over the cap are excluded via a
+    broadcast anti-join on the tiny oversize set, bounding the
+    self-join at n_buckets × max_bucket² pairs.
+    Output: (vec_a, vec_b, sim)."""
+    from cimpy_spark.functions.dedup import drop_oversize_buckets
+
     v = embeddings.select(
         "vec_id",
         _as_double("embedding").alias("emb"),
         _bucket_expr(_as_double("embedding")).alias("bucket"),
     )
-    big = (
-        v.groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") > max_bucket)
-        .select("bucket")
-    )
-    ok = v.join(F.broadcast(big), ["bucket"], "left_anti")
+    ok = drop_oversize_buckets(v, ["bucket"], max_bucket)
     a = ok.select(
         F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"), "bucket"
     )

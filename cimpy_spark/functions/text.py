@@ -86,11 +86,13 @@ def lang_id(docs: DataFrame) -> DataFrame:
     )
 
 
-def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) distinct word n-grams — the shared substrate
-    for fingerprinting, MinHash and Jaccard. Array ops stay JVM-side;
-    docs shorter than n words yield no shingles."""
-    w = _words()
+def shingle_array(n: int = 3, col: str = "text"):
+    """Distinct word n-grams of `col` as a per-row array expression —
+    THE single shingle construction shared by fingerprinting, MinHash
+    and Jaccard (one source of truth: a tokenization tweak here moves
+    all three together). Narrow; docs shorter than n words yield an
+    empty array."""
+    w = _words(col)
     idx = F.when(
         F.size(w) >= n, F.sequence(F.lit(0), F.size(w) - n)
     ).otherwise(F.array().cast("array<int>"))
@@ -100,10 +102,13 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
             " ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(n)]
         ),
     )
-    return (
-        docs.select("doc_id", F.explode(gram).alias("shingle"))
-        .distinct()
-    )
+    return F.array_distinct(gram)
+
+
+def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct word n-grams — the exploded form of
+    `shingle_array`."""
+    return docs.select("doc_id", F.explode(shingle_array(n)).alias("shingle"))
 
 
 def corpus_filter(

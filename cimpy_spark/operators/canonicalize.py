@@ -41,21 +41,12 @@ def canonical_map(
     lossless labeling is never materialized on this path.
     """
     threshold = SMALL_LINKS_THRESHOLD if small_threshold is None else small_threshold
-    pairs = _collect_if_small(_sym_links(same_links), threshold)
+    edges_plan = _sym_links(same_links)
+    pairs = _collect_if_small(edges_plan, threshold)
     if pairs is not None:
         ep_map = _union_find_df(entities.sparkSession, pairs)
-        if ep_map is None:
-            return entities.select(
-                "entity_id", F.col("entity_id").alias("canonical_id")
-            )
-        return entities.select("entity_id").join(
-            F.broadcast(ep_map), "entity_id", "left"
-        ).select(
-            "entity_id",
-            F.coalesce("canonical_id", "entity_id").alias("canonical_id"),
-        )
-    kw = {} if small_threshold is None else {"small_threshold": small_threshold}
-    labels = canonical_labels(entities, same_links, max_iter, **kw)
+        return _declared_labels(entities, ep_map)
+    labels = _distributed_labels(entities, edges_plan, max_iter)
     return entities.join(labels, "entity_id").select("entity_id", "canonical_id")
 
 
@@ -80,7 +71,6 @@ def canonical_labels(
     incremental path must start from THIS (a declared-only map drops
     components reachable only through undeclared endpoints, which a
     later increment may touch)."""
-    spark = entities.sparkSession
     # Undirected, deduped link set; restrict to declared entities is
     # not required (labels for undeclared alias endpoints are simply
     # dropped at the end by the final join).
@@ -92,7 +82,15 @@ def canonical_labels(
     pairs = _collect_if_small(edges_plan, small_threshold)
     if pairs is not None:
         return _small_graph_labels(entities, pairs)
+    return _distributed_labels(entities, edges_plan, max_iter)
 
+
+def _distributed_labels(
+    entities: DataFrame, edges_plan: DataFrame, max_iter: int
+) -> DataFrame:
+    """Pointer-jumping min-label loop over a (large) link set — the
+    full lossless labeling (every vertex, declared or not)."""
+    spark = entities.sparkSession
     edges = _checkpoint(edges_plan, eager=True)
     # the count sizes the loop's working set (the link set is usually
     # tiny relative to the corpus; a fixed shuffle width would pay
@@ -121,6 +119,21 @@ def canonical_labels(
 
     return labels.select(
         F.col("a").alias("entity_id"), F.col("comp").alias("canonical_id")
+    )
+
+
+def _declared_labels(entities: DataFrame, ep_map: DataFrame | None) -> DataFrame:
+    """Labels for the DECLARED entities given the (small, broadcast)
+    endpoint map: entities outside the alias graph label themselves."""
+    if ep_map is None:
+        return entities.select(
+            "entity_id", F.col("entity_id").alias("canonical_id")
+        )
+    return entities.select("entity_id").join(
+        F.broadcast(ep_map), "entity_id", "left"
+    ).select(
+        "entity_id",
+        F.coalesce("canonical_id", "entity_id").alias("canonical_id"),
     )
 
 
@@ -178,16 +191,9 @@ def _small_graph_labels(entities: DataFrame, pairs) -> DataFrame:
     themselves via a broadcast left join against the endpoint map."""
     spark = entities.sparkSession
     ep_map = _union_find_df(spark, pairs)
+    declared = _declared_labels(entities, ep_map)
     if ep_map is None:
-        return entities.select(
-            F.col("entity_id"), F.col("entity_id").alias("canonical_id")
-        )
-    declared = entities.select("entity_id").join(
-        F.broadcast(ep_map), "entity_id", "left"
-    ).select(
-        "entity_id",
-        F.coalesce("canonical_id", "entity_id").alias("canonical_id"),
-    )
+        return declared
     # endpoint vertices that are ALSO declared already carry a label
     # above; subtract them without shuffling the big entities side
     # (broadcast semi to find the overlap, broadcast anti to remove it

@@ -79,7 +79,6 @@ def resolve_references(
     triples: DataFrame,
     entities: DataFrame,
     broadcast_dict: bool | None = None,
-    broadcast_threshold: int = 5_000_000,
     salt_buckets: int = 16,
 ) -> DataFrame:
     """Single linking pass: every ref-kind triple, flagged
@@ -101,9 +100,7 @@ def resolve_references(
       auto-broadcast-conversion is for; skewed shuffled joins are
       covered by AQE skew-join splitting).
 
-    All paths are semantically identical (tested); the explicit
-    threshold is entity *count* because the dictionary is one string
-    column.
+    All paths are semantically identical (tested).
     """
     refs = triples.filter(
         (F.col("obj_kind") == "ref") & (F.col("pred") != "sameAs")
@@ -195,13 +192,12 @@ def link_references(
     triples: DataFrame,
     entities: DataFrame,
     broadcast_dict: bool | None = None,
-    broadcast_threshold: int = 5_000_000,
     salt_buckets: int = 16,
 ) -> tuple[DataFrame, DataFrame]:
     """Convenience wrapper: (edges, quarantine) views over ONE
     resolve_references pass."""
     resolved = resolve_references(
-        triples, entities, broadcast_dict, broadcast_threshold, salt_buckets
+        triples, entities, broadcast_dict, salt_buckets
     )
     return edges_from_resolved(resolved), quarantine_from_resolved(resolved)
 

@@ -60,7 +60,7 @@ def run_pipeline(
     # increment dirs without ever rewriting old ones
     from cimpy_spark.operators.extract import TRIPLE_SCHEMA
 
-    if not force and ledger.is_committed("triples"):
+    if not force and ledger.is_append_committed("triples"):
         out["triples"] = ledger.read_append_stage(spark, "triples", TRIPLE_SCHEMA)
     else:
         out["triples"] = ledger.run_append_stage(
@@ -158,7 +158,10 @@ def ingest_increment(
     canonical map stays global by construction).
     """
     ledger = LineageLedger(out_dir)
-    if not ledger.is_committed("triples"):
+    # gate on the APPEND format specifically: a legacy-format triples
+    # snapshot (or none) bootstraps via run_pipeline instead of
+    # crashing on an empty increment list
+    if not ledger.is_append_committed("triples"):
         return run_pipeline(spark, transcripts, out_dir)
 
     from cimpy_spark.operators.extract import TRIPLE_SCHEMA

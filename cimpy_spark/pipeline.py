@@ -164,7 +164,10 @@ def reachability(
         )
         if nxt.isEmpty():
             return total.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        total = total.unionByName(nxt).localCheckpoint(eager=True)
+        # total stays a LAZY union of checkpointed deltas — lineage
+        # depth is bounded by rounds with materialized leaves, and the
+        # closure is never re-copied per round (true semi-naive cost)
+        total = total.unionByName(nxt)
         frontier = nxt
     raise RuntimeError(f"reachability did not converge in {max_iter} iterations")
 

@@ -117,10 +117,16 @@ class LineageLedger:
         # with one snapshot scan)
         from functools import reduce
 
-        dfs = [
-            spark.read.schema(schema).parquet(p)
-            for p in self.append_increments(stage)
-        ]
+        dirs = self.append_increments(stage)
+        if not dirs:
+            # a legacy (non-append) record or an empty increment list —
+            # fail loudly instead of reduce() over nothing; callers
+            # gate on is_append_committed
+            raise ValueError(
+                f"stage '{stage}' has no committed append increments "
+                f"(legacy-format snapshot? gate on is_append_committed)"
+            )
+        dfs = [spark.read.schema(schema).parquet(p) for p in dirs]
         return reduce(lambda a, b: a.unionByName(b), dfs)
 
     def run_append_stage(

@@ -109,3 +109,19 @@ def test_bucketed_graph_join_is_exchange_free(spark, tmp_path):
     ).select("src", "pred", "attr", "value")
     assert joined.exceptAll(plain).count() == 0
     assert plain.exceptAll(joined).count() == 0
+
+
+def test_append_reader_guards_legacy_records(spark, tmp_path):
+    """A legacy (non-append) ledger record must not crash the append
+    reader: is_append_committed gates it and read_append_stage fails
+    loudly rather than reducing over nothing."""
+    import pytest
+
+    from cimpy_spark.plans.lineage import LineageLedger
+
+    ledger = LineageLedger(str(tmp_path / "legacy"))
+    # legacy-style record: committed, no 'increments' list
+    ledger.commit("triples", None, rows=10, parts=1)
+    assert not ledger.is_append_committed("triples")
+    with pytest.raises(ValueError):
+        ledger.read_append_stage(spark, "triples", "a string")
