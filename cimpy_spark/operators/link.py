@@ -5,13 +5,15 @@ dropping (and counting) references whose target was never declared
 (cimpy/cimimport.py:277-288). Distributed, the dict lookup becomes an
 equi-join of reference triples against the declared-entity dictionary:
 
-- the dictionary (distinct declared subjects) is tiny relative to the
-  triple stream → **broadcast** it so linking stays shuffle-free;
-- when the dictionary outgrows the broadcast threshold, fall back to a
-  **salted** shuffled hash join (``salted_join``) so hub entities (a
-  few ids referenced from a large fraction of conversations) don't pin
-  one reducer — AQE skew-join covers sort-merge skew, but explicit
-  salting also protects the hash-join path.
+- default: plain equi-join, AQE converts to broadcast from runtime
+  stats (the dictionary — distinct declared subjects — is tiny
+  relative to the triple stream) so linking stays shuffle-free;
+- explicit broadcast when the caller knows the row count (ledger);
+- a **salted** shuffled hash join (``salted_join``) as the guarded
+  fallback for the regime where the dictionary cannot broadcast AND
+  hub entities (a few ids referenced from a large fraction of
+  conversations) would pin one reducer — equivalence-tested, and
+  measured to be pure overhead below that regime (BENCH.md).
 
 Unresolved references go to a quarantine DataFrame with grouped counts
 (cimpy/cimimport.py:281-288 analog), never an error.
