@@ -138,3 +138,31 @@ def test_incremental_noop_when_no_new_convs(spark, tmp_path):
     n1 = ingest_increment(spark, t, d)["triples"].count()
     n2 = ingest_increment(spark, t, d)["triples"].count()
     assert n1 == n2
+
+
+def test_partial_increment_dir_is_overwritten_on_retry(spark, tmp_path):
+    """A crash mid-append leaves an inc dir without _SUCCESS and no
+    ledger record; the retry must overwrite it in place and commit
+    normally (idempotent resume for append stages)."""
+    import os
+
+    t = transcripts_from_events(spark, SF_TINY).cache()
+    convs = sorted(r["conv_id"] for r in t.select("conv_id").distinct().collect())
+    half = set(convs[: len(convs) // 2])
+    d = str(tmp_path / "kg")
+    ingest_increment(spark, t.filter(F.col("conv_id").isin(list(half))), d)
+
+    # simulate a crash during the NEXT increment's write: orphan dir
+    # with junk, no _SUCCESS, no ledger record
+    orphan = f"{d}/triples/inc_00001"
+    os.makedirs(orphan)
+    with open(f"{orphan}/part-junk.parquet", "w") as f:
+        f.write("not parquet")
+
+    res = ingest_increment(spark, t, d)  # retry over full input
+    assert os.path.exists(f"{orphan}/_SUCCESS")  # overwritten in place
+    full = run_pipeline(spark, t, str(tmp_path / "full"))
+    for stage in ("triples", "canon_edges", "nodes"):
+        a, b = res[stage], full[stage]
+        assert a.count() == b.count(), stage
+        assert a.exceptAll(b).count() == 0, stage
