@@ -68,6 +68,12 @@ def _q_extract_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extraction_metrics(transcripts_from_events(spark, sf_dir))
 
 
+def _q_input_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cimpy_spark.operators.extract import validate_transcripts
+
+    return validate_transcripts(transcripts_from_events(spark, sf_dir))
+
+
 _GRAPH_CACHE: dict[tuple[int, str], P.KGResult] = {}
 
 
@@ -410,6 +416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_transcripts": _q_transcripts,
         "kg_extract_triples": _q_extract,
         "kg_extract_metrics": _q_extract_metrics,
+        "kg_input_validation": _q_input_validation,
         "kg_entities": _q_entities,
         "kg_link_edges": _q_link_edges,
         "kg_link_quarantine": _q_link_quarantine,
@@ -493,6 +500,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kg_extract_triples": triples_oracle_sql("//", "events"),
         "kg_extract_metrics": metrics_oracle_sql("//", "events"),
+        "kg_input_validation": oracles.input_validation_sql(transcripts),
         "kg_entities": oracles.entities_sql(),
         "kg_link_edges": oracles.link_edges_sql(),
         "kg_link_quarantine": oracles.link_quarantine_sql(),

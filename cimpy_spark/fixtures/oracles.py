@@ -270,6 +270,31 @@ def snapshot_meta_sql() -> str:
     """
 
 
+def input_validation_sql(transcripts_sql_text: str) -> str:
+    """Batch equivalent of `validate_transcripts` over the derived
+    transcripts."""
+    return f"""
+    WITH tr AS ({transcripts_sql_text})
+    SELECT 'duplicate_turn_key' AS check, (
+      SELECT count(*) FROM (
+        SELECT conv_id, turn_idx FROM tr GROUP BY 1, 2 HAVING count(*) > 1)
+    ) AS n_violations
+    UNION ALL
+    SELECT 'null_or_empty_text',
+           (SELECT count(*) FROM tr WHERE text IS NULL OR trim(text) = '')
+    UNION ALL
+    SELECT 'null_conv_id', (SELECT count(*) FROM tr WHERE conv_id IS NULL)
+    UNION ALL
+    SELECT 'negative_turn_idx', (SELECT count(*) FROM tr WHERE turn_idx < 0)
+    UNION ALL
+    SELECT 'non_dense_turns', (
+      SELECT count(*) FROM (
+        SELECT conv_id FROM tr GROUP BY conv_id
+        HAVING min(turn_idx) <> 0 OR max(turn_idx) <> count(DISTINCT turn_idx) - 1)
+    )
+    """
+
+
 def conv_state_sql() -> str:
     """Batch equivalent of the stateful-streaming conversation state."""
     return _with(T_CTE) + """

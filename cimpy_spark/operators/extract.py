@@ -359,6 +359,55 @@ def extract_triples_pandas(transcripts: DataFrame) -> DataFrame:
     return pruned.mapInPandas(gen, schema=TRIPLE_SCHEMA)
 
 
+def validate_transcripts(transcripts: DataFrame) -> DataFrame:
+    """Input-contract validation, A1-style grouped counts — the gate a
+    production ingest runs before extraction (the reference trusts its
+    XML; a 10^12-turn corpus cannot be trusted):
+
+    - duplicate (conv_id, turn_idx) keys (break stable ordering),
+    - null/empty text, null conv_id, negative turn_idx,
+    - non-dense turn sequences (min != 0 or max != count-1 per conv).
+
+    Output: (check, n_violations) — one row per check, zeros included
+    so the result shape is stable. Two aggregations, both map-side
+    combinable."""
+    by_key = (
+        transcripts.groupBy("conv_id", "turn_idx")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+    per_conv = transcripts.groupBy("conv_id").agg(
+        F.min("turn_idx").alias("mn"),
+        F.max("turn_idx").alias("mx"),
+        # DISTINCT turns: duplicate keys must not mask a gap
+        F.countDistinct("turn_idx").alias("cnt"),
+    )
+    checks = [
+        ("duplicate_turn_key", by_key.count()),
+        (
+            "null_or_empty_text",
+            transcripts.filter(
+                F.col("text").isNull() | (F.trim("text") == "")
+            ).count(),
+        ),
+        ("null_conv_id", transcripts.filter(F.col("conv_id").isNull()).count()),
+        (
+            "negative_turn_idx",
+            transcripts.filter(F.col("turn_idx") < 0).count(),
+        ),
+        (
+            "non_dense_turns",
+            per_conv.filter(
+                (F.col("mn") != 0) | (F.col("mx") != F.col("cnt") - 1)
+            ).count(),
+        ),
+    ]
+    spark = transcripts.sparkSession
+    return spark.createDataFrame(
+        [(c, int(n)) for c, n in checks], "check string, n_violations long"
+    )
+
+
 def enum_url_dictionary(transcripts: DataFrame) -> DataFrame:
     """Broadcastable enum-URL dictionary (suffix, url).
 

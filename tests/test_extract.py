@@ -100,3 +100,24 @@ def test_unknown_patterns_counted_not_raised(spark):
     # unknown patterns yield no triples
     triples = extract_triples(t)
     assert triples.filter(F.col("pred").startswith("unk")).count() == 0
+
+
+def test_input_validation_counts_planted_violations(spark):
+    from cimpy_spark.operators.extract import validate_transcripts
+
+    rows = [
+        ("c1", 0, "user", "ok", None),
+        ("c1", 0, "user", "dup key", None),   # duplicate (conv, turn)
+        ("c1", 2, "user", "", None),           # empty text + gap (no turn 1)
+        (None, 0, "user", "x", None),          # null conv_id
+        ("c2", -1, "user", "y", None),         # negative idx + non-dense
+    ]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string"
+    )
+    got = {r["check"]: r["n_violations"] for r in validate_transcripts(t).collect()}
+    assert got["duplicate_turn_key"] == 1
+    assert got["null_or_empty_text"] == 1
+    assert got["null_conv_id"] == 1
+    assert got["negative_turn_idx"] == 1
+    assert got["non_dense_turns"] >= 2  # c1 gap, c2 negative start
