@@ -194,6 +194,12 @@ def _q_contract_controls(spark, sf_dir):
     return contract_edges(_graph(spark, sf_dir).canon_edges, "controls")
 
 
+def _q_default_suppression(spark, sf_dir):
+    from cimpy_spark.operators.schema import fixture_schema, suppress_defaults
+
+    return suppress_defaults(_graph(spark, sf_dir).nodes, fixture_schema(spark))
+
+
 def _q_profile_routing(spark, sf_dir):
     from cimpy_spark.operators.schema import fixture_schema, route_to_profiles
 
@@ -438,6 +444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_schema_cast": _q_schema_cast,
         "kg_schema_quarantine": _q_schema_quarantine,
         "kg_profile_routing": _q_profile_routing,
+        "kg_default_suppression": _q_default_suppression,
         "kg_enum_dictionary": _q_enum_dictionary,
         "kg_enum_roundtrip": _q_enum_roundtrip,
         "kg_snapshot_meta": _q_snapshot_meta,
@@ -486,6 +493,12 @@ def _profile_routing_oracle() -> str:
     return profile_routing_oracle_sql(oracles.PIPELINE_CTES)
 
 
+def _default_suppression_oracle() -> str:
+    from cimpy_spark.operators.schema import default_suppression_oracle_sql
+
+    return default_suppression_oracle_sql(oracles.PIPELINE_CTES)
+
+
 def _mm_features_oracle() -> str:
     from cimpy_spark.functions.multimodal import features_oracle_sql
 
@@ -520,6 +533,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_per_type_stats": oracles.per_type_stats_sql(),
         "kg_delete_t0": oracles.delete_t0_sql(),
         "kg_profile_routing": _profile_routing_oracle(),
+        "kg_default_suppression": _default_suppression_oracle(),
         "kg_enum_dictionary": oracles.enum_dictionary_sql(),
         "kg_enum_roundtrip": oracles.enum_roundtrip_sql(),
         "kg_snapshot_meta": oracles.snapshot_meta_sql(),

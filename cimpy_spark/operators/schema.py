@@ -147,6 +147,27 @@ def schema_cast(nodes: DataFrame, schema_df: DataFrame) -> DataFrame:
     )
 
 
+def suppress_defaults(nodes: DataFrame, schema_df: DataFrame) -> DataFrame:
+    """EXPORT-side default suppression: drop attribute rows whose value
+    equals the schema default for their (type, attr) — the reference
+    never serializes default-valued attributes
+    (cimpy/cimexport.py:101-107 drops '', None, 0.0, 0, 'list').
+    rdf_type rows and attrs without a schema default pass through.
+    One broadcast join + a filter; narrow."""
+    types = nodes.filter(F.col("attr") == "rdf_type").select(
+        "entity_id", F.col("value").alias("type")
+    )
+    joined = nodes.join(types, "entity_id").join(
+        F.broadcast(schema_df.select("type", "attr", "default_value")),
+        ["type", "attr"],
+        "left",
+    )
+    return joined.filter(
+        F.col("default_value").isNull()
+        | (F.col("value") != F.col("default_value"))
+    ).select("entity_id", "attr", "value", "profile")
+
+
 def route_to_profiles(nodes: DataFrame, schema_df: DataFrame) -> DataFrame:
     """Export-side profile routing: each attribute row is assigned the
     profile the SCHEMA designates for it (the reference resolves each
@@ -210,6 +231,25 @@ def schema_table_sql() -> str:
         "schema_t(type, attr, dtype, default_value, enum_domain, route) AS (VALUES "
         + ", ".join(rows)
         + ")"
+    )
+
+
+def default_suppression_oracle_sql(pipeline_ctes: str) -> str:
+    """DuckDB oracle for `kg_default_suppression`."""
+    return (
+        pipeline_ctes
+        + ", "
+        + schema_table_sql()
+        + """
+    , etypes AS (
+      SELECT entity_id, value AS type FROM nodes WHERE attr = 'rdf_type'
+    )
+    SELECT n.entity_id, n.attr, n.value, n.profile
+    FROM nodes n
+    JOIN etypes t USING (entity_id)
+    LEFT JOIN schema_t s ON s.type = t.type AND s.attr = n.attr
+    WHERE s.default_value IS NULL OR n.value <> s.default_value
+    """
     )
 
 

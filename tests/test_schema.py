@@ -106,3 +106,27 @@ def test_new_attr_is_a_data_change_not_a_code_change(spark):
     }
     assert ("E3", "q_str", "observed") in got
     assert ("E3", "q_str", "unknown_attr") not in got
+
+
+def test_default_suppression_drops_only_default_values(spark):
+    """Export-side suppression (cimexport.py:101-107): rows equal to
+    the schema default vanish; everything else survives."""
+    from cimpy_spark.operators.schema import suppress_defaults
+
+    rows = [
+        # p_int=0 and p_bool=false ARE the schema defaults -> dropped
+        ("c1", 0, "user", "«decl E1 type:T0 p_int=0 p_bool=false p_enum=kind:Unit.V1»", None),
+        ("c1", 1, "user", "«decl E2 type:T0 p_int=7 p_bool=true p_enum=kind:Unit.V0»", None),
+    ]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string"
+    )
+    nodes = P.build_graph(t).nodes
+    kept = {(r["entity_id"], r["attr"], r["value"])
+            for r in suppress_defaults(nodes, fixture_schema(spark)).collect()}
+    assert ("E1", "p_int", "0") not in kept
+    assert ("E1", "p_bool", "false") not in kept
+    assert ("E1", "p_enum", "V1") in kept       # non-default survives
+    assert ("E2", "p_int", "7") in kept
+    assert ("E2", "p_enum", "V0") not in kept   # V0 IS the default
+    assert ("E1", "rdf_type", "T0") in kept     # type rows pass through
