@@ -171,6 +171,9 @@ def test_dedup_corpus_transitive_clusters(spark, docs):
     assert sum(1 for v in rows.values() if v[1]) == res.select(
         "canonical_doc_id"
     ).distinct().count()
+
+
+def test_fingerprint_deterministic_per_text(spark, docs):
     fp = T.fingerprint(docs)
     joined = (
         docs.select("doc_id", "text")
@@ -179,3 +182,13 @@ def test_dedup_corpus_transitive_clusters(spark, docs):
         .agg(F.countDistinct("fingerprint").alias("n"))
     )
     assert joined.filter(F.col("n") > 1).count() == 0
+
+
+def test_signature_ops_are_pure_projections(spark, docs, emb):
+    """Plan regression (PLANS.md): simhash and lsh_buckets must stay
+    ZERO-exchange projections — a reintroduced explode/shuffle in the
+    signature path is a scale regression even if results stay right."""
+    for df in (D.simhash(docs), SIM.lsh_buckets(emb)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "Generate" not in plan, plan  # no explodes
