@@ -90,7 +90,14 @@ def main() -> None:
     from cimpy_spark.functions.dedup import dedup_corpus
     from cimpy_spark.functions.text import corpus_filter
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+    # the fixture parquet is a single file → one partition; repartition
+    # to the session's cores so the ops run at representative
+    # parallelism (a real corpus arrives in thousands of files)
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .repartition(cores)
+        .cache()
+    )
     docs.count()
     timed("doc_dedup_corpus", lambda: dedup_corpus(docs).count())
     timed("doc_corpus_filter", lambda: corpus_filter(docs).count())

@@ -57,25 +57,42 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
 
 def _sig_docs(docs: DataFrame, n_hashes: int) -> DataFrame:
     """(doc_id, sig array<string>[n_hashes]): per-seed MinHash values,
-    computed narrow. The shingle array is materialized in its own
-    projection so whole-stage codegen evaluates it once, not once per
-    seed. Docs with no shingles (< n words) are excluded, matching the
-    grouped formulation where they contribute no rows."""
-    sh = docs.select("doc_id", shingle_array(3).alias("sh")).filter(
-        F.size("sh") > 0
-    )
+    computed narrow as ONE fold over the shingle array — the
+    accumulator carries all n_hashes running minima, so the shingle
+    construction is evaluated exactly once per row. (The obvious
+    n_hashes-separate-array_min formulation is 30x slower: Catalyst's
+    projection collapse substitutes the shingle transform into every
+    consumer, re-evaluating it per seed.) Docs shorter than 3 words
+    are excluded, matching the grouped formulation.
 
-    def seed_min(s: int):
-        # NB: the seed must be captured as a closure constant, not a
-        # lambda parameter — a 2-arg transform lambda means
-        # (element, index) to Spark.
-        suffix = F.lit(str(s))
-        return F.array_min(
-            F.transform(F.col("sh"), lambda x: F.md5(F.concat_ws("#", x, suffix)))
+    NB: loop constants are captured as closure constants, never lambda
+    parameters — a 2-arg HOF lambda means (element, index) to Spark."""
+    sig = _minhash_fold(n_hashes)
+    return docs.filter(_has_shingles()).select("doc_id", sig.alias("sig"))
+
+
+def _has_shingles(n: int = 3):
+    return F.size(F.split(F.trim("text"), "\\s+")) >= n
+
+
+def _minhash_fold(n_hashes: int, finish=None):
+    """The MinHash signature as ONE fold over the shingle array; an
+    optional `finish` lambda post-processes the accumulator IN the
+    fold (references to the accumulator variable are free — references
+    to the fold expression itself are not, see _sig_docs)."""
+    init = F.array(*[F.lit("~") for _ in range(n_hashes)])  # '~' > any hex
+
+    def step(acc, x):
+        return F.array(
+            *[
+                F.least(acc[s], F.md5(F.concat_ws("#", x, F.lit(str(s)))))
+                for s in range(n_hashes)
+            ]
         )
 
-    sig = F.array(*[seed_min(s) for s in range(n_hashes)])
-    return sh.select("doc_id", sig.alias("sig"))
+    if finish is None:
+        return F.aggregate(shingle_array(3), init, step)
+    return F.aggregate(shingle_array(3), init, step, finish)
 
 
 def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
@@ -91,23 +108,31 @@ def minhash_band_keys(
     docs: DataFrame, n_hashes: int = N_HASHES, n_bands: int = N_BANDS
 ) -> DataFrame:
     """(doc_id, band, band_key): md5 over each band's consecutive
-    signature values — narrow all the way (n_bands-row explode only)."""
+    signature values — narrow all the way (n_bands-row explode only).
+    Band keys are built in the fold's FINISH lambda so the signature
+    fold runs exactly once per row (indexing a separate sig column
+    n_hashes times would re-run the fold per reference after
+    projection collapse — measured 10x slower)."""
     rows_per_band = n_hashes // n_bands
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat(
-                        *[F.col("sig")[b * rows_per_band + i] for i in range(rows_per_band)]
-                    )
-                ).alias("band_key"),
-            )
-            for b in range(n_bands)
-        ]
-    )
+
+    def finish(acc):
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(
+                        F.concat(
+                            *[acc[b * rows_per_band + i] for i in range(rows_per_band)]
+                        )
+                    ).alias("band_key"),
+                )
+                for b in range(n_bands)
+            ]
+        )
+
+    bands = _minhash_fold(n_hashes, finish)
     return (
-        _sig_docs(docs, n_hashes)
+        docs.filter(_has_shingles())
         .select("doc_id", F.explode(bands).alias("bk"))
         .select("doc_id", "bk.band", "bk.band_key")
     )
@@ -157,7 +182,12 @@ def minhash_candidates(
     band bucket of size ≤ max_bucket. Oversize buckets (boilerplate)
     are excluded via a broadcast anti-join on the (tiny) oversize set,
     bounding the self-join at n_buckets × max_bucket² pairs."""
-    keys = minhash_band_keys(docs, n_hashes, n_bands)
+    # materialize the band keys ONCE: the plan is consumed four times
+    # (bucket-size count, anti-join, both self-join sides) and the
+    # signature computation is the expensive part (measured 4x
+    # recompute without this). At cluster scale this is the stage-1
+    # checkpoint of the dedup pipeline.
+    keys = minhash_band_keys(docs, n_hashes, n_bands).localCheckpoint(eager=True)
     ok = drop_oversize_buckets(keys, ["band", "band_key"], max_bucket)
     a = ok.select("band", "band_key", F.col("doc_id").alias("doc_a"))
     b = ok.select("band", "band_key", F.col("doc_id").alias("doc_b"))
@@ -227,10 +257,14 @@ def dedup_corpus(
         F.col("jaccard") >= threshold
     )
     pad = "%020d"  # int64 max is 19 digits — padding must cover it
+    # materialize the verified pairs ONCE, in parallel, before handing
+    # them to the CC operator: its small-graph limit-probe otherwise
+    # re-executes this (expensive) candidate+verify plan incrementally
+    # (measured 48s -> ~8s at sf0.1)
     links = dup_pairs.select(
         F.format_string(pad, "doc_a").alias("src"),
         F.format_string(pad, "doc_b").alias("dst"),
-    )
+    ).localCheckpoint(eager=True)
     ids = docs.select(F.format_string(pad, "doc_id").alias("entity_id"))
     labels = canonical_labels(ids, links)
     return (
@@ -248,36 +282,39 @@ def simhash(docs: DataFrame, n_bits: int = 16) -> DataFrame:
     md5 (parity of hex digit j) votes ±1; the sign of each bit-sum is
     the fingerprint bit. (doc_id, simhash int).
 
-    Narrow formulation: the token-md5 array is materialized once per
-    row, then each bit's vote sum is an ordered array fold — no
-    explode, no shuffle (round 1 exploded 16× on bits and shuffled
-    twice)."""
-    toks = docs.select(
-        "doc_id",
-        F.transform(
-            F.array_distinct(F.split(F.trim("text"), "\\s+")), lambda t: F.md5(t)
-        ).alias("hs"),
+    Narrow single-fold formulation: ONE pass over the token-md5 array
+    with an n_bits-wide vote accumulator, packed to the fingerprint in
+    the fold's finish lambda — the token array and its md5s are
+    evaluated exactly once per row (n_bits separate folds would
+    re-evaluate them per bit after projection collapse; measured ~n×
+    slower). No explode, no shuffle."""
+    hs = F.transform(
+        F.array_distinct(F.split(F.trim("text"), "\\s+")), lambda t: F.md5(t)
     )
+    init = F.array(*[F.lit(0) for _ in range(n_bits)])
 
-    def bit_sum(j: int):
-        # digit value = position in hex alphabet; parity is the vote
-        return F.aggregate(
-            F.col("hs"),
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(
-                F.conv(F.substring(h, j, 1), 16, 10).cast("int") % 2 == 1, F.lit(1)
-            ).otherwise(F.lit(-1)),
+    def vote(h, j: int):
+        # digit value = hex digit j of the token md5; parity votes ±1
+        return F.when(
+            F.conv(F.substring(h, j, 1), 16, 10).cast("int") % 2 == 1, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    def step(acc, h):
+        return F.array(*[acc[j - 1] + vote(h, j) for j in range(1, n_bits + 1)])
+
+    def finish(acc):
+        return reduce(
+            lambda x, y: x + y,
+            [
+                F.when(acc[j - 1] > 0, F.lit(float(2 ** (j - 1)))).otherwise(
+                    F.lit(0.0)
+                )
+                for j in range(1, n_bits + 1)
+            ],
         )
 
-    fp = reduce(
-        lambda x, y: x + y,
-        [
-            F.when(bit_sum(j) > 0, F.lit(float(2 ** (j - 1)))).otherwise(F.lit(0.0))
-            for j in range(1, n_bits + 1)
-        ],
-    )
-    return toks.select("doc_id", fp.cast("long").alias("simhash"))
+    fp = F.aggregate(hs, init, step, finish)
+    return docs.select("doc_id", fp.cast("long").alias("simhash"))
 
 
 def simhash_candidates(
@@ -299,7 +336,11 @@ def simhash_candidates(
     (e.g. short docs voting identically) are dropped by the cap,
     A1-style, like the MinHash path."""
     band_bits = n_bits // n_bands
-    sh = simhash(docs, n_bits=n_bits)
+    # materialize the fingerprints ONCE: the simhash fold would
+    # otherwise be re-evaluated per band expression after projection
+    # collapse, and the keys plan is consumed 4x downstream — banding
+    # over the checkpointed longs is trivial
+    sh = simhash(docs, n_bits=n_bits).localCheckpoint(eager=True)
     bands = F.array(
         *[
             F.struct(

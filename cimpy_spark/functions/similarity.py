@@ -343,7 +343,7 @@ def neardup_pairs(
         "vec_id",
         _as_double("embedding").alias("emb"),
         _bucket_expr(_as_double("embedding")).alias("bucket"),
-    )
+    ).localCheckpoint(eager=True)  # consumed 4x (count + anti + both sides)
     ok = drop_oversize_buckets(v, ["bucket"], max_bucket)
     a = ok.select(
         F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"), "bucket"
