@@ -10,10 +10,15 @@ uniform order on shingles).
 
 Scale notes (100 TB corpus):
 - signatures and band keys are computed as NARROW per-row array
-  expressions (``transform`` / ``array_min`` over the shingle array)
-  — zero shuffles and zero row amplification until the band
-  self-join. (Round 1 exploded 12× on seeds before aggregating; this
-  rewrite removes that shuffle entirely.)
+  expressions — zero shuffles and zero row amplification until the
+  band self-join. (Round 1 exploded 12× on seeds before aggregating.)
+- Catalyst lesson baked in here: higher-order-function results must be
+  consumed EXACTLY ONCE per row (fold with a finish lambda) — column
+  references to an HOF expression are substituted per consumer by
+  projection collapse, silently re-running the whole fold (measured
+  ~10× slowdowns); HOFs are also interpreted (no whole-stage codegen),
+  so reused intermediates (band keys, fingerprints) are checkpointed
+  before multi-consumer joins.
 - the band join's key cardinality ≈ n_docs × n_bands with near-unique
   keys; true near-dup clusters create small groups, giant clusters
   (boilerplate) create skew. Candidate-pair explosion is bounded per
