@@ -277,7 +277,8 @@ def input_validation_sql(transcripts_sql_text: str) -> str:
     WITH tr AS ({transcripts_sql_text})
     SELECT 'duplicate_turn_key' AS check, (
       SELECT count(*) FROM (
-        SELECT conv_id, turn_idx FROM tr GROUP BY 1, 2 HAVING count(*) > 1)
+        SELECT conv_id, turn_idx FROM tr WHERE turn_idx IS NOT NULL
+        GROUP BY 1, 2 HAVING count(*) > 1)
     ) AS n_violations
     UNION ALL
     SELECT 'null_or_empty_text',
@@ -287,9 +288,11 @@ def input_validation_sql(transcripts_sql_text: str) -> str:
     UNION ALL
     SELECT 'negative_turn_idx', (SELECT count(*) FROM tr WHERE turn_idx < 0)
     UNION ALL
+    SELECT 'null_turn_idx', (SELECT count(*) FROM tr WHERE turn_idx IS NULL)
+    UNION ALL
     SELECT 'non_dense_turns', (
       SELECT count(*) FROM (
-        SELECT conv_id FROM tr GROUP BY conv_id
+        SELECT conv_id FROM tr WHERE turn_idx IS NOT NULL GROUP BY conv_id
         HAVING min(turn_idx) <> 0 OR max(turn_idx) <> count(DISTINCT turn_idx) - 1)
     )
     """

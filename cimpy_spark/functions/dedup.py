@@ -37,7 +37,7 @@ from functools import reduce
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from cimpy_spark.functions.text import shingle_array
+from cimpy_spark.functions.text import has_shingles, shingle_array
 
 N_HASHES = 12
 N_BANDS = 4  # rows-per-band r = 3
@@ -73,11 +73,7 @@ def _sig_docs(docs: DataFrame, n_hashes: int) -> DataFrame:
     NB: loop constants are captured as closure constants, never lambda
     parameters — a 2-arg HOF lambda means (element, index) to Spark."""
     sig = _minhash_fold(n_hashes)
-    return docs.filter(_has_shingles()).select("doc_id", sig.alias("sig"))
-
-
-def _has_shingles(n: int = 3):
-    return F.size(F.split(F.trim("text"), "\\s+")) >= n
+    return docs.filter(has_shingles()).select("doc_id", sig.alias("sig"))
 
 
 def _minhash_fold(n_hashes: int, finish=None):
@@ -137,7 +133,7 @@ def minhash_band_keys(
 
     bands = _minhash_fold(n_hashes, finish)
     return (
-        docs.filter(_has_shingles())
+        docs.filter(has_shingles())
         .select("doc_id", F.explode(bands).alias("bk"))
         .select("doc_id", "bk.band", "bk.band_key")
     )
@@ -165,11 +161,15 @@ def oversize_buckets(
     n_hashes: int = N_HASHES,
     n_bands: int = N_BANDS,
     max_bucket: int = MAX_BUCKET,
+    keys: DataFrame | None = None,
 ) -> DataFrame:
     """(band, band_key, n_docs) for LSH buckets over the cap — the
     A1-style metric companion to `minhash_candidates` (what the cap
-    dropped and how big it was)."""
-    keys = minhash_band_keys(docs, n_hashes, n_bands)
+    dropped and how big it was). Pass the candidates run's
+    materialized band keys via `keys` to avoid recomputing the
+    signature fold."""
+    if keys is None:
+        keys = minhash_band_keys(docs, n_hashes, n_bands)
     return (
         keys.groupBy("band", "band_key")
         .agg(F.count(F.lit(1)).alias("n_docs"))

@@ -339,25 +339,28 @@ def neardup_pairs(
     Output: (vec_a, vec_b, sim)."""
     from cimpy_spark.functions.dedup import drop_oversize_buckets
 
+    # checkpoint only (vec_id, bucket) — the bucket fold would be
+    # re-evaluated per consumer otherwise, but the (wide) embeddings
+    # themselves must NOT be copied into checkpoint storage; the
+    # capped candidate pairs fetch them back by key
     v = embeddings.select(
-        "vec_id",
-        _as_double("embedding").alias("emb"),
-        _bucket_expr(_as_double("embedding")).alias("bucket"),
-    ).localCheckpoint(eager=True)  # consumed 4x (count + anti + both sides)
+        "vec_id", _bucket_expr(_as_double("embedding")).alias("bucket")
+    ).localCheckpoint(eager=True)
     ok = drop_oversize_buckets(v, ["bucket"], max_bucket)
-    a = ok.select(
-        F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"), "bucket"
-    )
-    b = ok.select(
-        F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"), "bucket"
-    )
+    a = ok.select(F.col("vec_id").alias("vec_a"), "bucket")
+    b = ok.select(F.col("vec_id").alias("vec_b"), "bucket")
     cand = a.join(b, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
-    sims = cand.select(
-        "vec_a",
-        "vec_b",
-        F.round(
-            _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb"))),
-            6,
-        ).alias("sim"),
+    e = embeddings.select("vec_id", _as_double("embedding").alias("emb"))
+    sims = (
+        cand.join(e.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea")), "vec_a")
+        .join(e.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb")), "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(
+                _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb"))),
+                6,
+            ).alias("sim"),
+        )
     )
     return sims.filter(F.col("sim") >= threshold).select("vec_a", "vec_b", "sim").distinct()

@@ -105,6 +105,13 @@ def shingle_array(n: int = 3, col: str = "text"):
     return F.array_distinct(gram)
 
 
+def has_shingles(n: int = 3):
+    """Predicate: the doc has at least one n-gram shingle — derived
+    from the SAME `_words` tokenization as `shingle_array` so the two
+    can never diverge."""
+    return F.size(_words()) >= n
+
+
 def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, shingle) distinct word n-grams — the exploded form of
     `shingle_array`."""

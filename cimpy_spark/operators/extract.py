@@ -365,47 +365,63 @@ def validate_transcripts(transcripts: DataFrame) -> DataFrame:
     XML; a 10^12-turn corpus cannot be trusted):
 
     - duplicate (conv_id, turn_idx) keys (break stable ordering),
-    - null/empty text, null conv_id, negative turn_idx,
-    - non-dense turn sequences (min != 0 or max != count-1 per conv).
+    - null/empty text, null conv_id, null/negative turn_idx,
+    - non-dense turn sequences (min != 0 or max != n_distinct-1 per
+      conv, over non-null turns; duplicates cannot mask gaps).
 
     Output: (check, n_violations) — one row per check, zeros included
-    so the result shape is stable. Two aggregations, both map-side
-    combinable."""
-    by_key = (
-        transcripts.groupBy("conv_id", "turn_idx")
+    so the result shape is stable. LAZY, exactly TWO scans of the
+    input: one row-level aggregation of conditional sums, and one
+    (conv, turn) grouping that feeds both the duplicate and the
+    density checks."""
+    zero = F.lit(0)
+    row_checks = transcripts.agg(
+        F.sum(
+            F.when(F.col("text").isNull() | (F.trim("text") == ""), 1).otherwise(zero)
+        ).alias("null_or_empty_text"),
+        F.sum(F.when(F.col("conv_id").isNull(), 1).otherwise(zero)).alias(
+            "null_conv_id"
+        ),
+        F.sum(F.when(F.col("turn_idx") < 0, 1).otherwise(zero)).alias(
+            "negative_turn_idx"
+        ),
+        F.sum(F.when(F.col("turn_idx").isNull(), 1).otherwise(zero)).alias(
+            "null_turn_idx"
+        ),
+    ).selectExpr(
+        "stack(4, 'null_or_empty_text', null_or_empty_text, "
+        "'null_conv_id', null_conv_id, "
+        "'negative_turn_idx', negative_turn_idx, "
+        "'null_turn_idx', null_turn_idx) AS (check, n_violations)"
+    ).select("check", F.coalesce("n_violations", F.lit(0)).alias("n_violations"))
+
+    # one grouped pass serves both key-level checks (null turns are
+    # counted above and excluded here — min/max/count would skip or
+    # distort around them)
+    per_key = (
+        transcripts.filter(F.col("turn_idx").isNotNull())
+        .groupBy("conv_id", "turn_idx")
         .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") > 1)
     )
-    per_conv = transcripts.groupBy("conv_id").agg(
+    per_conv = per_key.groupBy("conv_id").agg(
         F.min("turn_idx").alias("mn"),
         F.max("turn_idx").alias("mx"),
-        # DISTINCT turns: duplicate keys must not mask a gap
-        F.countDistinct("turn_idx").alias("cnt"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.when(F.col("n") > 1, 1).otherwise(zero)).alias("n_dup"),
     )
-    checks = [
-        ("duplicate_turn_key", by_key.count()),
-        (
-            "null_or_empty_text",
-            transcripts.filter(
-                F.col("text").isNull() | (F.trim("text") == "")
-            ).count(),
-        ),
-        ("null_conv_id", transcripts.filter(F.col("conv_id").isNull()).count()),
-        (
-            "negative_turn_idx",
-            transcripts.filter(F.col("turn_idx") < 0).count(),
-        ),
-        (
-            "non_dense_turns",
-            per_conv.filter(
-                (F.col("mn") != 0) | (F.col("mx") != F.col("cnt") - 1)
-            ).count(),
-        ),
-    ]
-    spark = transcripts.sparkSession
-    return spark.createDataFrame(
-        [(c, int(n)) for c, n in checks], "check string, n_violations long"
-    )
+    key_checks = per_conv.agg(
+        F.sum("n_dup").alias("dups"),
+        F.sum(
+            F.when(
+                (F.col("mn") != 0) | (F.col("mx") != F.col("n_distinct") - 1), 1
+            ).otherwise(zero)
+        ).alias("non_dense"),
+    ).selectExpr(
+        "stack(2, 'duplicate_turn_key', dups, 'non_dense_turns', non_dense)"
+        " AS (check, n_violations)"
+    ).select("check", F.coalesce("n_violations", F.lit(0)).alias("n_violations"))
+
+    return row_checks.unionByName(key_checks)
 
 
 def enum_url_dictionary(transcripts: DataFrame) -> DataFrame:

@@ -65,6 +65,14 @@ def fixture_schema(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(_FIXTURE_ROWS, SCHEMA_COLS)
 
 
+def _entity_types(nodes: DataFrame) -> DataFrame:
+    """(entity_id, type) from the elected rdf_type rows — the shared
+    type-attachment input for every schema-driven stage."""
+    return nodes.filter(F.col("attr") == "rdf_type").select(
+        "entity_id", F.col("value").alias("type")
+    )
+
+
 def _cast_ok(dtype, enum_domain, value):
     """Portable cast-validity predicate per dtype (TRY_CAST analog)."""
     return (
@@ -92,9 +100,7 @@ def schema_cast(nodes: DataFrame, schema_df: DataFrame) -> DataFrame:
     construction — schemas are O(types × attrs), not O(data)), one
     broadcast anti-join for defaults; everything else is narrow.
     """
-    types = nodes.filter(F.col("attr") == "rdf_type").select(
-        "entity_id", F.col("value").alias("type")
-    )
+    types = _entity_types(nodes)
     attrs = (
         nodes.filter(F.col("attr") != "rdf_type")
         .select("entity_id", "attr", "value")
@@ -152,19 +158,27 @@ def suppress_defaults(nodes: DataFrame, schema_df: DataFrame) -> DataFrame:
     equals the schema default for their (type, attr) — the reference
     never serializes default-valued attributes
     (cimpy/cimexport.py:101-107 drops '', None, 0.0, 0, 'list').
-    rdf_type rows and attrs without a schema default pass through.
-    One broadcast join + a filter; narrow."""
-    types = nodes.filter(F.col("attr") == "rdf_type").select(
-        "entity_id", F.col("value").alias("type")
-    )
-    joined = nodes.join(types, "entity_id").join(
-        F.broadcast(schema_df.select("type", "attr", "default_value")),
+    rdf_type rows, attrs without a schema default, and NULL values
+    pass through. Numeric dtypes compare by VALUE (0.0 == '0' — the
+    reference drops numerically-default attrs regardless of the
+    literal's spelling); others compare as strings. One corpus join to
+    attach entity types + one broadcast schema join + a filter."""
+    joined = nodes.join(_entity_types(nodes), "entity_id").join(
+        F.broadcast(schema_df.select("type", "attr", "dtype", "default_value")),
         ["type", "attr"],
         "left",
     )
+    numeric = F.col("dtype").isin("int", "double")
+    eq = F.coalesce(
+        F.when(
+            numeric,
+            F.expr("try_cast(value AS double)")
+            == F.expr("try_cast(default_value AS double)"),
+        ).otherwise(F.col("value") == F.col("default_value")),
+        F.lit(False),
+    )
     return joined.filter(
-        F.col("default_value").isNull()
-        | (F.col("value") != F.col("default_value"))
+        F.col("default_value").isNull() | ~eq
     ).select("entity_id", "attr", "value", "profile")
 
 
@@ -178,12 +192,10 @@ def route_to_profiles(nodes: DataFrame, schema_df: DataFrame) -> DataFrame:
     profile. Output: (entity_id, attr, value, export_profile) — the
     partition key for a profile-routed export sink.
 
-    One broadcast join; narrow."""
-    types = nodes.filter(F.col("attr") == "rdf_type").select(
-        "entity_id", F.col("value").alias("type")
-    )
+    One corpus join to attach entity types + one broadcast schema
+    join."""
     routed = (
-        nodes.join(types, "entity_id")
+        nodes.join(_entity_types(nodes), "entity_id")
         .join(
             F.broadcast(
                 schema_df.select(
@@ -234,21 +246,29 @@ def schema_table_sql() -> str:
     )
 
 
+# shared (type-per-entity) CTE for the oracle builders below
+_ETYPES_SQL = """
+    , etypes AS (
+      SELECT entity_id, value AS type FROM nodes WHERE attr = 'rdf_type'
+    )
+"""
+
+
 def default_suppression_oracle_sql(pipeline_ctes: str) -> str:
     """DuckDB oracle for `kg_default_suppression`."""
     return (
         pipeline_ctes
         + ", "
         + schema_table_sql()
-        + """
-    , etypes AS (
-      SELECT entity_id, value AS type FROM nodes WHERE attr = 'rdf_type'
-    )
+        + _ETYPES_SQL + """
     SELECT n.entity_id, n.attr, n.value, n.profile
     FROM nodes n
     JOIN etypes t USING (entity_id)
     LEFT JOIN schema_t s ON s.type = t.type AND s.attr = n.attr
-    WHERE s.default_value IS NULL OR n.value <> s.default_value
+    WHERE s.default_value IS NULL OR NOT COALESCE(
+      CASE WHEN s.dtype IN ('int', 'double')
+           THEN TRY_CAST(n.value AS DOUBLE) = TRY_CAST(s.default_value AS DOUBLE)
+           ELSE n.value = s.default_value END, FALSE)
     """
     )
 
@@ -259,10 +279,7 @@ def profile_routing_oracle_sql(pipeline_ctes: str) -> str:
         pipeline_ctes
         + ", "
         + schema_table_sql()
-        + """
-    , etypes AS (
-      SELECT entity_id, value AS type FROM nodes WHERE attr = 'rdf_type'
-    )
+        + _ETYPES_SQL + """
     SELECT n.entity_id, n.attr, n.value,
            COALESCE(s.route, n.profile) AS export_profile
     FROM nodes n

@@ -111,6 +111,8 @@ def test_input_validation_counts_planted_violations(spark):
         ("c1", 2, "user", "", None),           # empty text + gap (no turn 1)
         (None, 0, "user", "x", None),          # null conv_id
         ("c2", -1, "user", "y", None),         # negative idx + non-dense
+        ("c3", None, "user", "z", None),       # NULL turn_idx
+        ("c3", 0, "user", "w", None),
     ]
     t = spark.createDataFrame(
         rows, "conv_id string, turn_idx int, role string, text string, tool string"
@@ -120,4 +122,5 @@ def test_input_validation_counts_planted_violations(spark):
     assert got["null_or_empty_text"] == 1
     assert got["null_conv_id"] == 1
     assert got["negative_turn_idx"] == 1
-    assert got["non_dense_turns"] >= 2  # c1 gap, c2 negative start
+    assert got["null_turn_idx"] == 1  # breaks ordering; must be counted
+    assert got["non_dense_turns"] >= 2  # c1 gap, c2 negative start; c3 dense
