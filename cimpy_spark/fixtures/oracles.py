@@ -217,7 +217,7 @@ def node_degree_sql() -> str:
 
 def adjacency_sql() -> str:
     return PIPELINE_CTES + """
-    SELECT src, pred, list(dst ORDER BY dst) AS neighbors,
+    SELECT src, pred, string_agg(dst, ',' ORDER BY dst) AS neighbors,
            count(*) AS n_neighbors
     FROM canon_edges GROUP BY src, pred
     """

@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from cimpy_spark.functions.text import has_shingles, shingle_array
+from cimpy_spark.plans.checkpoints import checkpoint_df
 
 N_HASHES = 12
 N_BANDS = 4  # rows-per-band r = 3
@@ -192,7 +193,7 @@ def minhash_candidates(
     # signature computation is the expensive part (measured 4x
     # recompute without this). At cluster scale this is the stage-1
     # checkpoint of the dedup pipeline.
-    keys = minhash_band_keys(docs, n_hashes, n_bands).localCheckpoint(eager=True)
+    keys = checkpoint_df(minhash_band_keys(docs, n_hashes, n_bands))
     ok = drop_oversize_buckets(keys, ["band", "band_key"], max_bucket)
     a = ok.select("band", "band_key", F.col("doc_id").alias("doc_a"))
     b = ok.select("band", "band_key", F.col("doc_id").alias("doc_b"))
@@ -206,8 +207,26 @@ def minhash_candidates(
 
 def ngram_jaccard(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     """Exact word-3-gram Jaccard similarity for candidate pairs —
-    the verify stage after LSH: (doc_a, doc_b, jaccard)."""
-    sh = docs.select("doc_id", F.explode(shingle_array(3)).alias("shingle"))
+    the verify stage after LSH: (doc_a, doc_b, jaccard).
+
+    Verify cost is O(candidates), NOT O(corpus): docs are semi-joined
+    to the candidate id set BEFORE the shingle explode, so the ~50×
+    row amplification only touches documents that actually appear in a
+    pair (at 100 TB the explode over the full corpus would shuffle
+    ~50× the text volume to verify a tiny candidate fraction). The
+    candidate id set is bounded by the LSH bucket cap (≤ 2·|pairs|
+    distinct ids, pairs ≤ n_buckets × max_bucket²), so it broadcasts;
+    `pairs` is materialized once since this plan consumes it four
+    times (two id projections, the intersection join, the final
+    left join)."""
+    pairs = checkpoint_df(pairs)
+    cand_ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    cand_docs = docs.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+    sh = cand_docs.select("doc_id", F.explode(shingle_array(3)).alias("shingle"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
@@ -254,10 +273,20 @@ def dedup_corpus(
 
     Doc ids (non-negative int64) are zero-padded to 20 digits for the
     CC operator so lexicographic min == numeric min across the full
-    int64 range. Output: (doc_id, canonical_doc_id, is_kept).
+    non-negative int64 range. A negative doc_id would format as
+    '-000…' and silently mis-order against numeric min, so the
+    contract is ENFORCED, not just documented: a limit-1 probe (filter
+    pushed to the scan, stops at the first hit) fails fast before any
+    dedup work is scheduled. Output: (doc_id, canonical_doc_id,
+    is_kept).
     """
     from cimpy_spark.operators.canonicalize import canonical_labels
 
+    if docs.filter(F.col("doc_id") < 0).limit(1).count() > 0:
+        raise ValueError(
+            "dedup_corpus requires non-negative doc_id (zero-padded "
+            "lexicographic ordering == numeric ordering); found doc_id < 0"
+        )
     dup_pairs = ngram_jaccard(docs, minhash_candidates(docs, n_hashes, n_bands, max_bucket)).filter(
         F.col("jaccard") >= threshold
     )
@@ -266,10 +295,12 @@ def dedup_corpus(
     # them to the CC operator: its small-graph limit-probe otherwise
     # re-executes this (expensive) candidate+verify plan incrementally
     # (measured 48s -> ~8s at sf0.1)
-    links = dup_pairs.select(
-        F.format_string(pad, "doc_a").alias("src"),
-        F.format_string(pad, "doc_b").alias("dst"),
-    ).localCheckpoint(eager=True)
+    links = checkpoint_df(
+        dup_pairs.select(
+            F.format_string(pad, "doc_a").alias("src"),
+            F.format_string(pad, "doc_b").alias("dst"),
+        )
+    )
     ids = docs.select(F.format_string(pad, "doc_id").alias("entity_id"))
     labels = canonical_labels(ids, links)
     return (
@@ -345,7 +376,7 @@ def simhash_candidates(
     # otherwise be re-evaluated per band expression after projection
     # collapse, and the keys plan is consumed 4x downstream — banding
     # over the checkpointed longs is trivial
-    sh = simhash(docs, n_bits=n_bits).localCheckpoint(eager=True)
+    sh = checkpoint_df(simhash(docs, n_bits=n_bits))
     bands = F.array(
         *[
             F.struct(

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from cimpy_spark.plans.checkpoints import checkpoint_df
+
 N_PLANES = 8
 
 
@@ -343,9 +345,11 @@ def neardup_pairs(
     # re-evaluated per consumer otherwise, but the (wide) embeddings
     # themselves must NOT be copied into checkpoint storage; the
     # capped candidate pairs fetch them back by key
-    v = embeddings.select(
-        "vec_id", _bucket_expr(_as_double("embedding")).alias("bucket")
-    ).localCheckpoint(eager=True)
+    v = checkpoint_df(
+        embeddings.select(
+            "vec_id", _bucket_expr(_as_double("embedding")).alias("bucket")
+        )
+    )
     ok = drop_oversize_buckets(v, ["bucket"], max_bucket)
     a = ok.select(F.col("vec_id").alias("vec_a"), "bucket")
     b = ok.select(F.col("vec_id").alias("vec_b"), "bucket")

@@ -207,13 +207,11 @@ def _small_graph_labels(entities: DataFrame, pairs) -> DataFrame:
 
 
 def _checkpoint(df: DataFrame, eager: bool = False) -> DataFrame:
-    """Reliable checkpoint when a checkpoint dir is configured (a
-    cluster run must survive executor loss mid-loop); localCheckpoint
-    otherwise (single-JVM sandbox)."""
-    sc = df.sparkSession.sparkContext
-    if sc.getCheckpointDir():
-        return df.checkpoint(eager=eager)
-    return df.localCheckpoint(eager=eager)
+    """Reliable-when-configured materialization (shared policy —
+    see cimpy_spark/plans/checkpoints.py)."""
+    from cimpy_spark.plans.checkpoints import checkpoint_df
+
+    return checkpoint_df(df, eager=eager)
 
 
 def _iterate(edges: DataFrame, labels: DataFrame, max_iter: int) -> DataFrame:

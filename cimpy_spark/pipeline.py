@@ -104,12 +104,15 @@ def multihop(canon_edges: DataFrame, pred1: str = "connects_to", pred2: str = "f
 
 def adjacency(canon_edges: DataFrame) -> DataFrame:
     """Many-valued reference view: per (src, pred), the sorted
-    neighbor array — the reference's list-valued attributes (e.g.
+    neighbor list — the reference's list-valued attributes (e.g.
     Terminal lists, appended with dedupe, cimpy/cimimport.py:294-300)
-    as a grouped array column. Single hash aggregation; sort_array
-    makes the array engine-stable for the oracle."""
+    as a grouped column. Single hash aggregation; the neighbor set is
+    emitted as a ','-joined SORTED string (not array<string>) so the
+    result carries only hashable scalar columns — the driver/oracle
+    comparator canonicalizes rows via pandas sort+hash, which cannot
+    handle list cells (the one red row of round 2)."""
     return canon_edges.groupBy("src", "pred").agg(
-        F.sort_array(F.collect_list("dst")).alias("neighbors"),
+        F.array_join(F.sort_array(F.collect_list("dst")), ",").alias("neighbors"),
         F.count(F.lit(1)).alias("n_neighbors"),
     )
 
@@ -137,7 +140,10 @@ def khop(canon_edges: DataFrame, pred: str = "connects_to", k: int = 3) -> DataF
 
 
 def reachability(
-    canon_edges: DataFrame, pred: str = "feeds", max_iter: int = 30
+    canon_edges: DataFrame,
+    pred: str = "feeds",
+    max_iter: int = 30,
+    max_pairs: int = 100_000_000,
 ) -> DataFrame:
     """Fixpoint reachability (transitive closure) over `pred` edges —
     semi-naive iteration: each round extends only the FRONTIER (pairs
@@ -145,25 +151,49 @@ def reachability(
     closure, so work per round is proportional to new pairs, not the
     closure (same driver-loop + localCheckpoint recipe as the CC
     operator; terminates on cycles because the pair set is finite and
-    monotone)."""
+    monotone).
+
+    CLOSURE-SIZE HAZARD: the output is the full transitive closure,
+    which on a dense predicate is O(V²) pairs regardless of how
+    cleverly it is iterated — a hub vertex reaching 10^6 others alone
+    contributes 10^6 rows. `max_pairs` bounds the accumulated closure
+    the way `max_bucket` bounds LSH buckets: the loop raises as soon
+    as the running pair count exceeds it, before the next (even more
+    expensive) round is attempted. Size the cap to what the consumer
+    can actually store; prefer `khop` when only bounded-depth pairs
+    are needed."""
     e = (
         canon_edges.filter(F.col("pred") == pred)
         .select(F.col("src").alias("a"), F.col("dst").alias("b"))
         .distinct()
     )
+    from cimpy_spark.plans.checkpoints import checkpoint_df
+
     step = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
-    total = e.localCheckpoint(eager=True)
+    total = checkpoint_df(e)
     frontier = total
+    n_pairs = total.count()  # counts materialized checkpoints: cheap
+    if n_pairs > max_pairs:
+        raise RuntimeError(
+            f"reachability closure exceeds max_pairs={max_pairs} "
+            f"({n_pairs} pairs before iteration; dense predicate?)"
+        )
     for _ in range(max_iter):
-        nxt = (
+        nxt = checkpoint_df(
             frontier.join(step, "b")
             .select("a", F.col("c").alias("b"))
             .distinct()
             .join(total, ["a", "b"], "left_anti")
-            .localCheckpoint(eager=True)
         )
-        if nxt.isEmpty():
+        n_new = nxt.count()
+        if n_new == 0:
             return total.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        n_pairs += n_new
+        if n_pairs > max_pairs:
+            raise RuntimeError(
+                f"reachability closure exceeds max_pairs={max_pairs} "
+                f"({n_pairs} pairs accumulated; dense predicate?)"
+            )
         # total stays a LAZY union of checkpointed deltas — lineage
         # depth is bounded by rounds with materialized leaves, and the
         # closure is never re-copied per round (true semi-naive cost)

@@ -184,6 +184,40 @@ def test_fingerprint_deterministic_per_text(spark, docs):
     assert joined.filter(F.col("n") > 1).count() == 0
 
 
+def test_dedup_corpus_rejects_negative_doc_ids(spark):
+    """The zero-padded ordering contract is enforced, not just
+    documented: a negative doc_id would lexicographically mis-order
+    against numeric min, so the operator fails fast."""
+    bad = spark.createDataFrame(
+        [(-1, "some text with enough words to shingle properly here"),
+         (2, "other text with enough words to shingle properly here")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="non-negative doc_id"):
+        D.dedup_corpus(bad)
+
+
+def test_jaccard_explode_restricted_to_candidates(spark, docs):
+    """Plan regression: the shingle explode must run over the
+    candidate SUBSET (broadcast semi-join upstream of Generate), not
+    the whole corpus — verify-stage cost is O(candidates)."""
+    sample = docs.select("doc_id", "text").limit(20)
+    pairs = sample.limit(3).select(
+        F.col("doc_id").alias("doc_a"), (F.col("doc_id") + 1000000).alias("doc_b")
+    )
+    jac = D.ngram_jaccard(_with_copies(sample, "doc_id"), pairs)
+    plan = jac._jdf.queryExecution().executedPlan().toString()
+    # the only LeftSemi in this plan is the candidate restriction, and
+    # the plan must still contain the explode it feeds
+    assert "LeftSemi" in plan, plan
+    assert "Generate" in plan, plan
+    # semantics: only candidate docs are verified, all planted
+    # identical pairs score 1.0
+    rows = jac.collect()
+    assert len(rows) == 3
+    assert all(r["jaccard"] == 1.0 for r in rows)
+
+
 def test_signature_ops_are_pure_projections(spark, docs, emb):
     """Plan regression (PLANS.md): simhash and lsh_buckets must stay
     ZERO-exchange projections — a reintroduced explode/shuffle in the

@@ -1,0 +1,71 @@
+"""Unit tests for graph view operators in cimpy_spark.pipeline
+(adjacency, reachability guard) — exact values at corpus scale are
+covered by the DuckDB oracle gate; these check the operator contracts
+on tiny closed-form graphs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cimpy_spark import pipeline as P
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, "src string, pred string, dst string")
+
+
+def test_adjacency_emits_sorted_scalar_neighbors(spark):
+    """Neighbors must be a ','-joined SORTED string (hashable scalar —
+    the round-2 driver comparator could not hash array cells), one row
+    per (src, pred), count matching."""
+    edges = _edges(
+        spark,
+        [
+            ("a", "p", "z"),
+            ("a", "p", "m"),
+            ("a", "p", "b"),
+            ("a", "q", "x"),
+            ("b", "p", "a"),
+        ],
+    )
+    rows = {
+        (r["src"], r["pred"]): (r["neighbors"], r["n_neighbors"])
+        for r in P.adjacency(edges).collect()
+    }
+    assert rows == {
+        ("a", "p"): ("b,m,z", 3),
+        ("a", "q"): ("x", 1),
+        ("b", "p"): ("a", 1),
+    }
+    # scalar string type, never array — the comparator contract
+    schema = dict(P.adjacency(edges).dtypes)
+    assert schema["neighbors"] == "string"
+
+
+def test_reachability_closure_and_guard(spark):
+    # chain 0->1->...->9: closure has 10*9/2 = 45 pairs
+    chain = _edges(
+        spark, [(f"n{i}", "feeds", f"n{i + 1}") for i in range(9)]
+    )
+    out = P.reachability(chain)
+    assert out.count() == 45
+    # same chain with a tight cap must raise BEFORE materializing the
+    # full closure (the dense-pred guard, like dedup's max_bucket)
+    with pytest.raises(RuntimeError, match="max_pairs"):
+        P.reachability(chain, max_pairs=20)
+    # cap below even the base edge set raises before iterating
+    with pytest.raises(RuntimeError, match="max_pairs"):
+        P.reachability(chain, max_pairs=5)
+
+
+def test_reachability_cycle_terminates(spark):
+    cyc = _edges(
+        spark,
+        [("a", "feeds", "b"), ("b", "feeds", "c"), ("c", "feeds", "a")],
+    )
+    rows = {
+        (r["src"], r["dst"]) for r in P.reachability(cyc).collect()
+    }
+    # every vertex reaches every vertex (including itself via the cycle)
+    assert rows == {(s, d) for s in "abc" for d in "abc"}
