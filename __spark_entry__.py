@@ -201,9 +201,22 @@ def _q_default_suppression(spark, sf_dir):
 
 
 def _q_profile_routing(spark, sf_dir):
-    from cimpy_spark.operators.schema import fixture_schema, route_to_profiles
+    from cimpy_spark.operators.schema import (
+        ACTIVE_EXPORT_PROFILES,
+        fixture_schema,
+        route_to_profiles,
+    )
 
-    return route_to_profiles(_graph(spark, sf_dir).nodes, fixture_schema(spark))
+    return route_to_profiles(
+        _graph(spark, sf_dir).nodes, fixture_schema(spark), ACTIVE_EXPORT_PROFILES
+    )
+
+
+def _q_multiplicity_check(spark, sf_dir):
+    from cimpy_spark.operators.schema import fixture_schema, multiplicity_violations
+
+    g = _graph(spark, sf_dir)
+    return multiplicity_violations(g.canon_edges, g.nodes, fixture_schema(spark))
 
 
 def _q_enum_dictionary(spark, sf_dir):
@@ -444,6 +457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_schema_cast": _q_schema_cast,
         "kg_schema_quarantine": _q_schema_quarantine,
         "kg_profile_routing": _q_profile_routing,
+        "kg_multiplicity_check": _q_multiplicity_check,
         "kg_default_suppression": _q_default_suppression,
         "kg_enum_dictionary": _q_enum_dictionary,
         "kg_enum_roundtrip": _q_enum_roundtrip,
@@ -488,9 +502,18 @@ def _schema_cast_oracle() -> str:
 
 
 def _profile_routing_oracle() -> str:
-    from cimpy_spark.operators.schema import profile_routing_oracle_sql
+    from cimpy_spark.operators.schema import (
+        ACTIVE_EXPORT_PROFILES,
+        profile_routing_oracle_sql,
+    )
 
-    return profile_routing_oracle_sql(oracles.PIPELINE_CTES)
+    return profile_routing_oracle_sql(oracles.PIPELINE_CTES, ACTIVE_EXPORT_PROFILES)
+
+
+def _multiplicity_oracle() -> str:
+    from cimpy_spark.operators.schema import multiplicity_oracle_sql
+
+    return multiplicity_oracle_sql(oracles.PIPELINE_CTES)
 
 
 def _default_suppression_oracle() -> str:
@@ -533,6 +556,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_per_type_stats": oracles.per_type_stats_sql(),
         "kg_delete_t0": oracles.delete_t0_sql(),
         "kg_profile_routing": _profile_routing_oracle(),
+        "kg_multiplicity_check": _multiplicity_oracle(),
         "kg_default_suppression": _default_suppression_oracle(),
         "kg_enum_dictionary": oracles.enum_dictionary_sql(),
         "kg_enum_roundtrip": oracles.enum_roundtrip_sql(),

@@ -39,19 +39,44 @@ SCHEMA_COLS = (
     "default_value string, enum_domain array<string>, profiles array<string>"
 )
 
+# Export-priority order of the fixture's profiles — the analog of the
+# reference's Profile enum values (EQ=0 < SSH=1 < TP=2 < SV=3,
+# cimpy/cgmes_v2_4_15/Base.py:25-38): lower number = elected first.
+PROFILE_PRIORITY: dict[str, int] = {
+    "user": 0,
+    "assistant": 1,
+    "tool": 2,
+    "system": 3,
+}
+
 # The fixture grammar's schema, versioned in-code the way a deployment
 # would version it in a catalog table. q_str is deliberately NOT
 # declared for T3/T4 (exercises unknown-attr), V2 is deliberately
 # outside the Unit enum domain (exercises bad-literal), and p_rated is
-# declared but never planted (exercises defaults).
+# declared but never planted (exercises defaults). `profiles` is the
+# POSSIBLE-profile list per class/attribute (multi-valued so the
+# min-priority election is non-trivial); the '__class__' row carries
+# the class's own possible profiles (the reference's
+# possibleProfileList[klass]['class']). Reference predicates are
+# declared dtype 'ref' with their multiplicity ('controls' is 0..1 so
+# a second distinct target is a counted violation; the rest are 0..*
+# append-with-dedupe, cimpy/cimimport.py:290-311).
 _FIXTURE_ROWS = []
 for _t in ["T0", "T1", "T2", "T3", "T4"]:
     _FIXTURE_ROWS += [
-        (_t, "p_int", "int", "1..1", "0", None, ["user"]),
+        # T2's class can only serialize to 'system' (exercises the
+        # class-skip when 'system' is deactivated and the rdf:about
+        # split when it is active); other classes live in 'user'.
+        (_t, "__class__", "class", None, None, None,
+         ["system"] if _t == "T2" else ["user", "system"]),
+        (_t, "p_int", "int", "1..1", "0", None, ["user", "tool"]),
         (_t, "p_bool", "boolean", "1..1", "false", None, ["user"]),
         (_t, "p_enum", "enum", "1..1", "V0", ["V0", "V1"], ["user"]),
-        (_t, "q_int", "int", "0..1", None, None, ["assistant"]),
+        (_t, "q_int", "int", "0..1", None, None, ["assistant", "tool"]),
         (_t, "p_rated", "double", "0..1", "1.5", None, ["user"]),
+        (_t, "connects_to", "ref", "0..*", None, None, ["user"]),
+        (_t, "feeds", "ref", "0..*", None, None, ["user"]),
+        (_t, "controls", "ref", "0..1", None, None, ["user"]),
     ]
     if _t in ("T0", "T1", "T2"):
         _FIXTURE_ROWS.append(
@@ -77,9 +102,10 @@ def _cast_ok(dtype, enum_domain, value):
     """Portable cast-validity predicate per dtype (TRY_CAST analog)."""
     return (
         F.when(dtype == "int", F.expr("try_cast(value AS int)").isNotNull())
+        .when(dtype == "double", F.expr("try_cast(value AS double)").isNotNull())
         .when(dtype == "boolean", value.isin("true", "false"))
         .when(dtype == "enum", F.array_contains(enum_domain, value))
-        .otherwise(F.lit(True))  # string / double accept any literal
+        .otherwise(F.lit(True))  # string accepts any literal
     )
 
 
@@ -182,37 +208,170 @@ def suppress_defaults(nodes: DataFrame, schema_df: DataFrame) -> DataFrame:
     ).select("entity_id", "attr", "value", "profile")
 
 
-def route_to_profiles(nodes: DataFrame, schema_df: DataFrame) -> DataFrame:
-    """Export-side profile routing: each attribute row is assigned the
-    profile the SCHEMA designates for it (the reference resolves each
-    attribute's serialization profile from the class model at export,
-    cimpy/cimexport.py:258-287 — NOT from where the value was
-    observed); attributes the schema doesn't know keep their observed
-    provenance, and rdf_type rows stay with their declaration's
-    profile. Output: (entity_id, attr, value, export_profile) — the
-    partition key for a profile-routed export sink.
+# The active-profile set used by the driver-gated `kg_profile_routing`
+# query: 'system' deliberately DEactivated so the election is
+# non-trivial — T2's class (possible ['system'] only) is skipped
+# entirely and attrs observed on system turns re-elect by priority.
+ACTIVE_EXPORT_PROFILES = ["user", "assistant", "tool"]
 
-    One corpus join to attach entity types + one broadcast schema
-    join."""
+
+def _elect_expr(observed, possible, active: list[str]):
+    """Two-step serialization-profile election (the reference's
+    attribute/class resolution, cimpy/cimexport.py:180-287):
+
+    1. the OBSERVED profile wins iff it is active AND in the possible
+       list (an imported origin is honored when legal);
+    2. otherwise the min-PRIORITY active profile from the possible
+       list (possibleProfileList.sort() + first-active,
+       priorities cimpy/cgmes_v2_4_15/Base.py:25-38);
+    3. NULL when no possible profile is active → the row is skipped
+       for export (the reference's `continue`).
+
+    Pure column expressions over the broadcast schema row — the
+    priority map is a literal, the election a filter+sort over a
+    ≤4-element array."""
+    prio = F.create_map(
+        *[F.lit(x) for kv in PROFILE_PRIORITY.items() for x in kv]
+    )
+    active_arr = F.array(*[F.lit(p) for p in active])
+    legal = F.filter(
+        possible, lambda p: F.array_contains(active_arr, p)
+    )
+    # F.get (0-indexed) returns NULL on an empty array — element_at
+    # raises under ANSI mode (Spark 4 default)
+    elected_min = F.get(
+        F.array_sort(
+            F.transform(legal, lambda p: F.struct(prio[p].alias("k"), p.alias("p")))
+        ),
+        0,
+    )["p"]
+    observed_ok = F.array_contains(active_arr, observed) & F.array_contains(
+        possible, observed
+    )
+    return F.when(possible.isNull(), F.lit(None)).otherwise(
+        F.when(observed_ok, observed).otherwise(elected_min)
+    )
+
+
+def route_to_profiles(
+    nodes: DataFrame,
+    schema_df: DataFrame,
+    active_profiles: list[str] | None = None,
+) -> DataFrame:
+    """Export-side profile routing with min-priority election over the
+    ACTIVE profile set and the rdf:about split (the reference's export
+    partitioning, cimpy/cimexport.py:180-287):
+
+    - each CLASS elects its serialization profile from its
+      '__class__' possible list (observed declaration profile first,
+      then min-priority active); a class with no active possible
+      profile is skipped entirely — its attributes do not export;
+    - each ATTRIBUTE elects its own profile the same way; an
+      attribute with no active possible profile is skipped;
+    - attributes the schema doesn't know keep their observed
+      provenance (counted as unknown by the cast stage, exported
+      in place);
+    - ``is_about`` = the attribute's elected profile differs from its
+      class's — the row serializes as an rdf:about block in the OTHER
+      profile's file (reference about_dict, cimexport.py:283-287);
+      rdf_type rows are the class declaration itself (never about).
+
+    Output: (entity_id, attr, value, export_profile, is_about) — the
+    (export_profile, is_about) pair is the partition key of a
+    profile-routed export sink. One corpus join to attach entity
+    types + two broadcast schema joins (class row, attr row).
+    """
+    active = (
+        sorted(PROFILE_PRIORITY) if active_profiles is None else list(active_profiles)
+    )
+    types = _entity_types(nodes)
+    class_rows = schema_df.filter(F.col("attr") == "__class__").select(
+        "type", F.col("profiles").alias("class_possible")
+    )
+    attr_rows = schema_df.filter(F.col("attr") != "__class__").select(
+        "type", "attr", F.col("profiles").alias("attr_possible")
+    )
+    # class election needs the OBSERVED declaration profile = the
+    # profile of the entity's elected rdf_type row
+    class_obs = nodes.filter(F.col("attr") == "rdf_type").select(
+        "entity_id", F.col("value").alias("type"), F.col("profile").alias("class_observed")
+    )
+    class_elected = class_obs.join(F.broadcast(class_rows), "type", "left").select(
+        "entity_id",
+        "type",
+        _elect_expr(
+            F.col("class_observed"), F.col("class_possible"), active
+        ).alias("class_profile"),
+    )
+    # classes with no active possible profile are skipped entirely
+    kept = class_elected.filter(F.col("class_profile").isNotNull())
+
     routed = (
-        nodes.join(_entity_types(nodes), "entity_id")
-        .join(
-            F.broadcast(
-                schema_df.select(
-                    "type", "attr", F.col("profiles")[0].alias("__route")
-                )
-            ),
-            ["type", "attr"],
-            "left",
-        )
+        nodes.join(kept, "entity_id")
+        .join(F.broadcast(attr_rows), ["type", "attr"], "left")
         .select(
             "entity_id",
             "attr",
             "value",
-            F.coalesce("__route", "profile").alias("export_profile"),
+            F.when(
+                F.col("attr") == "rdf_type", F.col("class_profile")
+            ).otherwise(
+                F.coalesce(
+                    _elect_expr(F.col("profile"), F.col("attr_possible"), active),
+                    # unknown attr: keep observed provenance iff active
+                    F.when(
+                        F.col("attr_possible").isNull()
+                        & F.col("profile").isin(active),
+                        F.col("profile"),
+                    ),
+                )
+            ).alias("export_profile"),
+            "class_profile",
+        )
+        .filter(F.col("export_profile").isNotNull())
+        .select(
+            "entity_id",
+            "attr",
+            "value",
+            "export_profile",
+            (F.col("export_profile") != F.col("class_profile")).alias("is_about"),
         )
     )
     return routed
+
+
+def multiplicity_violations(
+    canon_edges: DataFrame, nodes: DataFrame, schema_df: DataFrame
+) -> DataFrame:
+    """Enforce the schema's declared reference multiplicity.
+
+    The reference dispatches per attribute on multiplicity: 0..1
+    overwrites, 0..* appends-with-dedupe (cimpy/cimimport.py:290-311).
+    Edges here already get set semantics (append-with-dedupe); this
+    check makes the 0..1 contract REAL: a canonical entity holding
+    more than one distinct resolved target for a 0..1 / 1..1 reference
+    is a counted violation (A1-style accounting, never an error —
+    cimpy/cimimport.py:41-66).
+
+    Output: (entity_id, type, attr, multiplicity, n_targets) for each
+    violating (entity, reference). Plan: one grouped distinct-count
+    over edges (shuffles on the src key the graph is already
+    partitioned by), one corpus join to attach types, one broadcast
+    schema join — the filter to declared-single refs happens on the
+    broadcast side, so only violating groups survive to the join."""
+    single_refs = schema_df.filter(
+        (F.col("dtype") == "ref") & F.col("multiplicity").isin("0..1", "1..1")
+    ).select("type", F.col("attr"), "multiplicity")
+    fanout = (
+        canon_edges.groupBy(F.col("src").alias("entity_id"), F.col("pred").alias("attr"))
+        .agg(F.countDistinct("dst").alias("n_targets"))
+        .filter(F.col("n_targets") > 1)
+    )
+    return (
+        fanout.join(_entity_types(nodes), "entity_id")
+        .join(F.broadcast(single_refs), ["type", "attr"])
+        .select("entity_id", "type", "attr", "multiplicity", "n_targets")
+    )
 
 
 def schema_quarantine_counts(cast_df: DataFrame) -> DataFrame:
@@ -230,20 +389,34 @@ def schema_table_sql() -> str:
     builds its expectation from the identical table."""
     rows = []
     for t, attr, dtype, mult, dflt, domain, profiles in _FIXTURE_ROWS:
+        mult_sql = "NULL" if mult is None else f"'{mult}'"
         dflt_sql = "NULL" if dflt is None else f"'{dflt}'"
         dom_sql = (
             "NULL"
             if domain is None
             else "[" + ", ".join(f"'{v}'" for v in domain) + "]"
         )
+        prof_sql = "[" + ", ".join(f"'{p}'" for p in profiles) + "]"
         rows.append(
-            f"('{t}', '{attr}', '{dtype}', {dflt_sql}, {dom_sql}, '{profiles[0]}')"
+            f"('{t}', '{attr}', '{dtype}', {mult_sql}, {dflt_sql}, "
+            f"{dom_sql}, {prof_sql})"
         )
     return (
-        "schema_t(type, attr, dtype, default_value, enum_domain, route) AS (VALUES "
+        "schema_t(type, attr, dtype, multiplicity, default_value, "
+        "enum_domain, profiles) AS (VALUES "
         + ", ".join(rows)
         + ")"
     )
+
+
+def _priority_sql() -> str:
+    rows = ", ".join(f"('{p}', {k})" for p, k in PROFILE_PRIORITY.items())
+    return f"prio(profile, pri) AS (VALUES {rows})"
+
+
+def _active_sql(active: list[str]) -> str:
+    rows = ", ".join(f"('{p}')" for p in active)
+    return f"active(profile) AS (VALUES {rows})"
 
 
 # shared (type-per-entity) CTE for the oracle builders below
@@ -273,18 +446,93 @@ def default_suppression_oracle_sql(pipeline_ctes: str) -> str:
     )
 
 
-def profile_routing_oracle_sql(pipeline_ctes: str) -> str:
-    """DuckDB oracle for `kg_profile_routing`."""
+def profile_routing_oracle_sql(
+    pipeline_ctes: str, active_profiles: list[str] | None = None
+) -> str:
+    """DuckDB oracle for `kg_profile_routing` — the same two-step
+    election over the identical schema/priority/active VALUES tables."""
+    active = (
+        sorted(PROFILE_PRIORITY) if active_profiles is None else list(active_profiles)
+    )
+    return (
+        pipeline_ctes
+        + ", "
+        + schema_table_sql()
+        + ", "
+        + _priority_sql()
+        + ", "
+        + _active_sql(active)
+        + """
+    , class_obs AS (
+      SELECT entity_id, value AS type, profile AS class_observed
+      FROM nodes WHERE attr = 'rdf_type'
+    ),
+    class_cand AS (
+      SELECT co.entity_id, co.type, co.class_observed, u.p AS cand, pr.pri
+      FROM class_obs co
+      JOIN schema_t cs ON cs.type = co.type AND cs.attr = '__class__',
+      UNNEST(cs.profiles) AS u(p)
+      JOIN prio pr ON pr.profile = u.p
+      JOIN active a ON a.profile = u.p
+    ),
+    class_elect AS (
+      SELECT entity_id, any_value(type) AS type,
+             CASE WHEN max(CASE WHEN cand = class_observed THEN 1 ELSE 0 END) = 1
+                  THEN any_value(class_observed)
+                  ELSE arg_min(cand, pri) END AS class_profile
+      FROM class_cand GROUP BY entity_id
+    ),
+    attr_cand AS (
+      SELECT s.type, s.attr, u.p AS cand, pr.pri
+      FROM schema_t s, UNNEST(s.profiles) AS u(p)
+      JOIN prio pr ON pr.profile = u.p
+      JOIN active a ON a.profile = u.p
+      WHERE s.attr <> '__class__'
+    ),
+    attr_elect AS (
+      SELECT type, attr, arg_min(cand, pri) AS min_cand, list(cand) AS cands
+      FROM attr_cand GROUP BY type, attr
+    ),
+    attr_known AS (
+      SELECT DISTINCT type, attr FROM schema_t WHERE attr <> '__class__'
+    ),
+    routed AS (
+      SELECT n.entity_id, n.attr, n.value, ce.class_profile,
+             CASE WHEN n.attr = 'rdf_type' THEN ce.class_profile
+                  WHEN ak.attr IS NOT NULL THEN
+                    CASE WHEN COALESCE(list_contains(ae.cands, n.profile), FALSE)
+                         THEN n.profile ELSE ae.min_cand END
+                  WHEN n.profile IN (SELECT profile FROM active) THEN n.profile
+                  ELSE NULL END AS export_profile
+      FROM nodes n
+      JOIN class_elect ce USING (entity_id)
+      LEFT JOIN attr_known ak ON ak.type = ce.type AND ak.attr = n.attr
+      LEFT JOIN attr_elect ae ON ae.type = ce.type AND ae.attr = n.attr
+      WHERE ce.class_profile IS NOT NULL
+    )
+    SELECT entity_id, attr, value, export_profile,
+           export_profile <> class_profile AS is_about
+    FROM routed WHERE export_profile IS NOT NULL
+    """
+    )
+
+
+def multiplicity_oracle_sql(pipeline_ctes: str) -> str:
+    """DuckDB oracle for `kg_multiplicity_check`: 0..1 references with
+    more than one distinct resolved target per canonical entity."""
     return (
         pipeline_ctes
         + ", "
         + schema_table_sql()
         + _ETYPES_SQL + """
-    SELECT n.entity_id, n.attr, n.value,
-           COALESCE(s.route, n.profile) AS export_profile
-    FROM nodes n
-    JOIN etypes t USING (entity_id)
-    LEFT JOIN schema_t s ON s.type = t.type AND s.attr = n.attr
+    SELECT t.entity_id, t.type, e.pred AS attr, s.multiplicity,
+           count(DISTINCT e.dst) AS n_targets
+    FROM canon_edges e
+    JOIN etypes t ON t.entity_id = e.src
+    JOIN schema_t s ON s.type = t.type AND s.attr = e.pred
+         AND s.dtype = 'ref' AND s.multiplicity IN ('0..1', '1..1')
+    GROUP BY t.entity_id, t.type, e.pred, s.multiplicity
+    HAVING count(DISTINCT e.dst) > 1
     """
     )
 
@@ -310,6 +558,7 @@ def schema_cast_oracle_sql(pipeline_ctes: str) -> str:
              CASE
                WHEN s.dtype IS NULL THEN 'unknown_attr'
                WHEN s.dtype = 'int' AND TRY_CAST(a.value AS INT) IS NULL THEN 'bad_literal'
+               WHEN s.dtype = 'double' AND TRY_CAST(a.value AS DOUBLE) IS NULL THEN 'bad_literal'
                WHEN s.dtype = 'boolean' AND a.value NOT IN ('true', 'false') THEN 'bad_literal'
                WHEN s.dtype = 'enum' AND NOT list_contains(s.enum_domain, a.value) THEN 'bad_literal'
                ELSE 'observed'

@@ -58,6 +58,26 @@ def test_statuses_and_defaults(spark):
     assert nums[("E1", "p_rated")] == 1.5
 
 
+def test_bad_double_quarantines_and_default_survives(spark):
+    """A garbage double literal must be 'bad_literal' (not silently
+    'observed' with NULL num_value), and the schema default must still
+    materialize — consistent with the int path and the reference's
+    typed cast (cimpy/cimimport.py:255-273)."""
+    t = spark.createDataFrame(
+        [("c1", 0, "user", "«decl E1 type:T0 p_int=5 p_bool=true p_enum=kind:Unit.V0»", None),
+         ("c1", 1, "user", "«about E1 p_rated=abc»", None)],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    )
+    nodes = P.build_graph(t).nodes
+    got = {
+        (r["attr"], r["status"]): (r["value"], r["num_value"])
+        for r in schema_cast(nodes, fixture_schema(spark)).collect()
+    }
+    assert got[("p_rated", "bad_literal")] == ("abc", None)
+    assert got[("p_rated", "default")] == ("1.5", 1.5)
+    assert ("p_rated", "observed") not in got
+
+
 def test_quarantine_counts(spark):
     q = {
         (r["attr"], r["status"]): r["n"]
@@ -66,30 +86,108 @@ def test_quarantine_counts(spark):
     assert q == {("p_enum", "bad_literal"): 1, ("q_str", "unknown_attr"): 1}
 
 
-def test_profile_routing_follows_schema_not_provenance(spark):
-    """Export routing comes from the schema (reference resolves each
-    attribute's serialization profile from the class model,
-    cimexport.py:258-287), not from where the value was observed."""
-    from cimpy_spark.operators.schema import route_to_profiles
-
-    t = _cast(spark).sparkSession.createDataFrame(
-        # q_int observed on a 'tool' turn, but schema routes it to
-        # 'assistant'; zz_custom unknown -> keeps observed provenance
+def _routing_nodes(spark):
+    t = spark.createDataFrame(
         [
             ("c1", 0, "user", "«decl E1 type:T0 p_int=5 p_bool=true p_enum=kind:Unit.V1»", None),
             ("c1", 1, "tool", "«about E1 q_int=9 zz_custom=x»", None),
         ],
         "conv_id string, turn_idx int, role string, text string, tool string",
     )
-    nodes = P.build_graph(t).nodes
+    return P.build_graph(t).nodes
+
+
+def test_profile_routing_observed_wins_when_legal(spark):
+    """The two-step election (cimexport.py:180-287): an observed
+    profile that is active AND in the possible list is honored;
+    attributes whose elected profile differs from the class's carry
+    is_about (the rdf:about split)."""
+    from cimpy_spark.operators.schema import route_to_profiles
+
     routed = {
-        (r["attr"]): r["export_profile"]
-        for r in route_to_profiles(nodes, fixture_schema(spark)).collect()
+        r["attr"]: (r["export_profile"], r["is_about"])
+        for r in route_to_profiles(
+            _routing_nodes(spark), fixture_schema(spark)
+        ).collect()
     }
-    assert routed["q_int"] == "assistant"  # schema wins over 'tool'
-    assert routed["p_int"] == "user"
-    assert routed["zz_custom"] == "tool"  # unknown attr keeps provenance
-    assert routed["rdf_type"] == "user"  # declaration profile
+    # q_int possible [assistant, tool], observed tool (legal) → tool,
+    # split into the tool file as rdf:about (class lives in user)
+    assert routed["q_int"] == ("tool", True)
+    assert routed["p_int"] == ("user", False)
+    assert routed["zz_custom"] == ("tool", True)  # unknown keeps provenance
+    assert routed["rdf_type"] == ("user", False)  # the class declaration
+
+
+def test_profile_routing_deactivation_reroutes(spark):
+    """Deactivating a profile re-elects by priority: with 'tool'
+    inactive, q_int (observed on tool) reroutes to 'assistant' (its
+    min-priority active possible profile) and the unknown zz_custom
+    (observed provenance inactive) is skipped for export."""
+    from cimpy_spark.operators.schema import route_to_profiles
+
+    routed = {
+        r["attr"]: (r["export_profile"], r["is_about"])
+        for r in route_to_profiles(
+            _routing_nodes(spark),
+            fixture_schema(spark),
+            ["user", "assistant", "system"],
+        ).collect()
+    }
+    assert routed["q_int"] == ("assistant", True)
+    assert "zz_custom" not in routed
+    assert routed["p_int"] == ("user", False)
+
+
+def test_profile_routing_class_skip_and_about_split(spark):
+    """T2's class can only serialize to 'system': with system inactive
+    the entity is skipped entirely (reference `continue`,
+    cimexport.py:216-219); with system active the class lands there
+    and its user-profile attributes split out as rdf:about rows."""
+    from cimpy_spark.operators.schema import (
+        ACTIVE_EXPORT_PROFILES,
+        route_to_profiles,
+    )
+
+    t = _cast(spark).sparkSession.createDataFrame(
+        [("c1", 0, "user", "«decl E9 type:T2 p_int=5 p_bool=true p_enum=kind:Unit.V1»", None)],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    )
+    nodes = P.build_graph(t).nodes
+    schema = fixture_schema(spark)
+    assert route_to_profiles(nodes, schema, ACTIVE_EXPORT_PROFILES).count() == 0
+    routed = {
+        r["attr"]: (r["export_profile"], r["is_about"])
+        for r in route_to_profiles(nodes, schema).collect()
+    }
+    assert routed["rdf_type"] == ("system", False)
+    assert routed["p_int"] == ("user", True)  # about-block in the user file
+
+
+def test_multiplicity_violation_counted(spark):
+    """A 0..1 reference ('controls') resolving to two distinct targets
+    is a counted violation (reference dispatch cimimport.py:290-311);
+    0..* references ('connects_to') with the same fan-out are not."""
+    from cimpy_spark.operators.schema import multiplicity_violations
+
+    t = _cast(spark).sparkSession.createDataFrame(
+        [
+            ("c1", 0, "user", "«decl E1 type:T0 p_int=1 p_bool=true p_enum=kind:Unit.V0»", None),
+            ("c1", 1, "user", "«decl E2 type:T1 p_int=1 p_bool=true p_enum=kind:Unit.V0»", None),
+            ("c1", 2, "user", "«decl E3 type:T2 p_int=1 p_bool=true p_enum=kind:Unit.V0»", None),
+            ("c1", 3, "user", "«rel E1 controls E2» «rel E1 controls E3»", None),
+            ("c1", 4, "user", "«rel E1 connects_to E2» «rel E1 connects_to E3»", None),
+            ("c1", 5, "user", "«rel E2 controls E3»", None),
+        ],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    )
+    g = P.build_graph(t)
+    rows = [
+        (r["entity_id"], r["type"], r["attr"], r["multiplicity"], r["n_targets"])
+        for r in multiplicity_violations(
+            g.canon_edges, g.nodes, fixture_schema(spark)
+        ).collect()
+    ]
+    assert rows == [("E1", "T0", "controls", "0..1", 2)]
 
 
 def test_new_attr_is_a_data_change_not_a_code_change(spark):
