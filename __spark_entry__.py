@@ -235,9 +235,12 @@ def _q_enum_roundtrip(spark, sf_dir):
 
 
 def _q_snapshot_meta(spark, sf_dir):
-    from cimpy_spark.operators.extract import snapshot_meta
+    from cimpy_spark.operators.extract import snapshot_header, snapshot_meta
 
-    return snapshot_meta(_graph(spark, sf_dir).triples)
+    return snapshot_meta(
+        _graph(spark, sf_dir).triples,
+        snapshot_header(transcripts_from_events(spark, sf_dir)),
+    )
 
 
 def _q_schema_cast(spark, sf_dir):

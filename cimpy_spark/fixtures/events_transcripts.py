@@ -97,8 +97,10 @@ def _mention_sql(se: str, idiv: str) -> str:
 
 
 def _text_sql(idiv: str) -> str:
-    """The planted `text` column: 0-3 mentions joined with filler
-    prose, as a SQL expression over `event_id`."""
+    """The planted `text` column: a header fragment (author +
+    namespace — the analog of the reference's per-file model header,
+    cimpy/cimimport.py:164-178) followed by 0-3 mentions joined with
+    filler prose, as a SQL expression over `event_id`."""
     slots = [
         f"CASE WHEN {N_MENTIONS} >= {k + 1} THEN "
         f"'{' and then ' if k else ' '}' || ({_mention_sql(f'event_id * 3 + {k}', idiv)}) "
@@ -106,7 +108,10 @@ def _text_sql(idiv: str) -> str:
         for k in range(3)
     ]
     return (
-        "'turn ' || CAST(event_id AS STRING) || ' notes:' || "
+        "'turn ' || CAST(event_id AS STRING)"
+        " || ' by a' || CAST(event_id % 7 AS STRING)"
+        " || ' ns:ns' || CAST(event_id % 5 AS STRING)"
+        " || ' notes:' || "
         + " || ".join(slots)
     )
 

@@ -260,13 +260,33 @@ def enum_roundtrip_sql() -> str:
 
 
 def snapshot_meta_sql() -> str:
+    """Grouped content counts per profile + the first-wins header
+    capture (author/namespace of the minimal (conv_id, turn_idx) turn
+    per role — closed-form from the event arithmetic, never parsing
+    text)."""
     return PIPELINE_CTES + """
-    SELECT role AS profile,
-           count(*) AS n_triples,
-           count(DISTINCT subj) AS n_subjects,
-           count(DISTINCT conv_id) AS n_convs,
-           CAST(sum(CASE WHEN obj_kind = 'ref' THEN 1 ELSE 0 END) AS BIGINT) AS n_refs
-    FROM triples GROUP BY role
+    , hdr AS (
+      SELECT role,
+             'a' || CAST(e % 7 AS STRING) AS author,
+             'ns' || CAST(e % 5 AS STRING) AS namespace,
+             conv_id AS hdr_conv_id, turn_idx AS hdr_turn_idx
+      FROM (
+        SELECT role, e, conv_id, turn_idx,
+               row_number() OVER (PARTITION BY role ORDER BY conv_id, turn_idx) AS rn
+        FROM t
+      ) WHERE rn = 1
+    ),
+    meta AS (
+      SELECT role AS profile,
+             count(*) AS n_triples,
+             count(DISTINCT subj) AS n_subjects,
+             count(DISTINCT conv_id) AS n_convs,
+             CAST(sum(CASE WHEN obj_kind = 'ref' THEN 1 ELSE 0 END) AS BIGINT) AS n_refs
+      FROM triples GROUP BY role
+    )
+    SELECT m.profile, m.n_triples, m.n_subjects, m.n_convs, m.n_refs,
+           h.author, h.namespace, h.hdr_conv_id, h.hdr_turn_idx
+    FROM meta m LEFT JOIN hdr h ON h.role = m.profile
     """
 
 

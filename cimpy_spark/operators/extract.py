@@ -454,18 +454,86 @@ def expand_enum_urls(nodes: DataFrame, enum_dict: DataFrame) -> DataFrame:
     ).select("entity_id", "attr", "value", "url")
 
 
-def snapshot_meta(triples: DataFrame) -> DataFrame:
+def _elect_header(h: DataFrame) -> DataFrame:
+    """First-wins election over header captures: per role, the
+    (author, namespace) of the minimal (conv_id, turn_idx) — keyed, so
+    the election is increment-composable (min over old ∪ new keys =
+    min over all keys, same trick as the entity dictionary)."""
+    key = F.struct("conv_id", "turn_idx")
+    return h.groupBy("role").agg(
+        F.min_by("author", key).alias("author"),
+        F.min_by("namespace", key).alias("namespace"),
+        F.min(key).alias("__k"),
+    ).select(
+        "role",
+        "author",
+        "namespace",
+        F.col("__k.conv_id").alias("hdr_conv_id"),
+        F.col("__k.turn_idx").alias("hdr_turn_idx"),
+    )
+
+
+def snapshot_header(transcripts: DataFrame) -> DataFrame:
+    """Per-profile first-wins author/namespace capture — the analog of
+    the reference's once-per-file model-header parse (author /
+    modelingAuthoritySet, cimpy/cimimport.py:164-178). The reference
+    keeps the first header it sees in file order; here "first" is the
+    minimal (conv_id, turn_idx) — deterministic and ingest-order
+    independent (a strengthening: re-running with a different file
+    arrival order cannot flip the elected header). Narrow scan + one
+    tiny per-role aggregation; rows without a header fragment are
+    skipped like non-header XML elements.
+
+    Output: (role, author, namespace, hdr_conv_id, hdr_turn_idx) —
+    the key columns make the committed stage increment-composable via
+    `merge_headers`."""
+    h = transcripts.select(
+        "role",
+        "conv_id",
+        "turn_idx",
+        F.regexp_extract("text", r" by (a\d+) ", 1).alias("author"),
+        F.regexp_extract("text", r" ns:(ns\d+) ", 1).alias("namespace"),
+    ).filter((F.col("author") != "") & (F.col("namespace") != ""))
+    return _elect_header(h)
+
+
+def merge_headers(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Merge two keyed header elections (committed + increment) —
+    re-elect over the union; no rescan of old transcripts."""
+    cols = ["role", "author", "namespace", "hdr_conv_id", "hdr_turn_idx"]
+    u = old.select(*cols).unionByName(new.select(*cols))
+    return _elect_header(
+        u.select(
+            "role",
+            F.col("hdr_conv_id").alias("conv_id"),
+            F.col("hdr_turn_idx").alias("turn_idx"),
+            "author",
+            "namespace",
+        )
+    )
+
+
+def snapshot_meta(triples: DataFrame, header: DataFrame | None = None) -> DataFrame:
     """Per-profile snapshot header: grouped content counts — the
     analog of the reference's model-description header (author /
     profile / created, cimpy/cimexport.py:378-389, parsed back at
-    cimpy/cimimport.py:164-178). Deterministic content columns only
-    (wall-clock commit times live in the lineage ledger); one tiny
-    aggregation."""
-    return triples.groupBy(F.col("role").alias("profile")).agg(
+    cimpy/cimimport.py:164-178) — plus, when a `snapshot_header`
+    capture is supplied, the first-wins author/namespace columns.
+    Deterministic content columns only (wall-clock commit times live
+    in the lineage ledger); one tiny aggregation + one broadcast join
+    against the O(profiles) header."""
+    meta = triples.groupBy(F.col("role").alias("profile")).agg(
         F.count(F.lit(1)).alias("n_triples"),
         F.countDistinct("subj").alias("n_subjects"),
         F.countDistinct("conv_id").alias("n_convs"),
         F.sum((F.col("obj_kind") == "ref").cast("long")).alias("n_refs"),
+    )
+    if header is None:
+        return meta
+    return meta.join(
+        F.broadcast(header.withColumnRenamed("role", "profile")),
+        "profile",
+        "left",
     )
 
 

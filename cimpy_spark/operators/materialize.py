@@ -70,11 +70,15 @@ def run_pipeline(
     triples = out["triples"]
 
     # per-profile snapshot header (model-description analog,
-    # cimpy/cimexport.py:378-389); commit wall time lives in the ledger
-    from cimpy_spark.operators.extract import snapshot_meta
+    # cimpy/cimexport.py:378-389) incl. the first-wins author/namespace
+    # capture; commit wall time lives in the ledger
+    from cimpy_spark.operators.extract import snapshot_header, snapshot_meta
 
     out["meta"] = ledger.run_stage(
-        spark, "meta", lambda: snapshot_meta(triples), force=force
+        spark,
+        "meta",
+        lambda: snapshot_meta(triples, snapshot_header(transcripts)),
+        force=force,
     )
 
     # committed KEYED (entity_id, type, conv_id, turn_idx, mention_idx):
@@ -216,6 +220,25 @@ def ingest_increment(
             old_canon_edges = spark.createDataFrame(
                 [], "src string, pred string, dst string"
             )
+    # committed first-wins header (read BEFORE the append below — the
+    # meta stage is force-overwritten every increment, and its commit
+    # must postdate the pre-append triples commit to be trusted)
+    old_hdr = None
+    if ledger.committed_after("meta", "triples"):
+        _om = spark.read.parquet(ledger.stage_dir("meta"))
+        if "author" in _om.columns:
+            old_hdr = (
+                _om.select(
+                    F.col("profile").alias("role"),
+                    "author",
+                    "namespace",
+                    "hdr_conv_id",
+                    "hdr_turn_idx",
+                )
+                .filter(F.col("author").isNotNull())
+                .localCheckpoint(eager=True)
+            )
+
     seen = committed.select("conv_id").distinct()
     fresh = transcripts.join(seen, "conv_id", "left_anti")
     new_triples = extract_triples(fresh).localCheckpoint(eager=True)
@@ -238,11 +261,24 @@ def ingest_increment(
             )
         return declared_entities_keyed(triples)
 
-    from cimpy_spark.operators.extract import snapshot_meta
-
-    out["meta"] = ledger.run_stage(
-        spark, "meta", lambda: snapshot_meta(triples), force=True
+    from cimpy_spark.operators.extract import (
+        merge_headers,
+        snapshot_header,
+        snapshot_meta,
     )
+
+    def _meta():
+        # keyed first-wins merge: the committed header (min key over
+        # all previous increments) ∪ the increment's header re-elects
+        # exactly — no rescan of old transcripts. A stale/legacy meta
+        # stage falls back to the current batch's capture, the best
+        # header reachable without old text.
+        hdr = snapshot_header(fresh)
+        if old_hdr is not None:
+            hdr = merge_headers(old_hdr, hdr)
+        return snapshot_meta(triples, hdr)
+
+    out["meta"] = ledger.run_stage(spark, "meta", _meta, force=True)
 
     out["entities"] = ledger.run_stage(spark, "entities", _entities, force=True)
     entities = out["entities"]

@@ -33,6 +33,13 @@ def test_incremental_equals_full(spark, tmp_path):
         assert a.exceptAll(b).count() == 0, stage
         assert b.exceptAll(a).count() == 0, stage
 
+    # the keyed header merge is exact: first-wins author/namespace
+    # after two increments == one full run (min over all keys)
+    hdr_inc = {r["profile"]: (r["author"], r["namespace"]) for r in res_inc["meta"].collect()}
+    hdr_full = {r["profile"]: (r["author"], r["namespace"]) for r in res_full["meta"].collect()}
+    assert hdr_inc == hdr_full
+    assert all(a is not None for pair in hdr_full.values() for a in pair)
+
 
 def test_crash_between_triples_and_cmap_commits(spark, tmp_path):
     """A crash after the increment's triples commit but before its
