@@ -434,58 +434,19 @@ def _q_emb_neardup(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Ordered by GATING PRIORITY, not by topic: the driver evaluates
+    a bounded prefix (50 rows in round 2), so entries that most need a
+    fresh CORRECTNESS row come first — (a) queries with no row last
+    round, (b) queries whose code or fixture changed this round — and
+    the tail holds double-green (r1+r2) UNCHANGED views, each of which
+    is semantically subsumed by a still-gated cousin (reverse_edges ⊂
+    link_edges projection, multihop ⊂ khop, node_degree/value_rollup ⊂
+    assembly, type_dispatch ⊂ per_type_stats, canonical_map feeds the
+    gated canonical_edges, enum_dictionary feeds enum_roundtrip,
+    typed_attrs feeds assembly, delete/contract are transform cousins).
+    Rotate per round so every entry keeps a recent green row."""
     return {
-        "kg_transcripts": _q_transcripts,
-        "kg_extract_triples": _q_extract,
-        "kg_extract_metrics": _q_extract_metrics,
-        "kg_input_validation": _q_input_validation,
-        "kg_entities": _q_entities,
-        "kg_link_edges": _q_link_edges,
-        "kg_link_quarantine": _q_link_quarantine,
-        "kg_reverse_edges": _q_reverse_edges,
-        "kg_canonical_map": _q_canonical_map,
-        "kg_canonical_edges": _q_canonical_edges,
-        "kg_nodes": _q_nodes,
-        "kg_typed_attrs": _q_typed_attrs,
-        "kg_node_degree": _q_node_degree,
-        "kg_multihop": _q_multihop,
-        "kg_khop": _q_khop,
-        "kg_reachability": _q_reachability,
-        "kg_type_dispatch": _q_type_dispatch,
-        "kg_value_rollup": _q_value_rollup,
-        "kg_sql_interface": _q_sql_interface,
-        "kg_assembly": _q_assembly,
-        "kg_per_type_stats": _q_per_type_stats,
-        "kg_delete_t0": _q_delete_t0,
-        "kg_schema_cast": _q_schema_cast,
-        "kg_schema_quarantine": _q_schema_quarantine,
-        "kg_profile_routing": _q_profile_routing,
-        "kg_multiplicity_check": _q_multiplicity_check,
-        "kg_default_suppression": _q_default_suppression,
-        "kg_enum_dictionary": _q_enum_dictionary,
-        "kg_enum_roundtrip": _q_enum_roundtrip,
-        "kg_snapshot_meta": _q_snapshot_meta,
-        "kg_contract_controls": _q_contract_controls,
-        "doc_token_count": _q_doc_token_count,
-        "doc_quality": _q_doc_quality,
-        "doc_lang_id": _q_doc_lang_id,
-        "doc_fingerprint": _q_doc_fingerprint,
-        "doc_dedup_exact": _q_doc_dedup_exact,
-        "doc_minhash_candidates": _q_doc_minhash_candidates,
-        "doc_ngram_jaccard": _q_doc_ngram_jaccard,
-        "doc_simhash": _q_doc_simhash,
-        "doc_dedup_corpus": _q_doc_dedup_corpus,
-        "doc_simhash_candidates": _q_doc_simhash_candidates,
-        "doc_corpus_filter": _q_doc_corpus_filter,
-        "kg_adjacency": _q_kg_adjacency,
-        "emb_cosine_topk": _q_emb_cosine_topk,
-        "emb_lsh_buckets": _q_emb_lsh_buckets,
-        "emb_ivf_topk": _q_emb_ivf_topk,
-        "emb_kmeans_ivf_topk": _q_emb_kmeans_ivf_topk,
-        "emb_neardup_pairs": _q_emb_neardup,
-        "mm_features": _q_mm_features,
-        "kg_incremental_edges": _q_incremental_edges,
-        "stream_conv_state": _q_stream_conv_state,
+        # -- no CORRECTNESS row in round 2 (driver prefix cut) --------
         "stream_extract_triples": _q_stream_extract,
         "tpch_pricing_summary": A.pricing_summary,
         "tpch_revenue_by_nation": A.revenue_by_nation,
@@ -495,6 +456,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_event_profile": A.user_event_profile,
         "event_sessions": A.event_sessions,
         "event_hourly_counts": A.event_hourly_counts,
+        # -- new or changed in round 3 (red row fix, schema v2,
+        #    fixture header, candidate-restricted verify) -------------
+        "kg_adjacency": _q_kg_adjacency,
+        "kg_multiplicity_check": _q_multiplicity_check,
+        "kg_profile_routing": _q_profile_routing,
+        "kg_snapshot_meta": _q_snapshot_meta,
+        "kg_schema_cast": _q_schema_cast,
+        "kg_schema_quarantine": _q_schema_quarantine,
+        "kg_default_suppression": _q_default_suppression,
+        "kg_transcripts": _q_transcripts,
+        "kg_extract_triples": _q_extract,
+        "kg_extract_metrics": _q_extract_metrics,
+        "kg_input_validation": _q_input_validation,
+        "kg_reachability": _q_reachability,
+        "doc_ngram_jaccard": _q_doc_ngram_jaccard,
+        "doc_dedup_corpus": _q_doc_dedup_corpus,
+        "doc_corpus_filter": _q_doc_corpus_filter,
+        "kg_incremental_edges": _q_incremental_edges,
+        "stream_conv_state": _q_stream_conv_state,
+        # -- stable, still inside the gated prefix --------------------
+        "kg_entities": _q_entities,
+        "kg_link_edges": _q_link_edges,
+        "kg_link_quarantine": _q_link_quarantine,
+        "kg_canonical_edges": _q_canonical_edges,
+        "kg_nodes": _q_nodes,
+        "kg_khop": _q_khop,
+        "kg_sql_interface": _q_sql_interface,
+        "kg_assembly": _q_assembly,
+        "kg_per_type_stats": _q_per_type_stats,
+        "kg_enum_roundtrip": _q_enum_roundtrip,
+        "doc_token_count": _q_doc_token_count,
+        "doc_quality": _q_doc_quality,
+        "doc_lang_id": _q_doc_lang_id,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "doc_dedup_exact": _q_doc_dedup_exact,
+        "doc_minhash_candidates": _q_doc_minhash_candidates,
+        "doc_simhash": _q_doc_simhash,
+        "doc_simhash_candidates": _q_doc_simhash_candidates,
+        "emb_cosine_topk": _q_emb_cosine_topk,
+        "emb_lsh_buckets": _q_emb_lsh_buckets,
+        "emb_ivf_topk": _q_emb_ivf_topk,
+        "emb_kmeans_ivf_topk": _q_emb_kmeans_ivf_topk,
+        "emb_neardup_pairs": _q_emb_neardup,
+        "mm_features": _q_mm_features,
+        # -- rotation tail: double-green (r1+r2), code unchanged,
+        #    each subsumed by a gated cousin above --------------------
+        "kg_reverse_edges": _q_reverse_edges,
+        "kg_canonical_map": _q_canonical_map,
+        "kg_typed_attrs": _q_typed_attrs,
+        "kg_node_degree": _q_node_degree,
+        "kg_multihop": _q_multihop,
+        "kg_type_dispatch": _q_type_dispatch,
+        "kg_value_rollup": _q_value_rollup,
+        "kg_delete_t0": _q_delete_t0,
+        "kg_enum_dictionary": _q_enum_dictionary,
+        "kg_contract_controls": _q_contract_controls,
     }
 
 
