@@ -33,6 +33,7 @@ from cimpy_spark.operators.link import (
     quarantine_from_resolved,
     resolve_references,
 )
+from cimpy_spark.plans.checkpoints import checkpoint_df
 from cimpy_spark.plans.lineage import LineageLedger
 
 STAGES = [
@@ -179,7 +180,7 @@ def ingest_increment(
     # (Materialize eagerly: the incremental cmap_full stage overwrites
     # the very snapshot this reads — same hazard as triples below.)
     old_labels = (
-        spark.read.parquet(ledger.stage_dir("cmap_full")).localCheckpoint(eager=True)
+        checkpoint_df(spark.read.parquet(ledger.stage_dir("cmap_full")))
         if ledger.committed_after("cmap_full", "triples")
         else None
     )
@@ -190,17 +191,17 @@ def ingest_increment(
         "linked", "triples"
     ) and ledger.committed_after("entities", "triples")
     old_linked = (
-        spark.read.parquet(ledger.stage_dir("linked")).localCheckpoint(eager=True)
+        checkpoint_df(spark.read.parquet(ledger.stage_dir("linked")))
         if use_inc_link
         else None
     )
     old_entities = (
-        spark.read.parquet(ledger.stage_dir("entities")).localCheckpoint(eager=True)
+        checkpoint_df(spark.read.parquet(ledger.stage_dir("entities")))
         if use_inc_link
         else None
     )
     old_nodes = (
-        spark.read.parquet(ledger.stage_dir("nodes")).localCheckpoint(eager=True)
+        checkpoint_df(spark.read.parquet(ledger.stage_dir("nodes")))
         if old_labels is not None and ledger.committed_after("nodes", "triples")
         else None
     )
@@ -211,9 +212,9 @@ def ingest_increment(
         and ledger.committed_after("canon_edges", "triples")
     ):
         if ledger.records()["canon_edges"]["rows_out"] > 0:
-            old_canon_edges = spark.read.parquet(
-                ledger.stage_dir("canon_edges")
-            ).localCheckpoint(eager=True)
+            old_canon_edges = checkpoint_df(
+                spark.read.parquet(ledger.stage_dir("canon_edges"))
+            )
         else:
             # a partitioned write of an EMPTY stage leaves no parquet
             # files to infer a schema from — stand in an empty frame
@@ -236,12 +237,12 @@ def ingest_increment(
                     "hdr_turn_idx",
                 )
                 .filter(F.col("author").isNotNull())
-                .localCheckpoint(eager=True)
             )
+            old_hdr = checkpoint_df(old_hdr)
 
     seen = committed.select("conv_id").distinct()
     fresh = transcripts.join(seen, "conv_id", "left_anti")
-    new_triples = extract_triples(fresh).localCheckpoint(eager=True)
+    new_triples = checkpoint_df(extract_triples(fresh))
 
     # APPEND the increment (old increment dirs are never rewritten —
     # O(increment) IO, the Iceberg-append semantics), then force the
