@@ -400,21 +400,38 @@ def _q_stream_conv_state(spark, sf_dir):
     )
 
 
+_INCR_CACHE: dict[tuple[int, str], dict] = {}
+
+
+def _incremental(spark: SparkSession, sf_dir: str) -> dict:
+    """Memoized two-batch incremental ingest (half the conversations,
+    then the full corpus through ingest_increment — already-seen convs
+    skipped, incremental CC/link/nodes exercised). Both gated
+    incremental queries are views over the same committed snapshot,
+    which must hash-match the same closed-form oracles as one full
+    run."""
+    key = (id(spark), sf_dir)
+    if key not in _INCR_CACHE:
+        from pyspark.sql import functions as F
+
+        from cimpy_spark.operators.materialize import ingest_increment
+
+        t = transcripts_from_events(spark, sf_dir)
+        first_half = F.pmod(F.xxhash64("conv_id"), F.lit(2)) == 0
+        out_dir = _scratch_dir("cimpy_incr_")
+        ingest_increment(spark, t.filter(first_half), out_dir)
+        _INCR_CACHE[key] = ingest_increment(spark, t, out_dir)
+    return _INCR_CACHE[key]
+
+
 def _q_incremental_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Oracle-gated incremental ingest: feed the corpus in two batches
-    through ingest_increment (incremental CC included) and return the
-    final canonical edges — they must hash-match the same closed-form
-    oracle as a single full run."""
-    from pyspark.sql import functions as F
+    return _incremental(spark, sf_dir)["canon_edges"].select("src", "pred", "dst")
 
-    from cimpy_spark.operators.materialize import ingest_increment
 
-    t = transcripts_from_events(spark, sf_dir)
-    first_half = F.pmod(F.xxhash64("conv_id"), F.lit(2)) == 0
-    out_dir = _scratch_dir("cimpy_incr_")
-    ingest_increment(spark, t.filter(first_half), out_dir)
-    res = ingest_increment(spark, t, out_dir)
-    return res["canon_edges"].select("src", "pred", "dst")
+def _q_incremental_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _incremental(spark, sf_dir)["nodes"].select(
+        "entity_id", "attr", "value", "profile"
+    )
 
 
 def _q_mm_features(spark, sf_dir):
@@ -423,14 +440,21 @@ def _q_mm_features(spark, sf_dir):
     return extract_features(to_binary_docs(_docs(spark, sf_dir)))
 
 
-def _q_emb_neardup(spark, sf_dir):
+def _dup_emb(spark, sf_dir):
     from pyspark.sql import functions as F
 
     emb = _emb(spark, sf_dir).select("vec_id", "embedding")
-    dupd = emb.union(
+    return emb.union(
         emb.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
     )
-    return SIM.neardup_pairs(dupd)
+
+
+def _q_emb_neardup(spark, sf_dir):
+    return SIM.neardup_pairs(_dup_emb(spark, sf_dir))
+
+
+def _q_emb_dedup_corpus(spark, sf_dir):
+    return SIM.emb_dedup_corpus(_dup_emb(spark, sf_dir))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -474,6 +498,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dedup_corpus": _q_doc_dedup_corpus,
         "doc_corpus_filter": _q_doc_corpus_filter,
         "kg_incremental_edges": _q_incremental_edges,
+        "kg_incremental_nodes": _q_incremental_nodes,
+        "emb_dedup_corpus": _q_emb_dedup_corpus,
         "stream_conv_state": _q_stream_conv_state,
         # -- stable, still inside the gated prefix --------------------
         "kg_entities": _q_entities,
@@ -486,8 +512,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_assembly": _q_assembly,
         "kg_per_type_stats": _q_per_type_stats,
         "kg_enum_roundtrip": _q_enum_roundtrip,
-        "doc_token_count": _q_doc_token_count,
-        "doc_quality": _q_doc_quality,
         "doc_lang_id": _q_doc_lang_id,
         "doc_fingerprint": _q_doc_fingerprint,
         "doc_dedup_exact": _q_doc_dedup_exact,
@@ -501,7 +525,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_neardup_pairs": _q_emb_neardup,
         "mm_features": _q_mm_features,
         # -- rotation tail: double-green (r1+r2), code unchanged,
-        #    each subsumed by a gated cousin above --------------------
+        #    each subsumed by / composed into a gated cousin above
+        #    (token/quality feed the gated corpus_filter) -------------
+        "doc_token_count": _q_doc_token_count,
+        "doc_quality": _q_doc_quality,
         "kg_reverse_edges": _q_reverse_edges,
         "kg_canonical_map": _q_canonical_map,
         "kg_typed_attrs": _q_typed_attrs,
@@ -606,8 +633,10 @@ def oracle_sql() -> dict[str, str]:
         "emb_ivf_topk": doc_oracles.ivf_topk_sql(),
         "emb_kmeans_ivf_topk": doc_oracles.kmeans_ivf_topk_sql(),
         "emb_neardup_pairs": doc_oracles.neardup_pairs_sql(),
+        "emb_dedup_corpus": doc_oracles.emb_dedup_corpus_sql(),
         "mm_features": _mm_features_oracle(),
         "kg_incremental_edges": oracles.canonical_edges_sql(),
+        "kg_incremental_nodes": oracles.nodes_sql(),
         "stream_extract_triples": triples_oracle_sql("//", "events"),
         "stream_conv_state": oracles.conv_state_sql(),
         **A.ANALYTICS_ORACLES,

@@ -431,12 +431,9 @@ def kmeans_ivf_topk_sql(
     )
 
 
-def neardup_pairs_sql(
-    threshold: float = 0.99, max_bucket: int = NEARDUP_MAX_BUCKET
-) -> str:
+def _neardup_ctes(threshold: float, max_bucket: int) -> str:
     # over embeddings ∪ shifted copy (planted exact dups), LSH-bucketed
-    return f"""
-    WITH eraw AS (
+    return f"""eraw AS (
       SELECT vec_id, embedding FROM embeddings
       UNION ALL
       SELECT vec_id + 1000000, embedding FROM embeddings
@@ -468,6 +465,41 @@ def neardup_pairs_sql(
              round(list_dot_product(a.emb, b.emb)
                    / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 6) AS sim
       FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )"""
+
+
+def neardup_pairs_sql(
+    threshold: float = 0.99, max_bucket: int = NEARDUP_MAX_BUCKET
+) -> str:
+    return (
+        "WITH "
+        + _neardup_ctes(threshold, max_bucket)
+        + f"\n    SELECT DISTINCT vec_a, vec_b, sim FROM sims WHERE sim >= {threshold}\n"
     )
-    SELECT DISTINCT vec_a, vec_b, sim FROM sims WHERE sim >= {threshold}
+
+
+def emb_dedup_corpus_sql(
+    threshold: float = 0.99, max_bucket: int = NEARDUP_MAX_BUCKET
+) -> str:
+    """End-to-end embedding dedup oracle: verified near-dup pairs ->
+    transitive closure -> min-id canonical election (mirror of
+    dedup_corpus_sql over the embedding table)."""
+    return (
+        "WITH RECURSIVE "
+        + _neardup_ctes(threshold, max_bucket)
+        + f""",
+    dupv AS (SELECT DISTINCT vec_a, vec_b FROM sims WHERE sim >= {threshold}),
+    symv AS (SELECT vec_a AS a, vec_b AS b FROM dupv
+             UNION SELECT vec_b, vec_a FROM dupv),
+    reachv(a, b) AS (
+      SELECT vec_id, vec_id FROM eraw
+      UNION
+      SELECT r.a, e.b FROM reachv r JOIN symv e ON r.b = e.a
+    ),
+    cmapv AS (SELECT a AS vec_id, min(b) AS canonical_vec_id
+              FROM reachv GROUP BY a)
+    SELECT vec_id, canonical_vec_id,
+           vec_id = canonical_vec_id AS is_kept
+    FROM cmapv
     """
+    )

@@ -368,3 +368,47 @@ def neardup_pairs(
         )
     )
     return sims.filter(F.col("sim") >= threshold).select("vec_a", "vec_b", "sim").distinct()
+
+
+def emb_dedup_corpus(
+    embeddings: DataFrame, threshold: float = 0.99, max_bucket: int = MAX_BUCKET
+) -> DataFrame:
+    """End-to-end embedding near-duplicate dedup — the vector-side
+    mirror of `dedup.dedup_corpus` (same composition a training-data
+    pipeline ships):
+
+    1. hyperplane-LSH bucketed candidate pairs, cap-bounded,
+    2. exact cosine verify at `threshold`,
+    3. connected components over the verified pairs via the SHARED CC
+       operator (transitive: A≈B≈C collapses to one cluster),
+    4. canonical election: min vec_id per cluster survives.
+
+    Same non-negative-id contract as dedup_corpus (zero-padded
+    lexicographic == numeric ordering), enforced with the same
+    limit-1 fail-fast probe. Output: (vec_id, canonical_vec_id,
+    is_kept)."""
+    from cimpy_spark.operators.canonicalize import canonical_labels
+
+    if embeddings.filter(F.col("vec_id") < 0).limit(1).count() > 0:
+        raise ValueError(
+            "emb_dedup_corpus requires non-negative vec_id (zero-padded "
+            "lexicographic ordering == numeric ordering); found vec_id < 0"
+        )
+    pairs = neardup_pairs(embeddings, threshold, max_bucket)
+    pad = "%020d"  # int64 max is 19 digits — padding must cover it
+    links = checkpoint_df(
+        pairs.select(
+            F.format_string(pad, "vec_a").alias("src"),
+            F.format_string(pad, "vec_b").alias("dst"),
+        )
+    )
+    ids = embeddings.select(F.format_string(pad, "vec_id").alias("entity_id"))
+    labels = canonical_labels(ids, links)
+    return (
+        ids.join(labels, "entity_id")
+        .select(
+            F.col("entity_id").cast("bigint").alias("vec_id"),
+            F.col("canonical_id").cast("bigint").alias("canonical_vec_id"),
+        )
+        .withColumn("is_kept", F.col("vec_id") == F.col("canonical_vec_id"))
+    )

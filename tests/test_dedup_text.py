@@ -173,6 +173,29 @@ def test_dedup_corpus_transitive_clusters(spark, docs):
     ).distinct().count()
 
 
+def test_emb_dedup_corpus_transitive_clusters(spark, emb):
+    """Identical-vector triplets {v, v+1000, v+2000} must collapse to
+    one cluster with min-id canonical; unique vectors keep themselves
+    (the embedding-side mirror of dedup_corpus)."""
+    sample = emb.select("vec_id", "embedding").limit(20)
+    trip = sample.union(
+        sample.select((F.col("vec_id") + 1000).alias("vec_id"), "embedding")
+    ).union(
+        sample.select((F.col("vec_id") + 2000).alias("vec_id"), "embedding")
+    )
+    res = SIM.emb_dedup_corpus(trip, threshold=0.999)
+    rows = {r["vec_id"]: (r["canonical_vec_id"], r["is_kept"]) for r in res.collect()}
+    assert len(rows) == 60
+    for b in [r["vec_id"] for r in sample.collect()]:
+        assert rows[b] == (b, True)
+        assert rows[b + 1000][0] == rows[b + 2000][0] == b
+        assert not rows[b + 1000][1] and not rows[b + 2000][1]
+    with pytest.raises(ValueError, match="non-negative vec_id"):
+        SIM.emb_dedup_corpus(
+            trip.select((F.col("vec_id") - 10**9).alias("vec_id"), "embedding")
+        )
+
+
 def test_fingerprint_deterministic_per_text(spark, docs):
     fp = T.fingerprint(docs)
     joined = (
