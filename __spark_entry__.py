@@ -219,6 +219,13 @@ def _q_multiplicity_check(spark, sf_dir):
     return multiplicity_violations(g.canon_edges, g.nodes, fixture_schema(spark))
 
 
+def _q_multivalued_attrs(spark, sf_dir):
+    from cimpy_spark.operators.schema import fixture_schema, multivalued_attrs
+
+    g = _graph(spark, sf_dir)
+    return multivalued_attrs(g.triples, g.cmap, fixture_schema(spark))
+
+
 def _q_enum_dictionary(spark, sf_dir):
     from cimpy_spark.operators.extract import enum_url_dictionary
 
@@ -484,6 +491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    fixture header, candidate-restricted verify) -------------
         "kg_adjacency": _q_kg_adjacency,
         "kg_multiplicity_check": _q_multiplicity_check,
+        "kg_multivalued_attrs": _q_multivalued_attrs,
         "kg_profile_routing": _q_profile_routing,
         "kg_snapshot_meta": _q_snapshot_meta,
         "kg_schema_cast": _q_schema_cast,
@@ -512,7 +520,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_assembly": _q_assembly,
         "kg_per_type_stats": _q_per_type_stats,
         "kg_enum_roundtrip": _q_enum_roundtrip,
-        "doc_lang_id": _q_doc_lang_id,
         "doc_fingerprint": _q_doc_fingerprint,
         "doc_dedup_exact": _q_doc_dedup_exact,
         "doc_minhash_candidates": _q_doc_minhash_candidates,
@@ -526,9 +533,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_features": _q_mm_features,
         # -- rotation tail: double-green (r1+r2), code unchanged,
         #    each subsumed by / composed into a gated cousin above
-        #    (token/quality feed the gated corpus_filter) -------------
+        #    (token/quality/lang feed the gated corpus_filter) --------
         "doc_token_count": _q_doc_token_count,
         "doc_quality": _q_doc_quality,
+        "doc_lang_id": _q_doc_lang_id,
         "kg_reverse_edges": _q_reverse_edges,
         "kg_canonical_map": _q_canonical_map,
         "kg_typed_attrs": _q_typed_attrs,
@@ -561,6 +569,12 @@ def _multiplicity_oracle() -> str:
     from cimpy_spark.operators.schema import multiplicity_oracle_sql
 
     return multiplicity_oracle_sql(oracles.PIPELINE_CTES)
+
+
+def _multivalued_oracle() -> str:
+    from cimpy_spark.operators.schema import multivalued_oracle_sql
+
+    return multivalued_oracle_sql(oracles.PIPELINE_CTES)
 
 
 def _default_suppression_oracle() -> str:
@@ -604,6 +618,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_delete_t0": oracles.delete_t0_sql(),
         "kg_profile_routing": _profile_routing_oracle(),
         "kg_multiplicity_check": _multiplicity_oracle(),
+        "kg_multivalued_attrs": _multivalued_oracle(),
         "kg_default_suppression": _default_suppression_oracle(),
         "kg_enum_dictionary": oracles.enum_dictionary_sql(),
         "kg_enum_roundtrip": oracles.enum_roundtrip_sql(),

@@ -79,8 +79,11 @@ for _t in ["T0", "T1", "T2", "T3", "T4"]:
         (_t, "controls", "ref", "0..1", None, None, ["user"]),
     ]
     if _t in ("T0", "T1", "T2"):
+        # q_str is declared MANY-valued (0..*): the elected-scalar
+        # `nodes` view keeps last-wins for it, but the 0..* read path
+        # is `multivalued_attrs` (append-with-dedupe, all values)
         _FIXTURE_ROWS.append(
-            (_t, "q_str", "string", "0..1", None, None, ["assistant"])
+            (_t, "q_str", "string", "0..*", None, None, ["assistant"])
         )
 
 
@@ -374,6 +377,61 @@ def multiplicity_violations(
     )
 
 
+def multivalued_attrs(
+    triples: DataFrame, cmap: DataFrame, schema_df: DataFrame
+) -> DataFrame:
+    """The 0..* read path for literal/enum attributes — the
+    reference's list-typed attributes appended with dedupe
+    (cimpy/cimimport.py:290-311 dispatches per multiplicity: 0..1
+    overwrites, 0..* appends). The canonical store here is the
+    long-format triple set, so multiplicity dispatch happens at VIEW
+    time: `canonical_nodes` is the elected-scalar (0..1) view, THIS
+    is the many-valued one — per (canonical entity, 0..*-declared
+    attr), ALL distinct observed values as a sorted ','-joined string
+    (scalar columns only, comparator-hashable like `adjacency`).
+
+    Plan: triples → cmap join (the same canonical rewrite every view
+    does) → broadcast semi-join against the schema's 0..* attr list →
+    one hash aggregation. Output: (entity_id, type, attr,
+    attr_values, n_values)."""
+    multi = schema_df.filter(
+        (F.col("dtype") != "ref") & (F.col("multiplicity") == "0..*")
+    ).select("type", "attr")
+    vals = (
+        triples.filter(F.col("obj_kind").isin("literal", "enum"))
+        .join(cmap.withColumnRenamed("entity_id", "subj"), "subj")
+        .select(
+            F.col("canonical_id").alias("entity_id"),
+            F.col("pred").alias("attr"),
+            F.col("obj").alias("value"),
+        )
+    )
+    typed = vals.join(_entity_types_from(cmap, triples), "entity_id")
+    return (
+        typed.join(F.broadcast(multi), ["type", "attr"])
+        .groupBy("entity_id", "type", "attr")
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("value")), ",").alias(
+                "attr_values"
+            ),
+            F.countDistinct("value").alias("n_values"),
+        )
+    )
+
+
+def _entity_types_from(cmap: DataFrame, triples: DataFrame) -> DataFrame:
+    """(canonical entity_id, type) derived from the declaration
+    triples — first-wins type per canonical entity (the reference
+    instantiates once per rdf:ID, cimimport.py:141)."""
+    key = F.struct("conv_id", "turn_idx", "mention_idx")
+    return (
+        triples.filter(F.col("obj_kind") == "type")
+        .join(cmap.withColumnRenamed("entity_id", "subj"), "subj")
+        .groupBy(F.col("canonical_id").alias("entity_id"))
+        .agg(F.min_by("obj", key).alias("type"))
+    )
+
+
 def schema_quarantine_counts(cast_df: DataFrame) -> DataFrame:
     """A1-style grouped accounting of what the cast stage skipped
     (cimpy/cimimport.py:41-66,243-249): (attr, status, n)."""
@@ -513,6 +571,33 @@ def profile_routing_oracle_sql(
     SELECT entity_id, attr, value, export_profile,
            export_profile <> class_profile AS is_about
     FROM routed WHERE export_profile IS NOT NULL
+    """
+    )
+
+
+def multivalued_oracle_sql(pipeline_ctes: str) -> str:
+    """DuckDB oracle for `kg_multivalued_attrs` — all distinct values
+    per (canonical entity, 0..*-declared literal/enum attr)."""
+    return (
+        pipeline_ctes
+        + ", "
+        + schema_table_sql()
+        + _ETYPES_SQL + """
+    , mv AS (
+      SELECT DISTINCT c.canonical_id AS entity_id, tr.pred AS attr,
+             tr.obj AS value
+      FROM triples tr
+      JOIN cmap c ON tr.subj = c.entity_id
+      WHERE tr.obj_kind IN ('literal', 'enum')
+    )
+    SELECT v.entity_id, t.type, v.attr,
+           string_agg(v.value, ',' ORDER BY v.value) AS attr_values,
+           count(*) AS n_values
+    FROM mv v
+    JOIN etypes t USING (entity_id)
+    JOIN schema_t s ON s.type = t.type AND s.attr = v.attr
+         AND s.dtype <> 'ref' AND s.multiplicity = '0..*'
+    GROUP BY v.entity_id, t.type, v.attr
     """
     )
 

@@ -163,6 +163,37 @@ def test_profile_routing_class_skip_and_about_split(spark):
     assert routed["p_int"] == ("user", True)  # about-block in the user file
 
 
+def test_multivalued_attrs_append_with_dedupe(spark):
+    """q_str is declared 0..*: ALL distinct observed values survive in
+    the many-valued view (sorted, deduped), while the elected-scalar
+    nodes view keeps last-wins — multiplicity dispatch at view time
+    (reference dispatch cimimport.py:290-311)."""
+    from cimpy_spark.operators.schema import fixture_schema, multivalued_attrs
+
+    t = _cast(spark).sparkSession.createDataFrame(
+        [
+            ("c1", 0, "user", "«decl E1 type:T0 p_int=1 p_bool=true p_enum=kind:Unit.V0»", None),
+            ("c1", 1, "assistant", "«about E1 q_str=sA»", None),
+            ("c1", 2, "assistant", "«about E1 q_str=sC» «about E1 q_str=sA»", None),
+            ("c1", 3, "assistant", "«about E1 q_str=sB q_int=7»", None),
+        ],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    )
+    g = P.build_graph(t)
+    rows = {
+        (r["entity_id"], r["attr"]): (r["attr_values"], r["n_values"])
+        for r in multivalued_attrs(g.triples, g.cmap, fixture_schema(spark)).collect()
+    }
+    # deduped, sorted, all three values — only the 0..* attr appears
+    assert rows == {("E1", "q_str"): ("sA,sB,sC", 3)}
+    # the scalar view still elects last-wins for the same attr
+    scalar = {
+        r["attr"]: r["value"]
+        for r in g.nodes.filter(F.col("entity_id") == "E1").collect()
+    }
+    assert scalar["q_str"] == "sB"
+
+
 def test_multiplicity_violation_counted(spark):
     """A 0..1 reference ('controls') resolving to two distinct targets
     is a counted violation (reference dispatch cimimport.py:290-311);
