@@ -75,6 +75,96 @@ def transcript(draw):
     return rows
 
 
+ROLES = st.sampled_from(["user", "assistant", "tool", "system"])
+
+
+@st.composite
+def role_transcript(draw):
+    """Transcripts over ALL roles (the routing election depends on
+    observed provenance, which the main fuzz holds constant)."""
+    n = draw(st.integers(5, 25))
+    rows = []
+    for i in range(n):
+        conv = f"c{draw(st.integers(0, 2))}"
+        k = draw(st.integers(0, 2))
+        text = draw(NOISE) + "".join(
+            draw(mention()) + draw(NOISE) for _ in range(k)
+        )
+        rows.append((conv, i, draw(ROLES), text, None))
+    return rows
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=role_transcript(),
+    active=st.sets(
+        st.sampled_from(["user", "assistant", "tool", "system"]), min_size=1
+    ).map(sorted),
+)
+def test_routing_election_matches_reimplementation(spark, rows, active):
+    """Differential fuzz for the export-profile election: an
+    independent pure-Python reimplementation of the two-step rule
+    (observed-when-legal, else min-priority-active, else skip; class
+    skip cascades; is_about = attr profile ≠ class profile) must
+    produce EXACTLY the rows route_to_profiles emits, for random
+    transcripts × random active sets."""
+    from cimpy_spark.operators.schema import (
+        _FIXTURE_ROWS,
+        PROFILE_PRIORITY,
+        fixture_schema,
+        route_to_profiles,
+    )
+
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string"
+    )
+    nodes = P.build_graph(df, cache=False).nodes
+    node_rows = [
+        (r["entity_id"], r["attr"], r["value"], r["profile"])
+        for r in nodes.collect()
+    ]
+    got = {
+        (r["entity_id"], r["attr"], r["value"], r["export_profile"], r["is_about"])
+        for r in route_to_profiles(nodes, fixture_schema(spark), active).collect()
+    }
+
+    possible = {(t, a): ps for t, a, _, _, _, _, ps in _FIXTURE_ROWS}
+    types = {e: v for e, a, v, _ in node_rows if a == "rdf_type"}
+    class_obs = {e: p for e, a, _, p in node_rows if a == "rdf_type"}
+
+    def elect(observed, poss):
+        legal = [p for p in poss if p in active]
+        if observed in legal:
+            return observed
+        if not legal:
+            return None
+        return min(legal, key=lambda p: PROFILE_PRIORITY[p])
+
+    expected = set()
+    for e, a, v, p in node_rows:
+        typ = types.get(e)
+        cp = elect(class_obs.get(e), possible.get((typ, "__class__"), []))
+        if cp is None:
+            continue  # class skipped → entity skipped
+        if a == "rdf_type":
+            ep = cp
+        elif (typ, a) in possible:
+            ep = elect(p, possible[(typ, a)])
+        else:
+            ep = p if p in active else None  # unknown attr: provenance
+        if ep is None:
+            continue
+        expected.add((e, a, v, ep, ep != cp))
+    assert got == expected, (got - expected, expected - got)
+    # every exported row lands in an ACTIVE profile
+    assert all(r[3] in active for r in got)
+
+
 @pytest.mark.slow
 @settings(
     max_examples=6,
