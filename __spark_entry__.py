@@ -447,6 +447,22 @@ def _q_mm_features(spark, sf_dir):
     return extract_features(to_binary_docs(_docs(spark, sf_dir)))
 
 
+def _q_mm_resize(spark, sf_dir):
+    from cimpy_spark.functions.multimodal import resize, to_binary_docs
+
+    # payload (binary) is dropped for the gate: the comparator hashes
+    # scalar columns; head_hex + n_bytes pin the stub's output bytes
+    return resize(to_binary_docs(_docs(spark, sf_dir))).select(
+        "doc_id", "width", "height", "n_bytes", "head_hex"
+    )
+
+
+def _q_mm_frame_sample(spark, sf_dir):
+    from cimpy_spark.functions.multimodal import frame_sample, to_binary_docs
+
+    return frame_sample(to_binary_docs(_docs(spark, sf_dir)))
+
+
 def _dup_emb(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -520,10 +536,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_assembly": _q_assembly,
         "kg_per_type_stats": _q_per_type_stats,
         "kg_enum_roundtrip": _q_enum_roundtrip,
-        "doc_fingerprint": _q_doc_fingerprint,
         "doc_dedup_exact": _q_doc_dedup_exact,
         "doc_minhash_candidates": _q_doc_minhash_candidates,
-        "doc_simhash": _q_doc_simhash,
         "doc_simhash_candidates": _q_doc_simhash_candidates,
         "emb_cosine_topk": _q_emb_cosine_topk,
         "emb_lsh_buckets": _q_emb_lsh_buckets,
@@ -531,12 +545,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_kmeans_ivf_topk": _q_emb_kmeans_ivf_topk,
         "emb_neardup_pairs": _q_emb_neardup,
         "mm_features": _q_mm_features,
+        "mm_resize": _q_mm_resize,
+        "mm_frame_sample": _q_mm_frame_sample,
         # -- rotation tail: double-green (r1+r2), code unchanged,
         #    each subsumed by / composed into a gated cousin above
         #    (token/quality/lang feed the gated corpus_filter) --------
         "doc_token_count": _q_doc_token_count,
         "doc_quality": _q_doc_quality,
         "doc_lang_id": _q_doc_lang_id,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "doc_simhash": _q_doc_simhash,  # banding checked via gated simhash_candidates
         "kg_reverse_edges": _q_reverse_edges,
         "kg_canonical_map": _q_canonical_map,
         "kg_typed_attrs": _q_typed_attrs,
@@ -587,6 +605,18 @@ def _mm_features_oracle() -> str:
     from cimpy_spark.functions.multimodal import features_oracle_sql
 
     return features_oracle_sql()
+
+
+def _mm_resize_oracle() -> str:
+    from cimpy_spark.functions.multimodal import resize_oracle_sql
+
+    return resize_oracle_sql()
+
+
+def _mm_frame_sample_oracle() -> str:
+    from cimpy_spark.functions.multimodal import frame_sample_oracle_sql
+
+    return frame_sample_oracle_sql()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -650,6 +680,8 @@ def oracle_sql() -> dict[str, str]:
         "emb_neardup_pairs": doc_oracles.neardup_pairs_sql(),
         "emb_dedup_corpus": doc_oracles.emb_dedup_corpus_sql(),
         "mm_features": _mm_features_oracle(),
+        "mm_resize": _mm_resize_oracle(),
+        "mm_frame_sample": _mm_frame_sample_oracle(),
         "kg_incremental_edges": oracles.canonical_edges_sql(),
         "kg_incremental_nodes": oracles.nodes_sql(),
         "stream_extract_triples": triples_oracle_sql("//", "events"),
