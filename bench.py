@@ -79,6 +79,25 @@ def main() -> None:
     # input; workers/JIT warm) — the BASELINE.md-comparable number
     timed("extract_steady", lambda: extract_triples(transcripts).count())
 
+    # streaming-path extraction (side metric): drain the SAME staged
+    # table as a bounded file-source stream (32 files / 8 per trigger
+    # = 4 micro-batches) through the same Arrow operator — the
+    # batch-vs-stream overhead is micro-batch scheduling only
+    from cimpy_spark.streaming.ingest import (
+        run_to_memory_sink,
+        stream_extract,
+        stream_transcripts,
+    )
+
+    def _stream():
+        run_to_memory_sink(
+            stream_extract(stream_transcripts(spark, stage_dir)),
+            "bench_stream_extract",
+        )
+        return spark.table("bench_stream_extract").count()
+
+    timed("stream_extract", _stream)
+
     entities = declared_entities(triples).cache()
     timed("entities", lambda: entities.count())
 
@@ -119,7 +138,13 @@ def main() -> None:
     timed("doc_dedup_corpus", lambda: dedup_corpus(docs).count())
     timed("doc_corpus_filter", lambda: corpus_filter(docs).count())
 
-    SIDE = {"stage_fixture", "extract_steady", "doc_dedup_corpus", "doc_corpus_filter"}
+    SIDE = {
+        "stage_fixture",
+        "extract_steady",
+        "stream_extract",
+        "doc_dedup_corpus",
+        "doc_corpus_filter",
+    }
     # side measurements are not pipeline work — keep them out of the
     # end-to-end total
     total = round(sum(v for k, v in timings.items() if k not in SIDE), 4)
@@ -136,6 +161,9 @@ def main() -> None:
                 "sf": sf,
                 "turns": n_turns,
                 "extract_turns_per_sec": turns_per_sec,
+                "stream_turns_per_sec": round(
+                    n_turns / timings["stream_extract"], 1
+                ),
                 "cores": cores,
             }
         )
