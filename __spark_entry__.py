@@ -503,6 +503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_event_profile": A.user_event_profile,
         "event_sessions": A.event_sessions,
         "event_hourly_counts": A.event_hourly_counts,
+        "event_type_rollup": A.event_type_rollup,
         # -- new or changed in round 3 (red row fix, schema v2,
         #    fixture header, candidate-restricted verify) -------------
         "kg_adjacency": _q_kg_adjacency,
@@ -532,7 +533,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_canonical_edges": _q_canonical_edges,
         "kg_nodes": _q_nodes,
         "kg_khop": _q_khop,
-        "kg_sql_interface": _q_sql_interface,
         "kg_assembly": _q_assembly,
         "kg_per_type_stats": _q_per_type_stats,
         "kg_enum_roundtrip": _q_enum_roundtrip,
@@ -555,6 +555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_id": _q_doc_lang_id,
         "doc_fingerprint": _q_doc_fingerprint,
         "doc_simhash": _q_doc_simhash,  # banding checked via gated simhash_candidates
+        "kg_sql_interface": _q_sql_interface,  # same Catalyst plan as the DF queries
         "kg_reverse_edges": _q_reverse_edges,
         "kg_canonical_map": _q_canonical_map,
         "kg_typed_attrs": _q_typed_attrs,

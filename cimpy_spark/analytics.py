@@ -165,6 +165,39 @@ def event_sessions(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> D
     )
 
 
+def event_type_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level aggregation in ONE pass: per (event_type,
+    hour-of-day), per event_type subtotal, and grand total via
+    ``rollup`` (absent in the reference — SURVEY §2.4 flags it as an
+    engine addition). Catalyst compiles rollup to a single Expand +
+    hash aggregate, so all three levels cost one scan and one shuffle,
+    not three queries. `grouping()` flags disambiguate rollup NULLs
+    from data NULLs (exported as ints for the oracle)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.hour(F.col("ts").cast("timestamp")).alias("hour_of_day"),
+            "value",
+        )
+        .rollup("event_type", "hour_of_day")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+            F.grouping("event_type").cast("int").alias("g_type"),
+            F.grouping("hour_of_day").cast("int").alias("g_hour"),
+        )
+        .select(
+            "event_type",
+            F.col("hour_of_day").cast("int").alias("hour_of_day"),
+            "n",
+            "total_value",
+            "g_type",
+            "g_hour",
+        )
+    )
+
+
 def event_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window counts (batch analog of the streaming windowed
     aggregation; window start exported as epoch seconds so the oracle
@@ -182,6 +215,18 @@ def event_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ANALYTICS_ORACLES = {
+    "event_type_rollup": """
+        SELECT event_type, hour_of_day,
+               count(*) AS n,
+               round(sum(value), 4) AS total_value,
+               CAST(GROUPING(event_type) AS INT) AS g_type,
+               CAST(GROUPING(hour_of_day) AS INT) AS g_hour
+        FROM (SELECT event_type,
+                     CAST(extract(hour FROM ts) AS INT) AS hour_of_day,
+                     value
+              FROM events)
+        GROUP BY ROLLUP(event_type, hour_of_day)
+    """,
     "event_sessions": """
         WITH marked AS (
           SELECT user_id, value,
