@@ -272,11 +272,14 @@ def ingest_increment(
         # keyed first-wins merge: the committed header (min key over
         # all previous increments) ∪ the increment's header re-elects
         # exactly — no rescan of old transcripts. A stale/legacy meta
-        # stage falls back to the current batch's capture, the best
-        # header reachable without old text.
-        hdr = snapshot_header(fresh)
+        # stage (crash between the triples and meta commits of a
+        # previous increment) falls back to capturing over the WHOLE
+        # transcripts argument — a superset of `fresh`, the most
+        # history reachable without the lost commit.
         if old_hdr is not None:
-            hdr = merge_headers(old_hdr, hdr)
+            hdr = merge_headers(old_hdr, snapshot_header(fresh))
+        else:
+            hdr = snapshot_header(transcripts)
         return snapshot_meta(triples, hdr)
 
     out["meta"] = ledger.run_stage(spark, "meta", _meta, force=True)
