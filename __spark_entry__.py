@@ -158,6 +158,21 @@ def _q_assembly(spark, sf_dir):
     return P.assembly_query(g.nodes, g.canon_edges)
 
 
+def _q_results_writeback(spark, sf_dir):
+    """Reverse converter: a deterministic results table derived from
+    the typed attrs (v_re = p_int, v_im = q_int or 0 — the fixture's
+    stand-in for simulator output) written back as SvVoltage rows."""
+    from pyspark.sql import functions as F
+
+    typed = P.typed_attrs(_graph(spark, sf_dir).nodes)
+    results = typed.filter(F.col("p_int").isNotNull()).select(
+        "entity_id",
+        F.col("p_int").cast("double").alias("v_re"),
+        F.coalesce(F.col("q_int"), F.lit(0)).cast("double").alias("v_im"),
+    )
+    return P.results_to_nodes(results)
+
+
 def _q_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The engine's SQL surface: canonical graph registered as temp
     views, consumer query written in Spark SQL (same Catalyst plan as
@@ -534,10 +549,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_nodes": _q_nodes,
         "kg_khop": _q_khop,
         "kg_assembly": _q_assembly,
+        "kg_results_writeback": _q_results_writeback,
         "kg_per_type_stats": _q_per_type_stats,
         "kg_enum_roundtrip": _q_enum_roundtrip,
         "doc_dedup_exact": _q_doc_dedup_exact,
-        "doc_minhash_candidates": _q_doc_minhash_candidates,
         "doc_simhash_candidates": _q_doc_simhash_candidates,
         "emb_cosine_topk": _q_emb_cosine_topk,
         "emb_lsh_buckets": _q_emb_lsh_buckets,
@@ -555,6 +570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_id": _q_doc_lang_id,
         "doc_fingerprint": _q_doc_fingerprint,
         "doc_simhash": _q_doc_simhash,  # banding checked via gated simhash_candidates
+        "doc_minhash_candidates": _q_doc_minhash_candidates,  # consumed by gated ngram_jaccard/dedup_corpus
         "kg_sql_interface": _q_sql_interface,  # same Catalyst plan as the DF queries
         "kg_reverse_edges": _q_reverse_edges,
         "kg_canonical_map": _q_canonical_map,
@@ -645,6 +661,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_value_rollup": oracles.value_rollup_sql(),
         "kg_sql_interface": oracles.sql_interface_sql(),
         "kg_assembly": oracles.assembly_sql(),
+        "kg_results_writeback": oracles.results_writeback_sql(),
         "kg_per_type_stats": oracles.per_type_stats_sql(),
         "kg_delete_t0": oracles.delete_t0_sql(),
         "kg_profile_routing": _profile_routing_oracle(),

@@ -451,6 +451,32 @@ def contract_controls_sql() -> str:
     """
 
 
+def results_writeback_sql() -> str:
+    """Reverse-converter oracle: the fixture results table is derived
+    from typed attrs (v_re = p_int, v_im = q_int or 0), written back
+    as SvVoltage rows (magnitude + phase, DPsimToCIMpy.py:71-74)."""
+    return PIPELINE_CTES + """
+    , typed2 AS (
+      SELECT entity_id,
+             CAST(max(CASE WHEN attr = 'p_int' THEN value END) AS INT) AS p_int,
+             CAST(max(CASE WHEN attr = 'q_int' THEN value END) AS INT) AS q_int
+      FROM nodes GROUP BY entity_id
+    ),
+    results AS (
+      SELECT entity_id, CAST(p_int AS DOUBLE) AS v_re,
+             CAST(COALESCE(q_int, 0) AS DOUBLE) AS v_im
+      FROM typed2 WHERE p_int IS NOT NULL
+    )
+    SELECT entity_id, 'sv_v' AS attr,
+           round(sqrt(v_re * v_re + v_im * v_im), 4) AS num_value,
+           'sv' AS profile
+    FROM results
+    UNION ALL
+    SELECT entity_id, 'sv_angle', round(atan2(v_im, v_re), 4), 'sv'
+    FROM results
+    """
+
+
 def per_type_stats_sql() -> str:
     return PIPELINE_CTES + """
     , typed AS (

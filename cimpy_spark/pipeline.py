@@ -266,6 +266,39 @@ def assembly_query(nodes: DataFrame, canon_edges: DataFrame) -> DataFrame:
     )
 
 
+def results_to_nodes(results: DataFrame, profile: str = "sv") -> DataFrame:
+    """REVERSE converter — the analog of the reference's
+    `DPsimToCIMpy` (cimpy/DPsimToCIMpy.py:55-80): simulation results
+    flow BACK into the graph as state-variable attribute rows. Per
+    result row (entity_id, v_re, v_im), emit the SvVoltage pair —
+    magnitude ``sv_v`` = |v| and phase ``sv_angle`` = atan2(im, re)
+    (the reference's np.linalg.norm / cmath.phase, :71-74) — as
+    long-format node rows under the `sv` profile, ready to union into
+    the canonical store exactly like any other profile's attributes.
+
+    Pure column arithmetic (sqrt/atan2 — F5), a 2-row stack per
+    result, no shuffle, no Python. Values are numeric (`num_value`)
+    rather than re-serialized strings: float→text formatting is
+    engine-specific, numbers are not. Output:
+    (entity_id, attr, num_value, profile)."""
+    mag = F.round(
+        F.sqrt(F.col("v_re") * F.col("v_re") + F.col("v_im") * F.col("v_im")), 4
+    )
+    ang = F.round(F.atan2(F.col("v_im"), F.col("v_re")), 4)
+    pairs = F.array(
+        F.struct(F.lit("sv_v").alias("attr"), mag.alias("num_value")),
+        F.struct(F.lit("sv_angle").alias("attr"), ang.alias("num_value")),
+    )
+    return results.select(
+        "entity_id", F.explode(pairs).alias("sv")
+    ).select(
+        "entity_id",
+        "sv.attr",
+        "sv.num_value",
+        F.lit(profile).alias("profile"),
+    )
+
+
 def per_type_stats(nodes: DataFrame) -> DataFrame:
     """Per-type grouped transform via ``applyInPandas`` — the engine
     surface for genuinely non-columnar per-type logic (the reference's

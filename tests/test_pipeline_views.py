@@ -59,6 +59,30 @@ def test_reachability_closure_and_guard(spark):
         P.reachability(chain, max_pairs=5)
 
 
+def test_results_writeback_roundtrip(spark):
+    """Reverse converter: results rows become SvVoltage node rows
+    (magnitude + phase) that union cleanly into the canonical store's
+    long format — the DPsimToCIMpy write-back direction."""
+    import math
+
+    results = spark.createDataFrame(
+        [("a", 3.0, 4.0), ("b", 1.0, 0.0)],
+        "entity_id string, v_re double, v_im double",
+    )
+    rows = {
+        (r["entity_id"], r["attr"]): (r["num_value"], r["profile"])
+        for r in P.results_to_nodes(results).collect()
+    }
+    assert rows[("a", "sv_v")] == (5.0, "sv")
+    assert rows[("a", "sv_angle")] == (round(math.atan2(4.0, 3.0), 4), "sv")
+    assert rows[("b", "sv_v")] == (1.0, "sv")
+    assert rows[("b", "sv_angle")] == (0.0, "sv")
+    # unions into the node store shape (entity_id, attr, value-ish, profile)
+    assert set(P.results_to_nodes(results).columns) == {
+        "entity_id", "attr", "num_value", "profile"
+    }
+
+
 def test_reachability_cycle_terminates(spark):
     cyc = _edges(
         spark,
