@@ -74,14 +74,17 @@ def _q_input_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return validate_transcripts(transcripts_from_events(spark, sf_dir))
 
 
-_GRAPH_CACHE: dict[tuple[int, str], P.KGResult] = {}
+_GRAPH_CACHE: dict[tuple[str, str], P.KGResult] = {}
 
 
 def _graph(spark: SparkSession, sf_dir: str) -> P.KGResult:
     """Memoized pipeline build: the driver evaluates every queries()
     entry in one session, and most KG queries are views over the same
-    graph — build it once per (session, sf_dir)."""
-    key = (id(spark), sf_dir)
+    graph — build it once per (session, sf_dir). Keyed by the
+    session-unique applicationId, not id(spark): CPython can reuse an
+    object id after a session is GC'd, which would serve DataFrames
+    bound to a stopped SparkContext."""
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _GRAPH_CACHE:
         res = P.build_graph(transcripts_from_events(spark, sf_dir))
         # cache the small dimension tables too; cmap is consumed by
@@ -312,11 +315,9 @@ def _q_doc_fingerprint(spark, sf_dir):
 
 
 def _q_doc_dedup_exact(spark, sf_dir):
-    from pyspark.sql import functions as F
-
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
-    dupd = docs.union(docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
-    return D.exact_duplicates(dupd)
+    # organic corpus: the planted verbatim copies arrive IN the input
+    # (fixtures/organic.py) — the operator never manufactures dups
+    return D.exact_duplicates(_organic_docs(spark, sf_dir))
 
 
 def _q_doc_minhash_candidates(spark, sf_dir):
@@ -329,7 +330,11 @@ def _q_doc_ngram_jaccard(spark, sf_dir):
 
 
 def _q_doc_dedup_corpus(spark, sf_dir):
-    return D.dedup_corpus(_docs(spark, sf_dir))
+    # organic corpus: exact copies + controlled-Jaccard mutations
+    # planted in the input exercise the 0.8 threshold on an organic
+    # similarity distribution (trunc90 ≈ 0.88 kept, trunc60 ≈ 0.57
+    # candidates rejected at verify, append ≈ 0.95 kept)
+    return D.dedup_corpus(_organic_docs(spark, sf_dir))
 
 
 def _q_doc_simhash_candidates(spark, sf_dir):
@@ -341,7 +346,10 @@ def _q_doc_corpus_filter(spark, sf_dir):
 
 
 def _q_kg_adjacency(spark, sf_dir):
-    return P.adjacency(_graph(spark, sf_dir).canon_edges)
+    # K=4 so the fixture's 7-8-neighbor groups EXCEED the cap at the
+    # gated sf (0.01): the overflow/top-K path is what gets verified,
+    # not just the all-fits case
+    return P.adjacency(_graph(spark, sf_dir).canon_edges, max_neighbors=4)
 
 
 def _q_doc_simhash(spark, sf_dir):
@@ -422,7 +430,7 @@ def _q_stream_conv_state(spark, sf_dir):
     )
 
 
-_INCR_CACHE: dict[tuple[int, str], dict] = {}
+_INCR_CACHE: dict[tuple[str, str], dict] = {}
 
 
 def _incremental(spark: SparkSession, sf_dir: str) -> dict:
@@ -431,8 +439,9 @@ def _incremental(spark: SparkSession, sf_dir: str) -> dict:
     skipped, incremental CC/link/nodes exercised). Both gated
     incremental queries are views over the same committed snapshot,
     which must hash-match the same closed-form oracles as one full
-    run."""
-    key = (id(spark), sf_dir)
+    run. Keyed by applicationId (session-unique; id(spark) can be
+    reused after GC and would alias a stopped session's scratch dir)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _INCR_CACHE:
         from pyspark.sql import functions as F
 
@@ -478,21 +487,34 @@ def _q_mm_frame_sample(spark, sf_dir):
     return frame_sample(to_binary_docs(_docs(spark, sf_dir)))
 
 
-def _dup_emb(spark, sf_dir):
-    from pyspark.sql import functions as F
+def _organic_docs(spark, sf_dir):
+    from cimpy_spark.fixtures.organic import organic_documents
 
-    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
-    return emb.union(
-        emb.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
-    )
+    return organic_documents(_docs(spark, sf_dir))
+
+
+def _organic_emb(spark, sf_dir):
+    from cimpy_spark.fixtures.organic import organic_embeddings
+
+    return organic_embeddings(_emb(spark, sf_dir))
 
 
 def _q_emb_neardup(spark, sf_dir):
-    return SIM.neardup_pairs(_dup_emb(spark, sf_dir))
+    # organic corpus: ±20% amplitude-modulated copies at cos ≈ 0.98
+    # (above) and sign-flipped hard negatives at cos ≈ 0 (below)
+    from cimpy_spark.fixtures.organic import ORGANIC_COS_THRESHOLD
+
+    return SIM.neardup_pairs(
+        _organic_emb(spark, sf_dir), threshold=ORGANIC_COS_THRESHOLD
+    )
 
 
 def _q_emb_dedup_corpus(spark, sf_dir):
-    return SIM.emb_dedup_corpus(_dup_emb(spark, sf_dir))
+    from cimpy_spark.fixtures.organic import ORGANIC_COS_THRESHOLD
+
+    return SIM.emb_dedup_corpus(
+        _organic_emb(spark, sf_dir), threshold=ORGANIC_COS_THRESHOLD
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -690,7 +712,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_dedup_corpus": doc_oracles.dedup_corpus_sql(),
         "doc_simhash_candidates": doc_oracles.simhash_candidates_sql(),
         "doc_corpus_filter": doc_oracles.corpus_filter_sql(),
-        "kg_adjacency": oracles.adjacency_sql(),
+        "kg_adjacency": oracles.adjacency_sql(max_neighbors=4),
         "emb_cosine_topk": doc_oracles.cosine_topk_sql(),
         "emb_lsh_buckets": doc_oracles.lsh_buckets_sql(),
         "emb_ivf_topk": doc_oracles.ivf_topk_sql(),

@@ -215,11 +215,20 @@ def node_degree_sql() -> str:
     """
 
 
-def adjacency_sql() -> str:
-    return PIPELINE_CTES + """
+def adjacency_sql(max_neighbors: int = 16) -> str:
+    """Top-K sorted neighbors + exact count + overflow flag (mirrors
+    pipeline.adjacency's hub-key bound)."""
+    return PIPELINE_CTES + f"""
+    , adjr AS (
+      SELECT src, pred, dst,
+             row_number() OVER (PARTITION BY src, pred ORDER BY dst) AS rk,
+             count(*) OVER (PARTITION BY src, pred) AS n_neighbors
+      FROM canon_edges
+    )
     SELECT src, pred, string_agg(dst, ',' ORDER BY dst) AS neighbors,
-           count(*) AS n_neighbors
-    FROM canon_edges GROUP BY src, pred
+           n_neighbors, n_neighbors > {max_neighbors} AS overflow
+    FROM adjr WHERE rk <= {max_neighbors}
+    GROUP BY src, pred, n_neighbors
     """
 
 

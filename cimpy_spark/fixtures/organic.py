@@ -1,0 +1,176 @@
+"""Organic-duplicate corpus fixtures for the dedup/near-dup gates.
+
+The reference's import tests run on fixtures with *genuine* cross-file
+merges (CIGRE MV: 48 ``rdf:about`` re-declarations merged across
+profiles, tests/test_import.py:17-36) — the analog for a training-data
+dedup operator is a corpus where duplicates arrive organically IN the
+input, at controlled similarity levels, instead of the round-2/3
+gates' shifted-id self-unions of identical rows.
+
+This module derives that corpus deterministically from the driver's
+``documents`` / ``embeddings`` parquet, with the SAME derivation
+expressed twice — once as Spark column expressions, once as a DuckDB
+CTE — so the correctness oracle computes the planted truth
+independently. The dedup operators under test receive the corpus as a
+plain input frame and never see how it was made.
+
+Planted classes (new ids never collide with base ids, which are
+< 1_000_000 at every sf):
+
+documents (word-3-gram Jaccard against the source doc, W = words):
+- exact copy     (id+1M, doc_id%17==3): J = 1            → dup
+- truncate to 90% (id+2M, doc_id%13==5): J ≈ 0.9·W/(W-2) → ~0.88,
+  above the 0.8 corpus threshold for typical lengths
+- truncate to 60% (id+3M, doc_id%13==7): J ≈ 0.58        → candidate
+  often, rejected at verify (exercises the threshold)
+- append 3 words  (id+4M, doc_id%13==9): J = (W-2)/(W+1) → ~0.95
+Prefix mutations keep the mutated shingle set a SUBSET of the
+original's, so the planted Jaccard is exactly |mut|/|orig| — a
+controlled level per document length, not a point mass at 1.0.
+
+embeddings (cosine against the source vector):
+- amplitude modulation ±20% by coordinate parity (id+1M, vec_id%11==2):
+  cos = (1+0.2b)/sqrt(1.04+0.4b) with b = (Σ±v²)/Σv² ≈ 0 ± 0.18
+  → cos ≈ 0.9806 ± 0.0015 — tightly above a 0.95 threshold
+- sign flip by coordinate parity (id+2M, vec_id%11==5):
+  cos = b ≈ 0 ± 0.18 — far below the threshold (hard negative)
+
+Both engines compute the perturbed values from the same float32
+parquet cast to double with the same literals, so elementwise values
+are bit-identical; verify margins (≥0.025 from the 0.95 threshold)
+dwarf any summation-order noise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+APPEND_SUFFIX = " qq7 zz9 xx3"
+
+# Gate threshold for the organic embedding corpus: the planted
+# modulated copies sit at cos ≈ 0.9806 ± 0.0015 (measured at sf0.01:
+# min 0.9798) and the hard negatives below 0.3 — both margins dwarf
+# cross-engine float noise at round-6 precision.
+ORGANIC_COS_THRESHOLD = 0.95
+
+# Spark-side truncation expression: first max(1, (W*num) div 10) words
+_W = "split(trim(text), '\\\\s+')"
+
+
+def _trunc_expr(num: int) -> str:
+    return (
+        f"array_join(slice({_W}, 1, "
+        f"greatest(1, (size({_W}) * {num}) div 10)), ' ')"
+    )
+
+
+def organic_documents(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) corpus with organically-planted exact and near
+    duplicates at controlled Jaccard levels (see module docstring)."""
+    base = docs.select("doc_id", "text")
+    exact = (
+        base.filter(F.col("doc_id") % 17 == 3)
+        .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+    trunc90 = (
+        base.filter(F.col("doc_id") % 13 == 5)
+        .select(
+            (F.col("doc_id") + 2_000_000).alias("doc_id"),
+            F.expr(_trunc_expr(9)).alias("text"),
+        )
+    )
+    trunc60 = (
+        base.filter(F.col("doc_id") % 13 == 7)
+        .select(
+            (F.col("doc_id") + 3_000_000).alias("doc_id"),
+            F.expr(_trunc_expr(6)).alias("text"),
+        )
+    )
+    appended = (
+        base.filter(F.col("doc_id") % 13 == 9)
+        .select(
+            (F.col("doc_id") + 4_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(APPEND_SUFFIX)).alias("text"),
+        )
+    )
+    return base.unionByName(exact).unionByName(trunc90).unionByName(
+        trunc60
+    ).unionByName(appended)
+
+
+def organic_embeddings(emb: DataFrame) -> DataFrame:
+    """(vec_id, embedding array<double>) corpus with perturbed near
+    duplicates at controlled cosine (see module docstring)."""
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    # ±20% amplitude modulation by coordinate parity: cos ≈ 0.98
+    modulated = base.filter(F.col("vec_id") % 11 == 2).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x * F.when(i % 2 == 0, F.lit(1.2)).otherwise(F.lit(0.8)),
+        ).alias("embedding"),
+    )
+    # alternating sign flip: cos ≈ 0 — the planted hard negative
+    flipped = base.filter(F.col("vec_id") % 11 == 5).select(
+        (F.col("vec_id") + 2_000_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x * F.when(i % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0)),
+        ).alias("embedding"),
+    )
+    return base.unionByName(modulated).unionByName(flipped)
+
+
+# ---------------------------------------------------------------------------
+# The SAME derivations in DuckDB dialect, for the correctness oracles.
+# ---------------------------------------------------------------------------
+
+# NB DuckDB list_slice(l, 1, n) is begin/end INCLUSIVE == Spark
+# slice(l, 1, n) (begin/length) when begin is 1; both clamp past-end.
+ORGANIC_DOCS_CTE = f"""
+orgw AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+  FROM documents
+),
+orgdocs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 17 = 3
+  UNION ALL
+  SELECT doc_id + 2000000,
+         array_to_string(list_slice(w, 1, greatest(1, (len(w) * 9) // 10)), ' ')
+  FROM orgw WHERE doc_id % 13 = 5
+  UNION ALL
+  SELECT doc_id + 3000000,
+         array_to_string(list_slice(w, 1, greatest(1, (len(w) * 6) // 10)), ' ')
+  FROM orgw WHERE doc_id % 13 = 7
+  UNION ALL
+  SELECT doc_id + 4000000, text || '{APPEND_SUFFIX}'
+  FROM documents WHERE doc_id % 13 = 9
+)
+"""
+
+# Spark's 0-based transform index i0 maps to the 1-based unnest index
+# i = i0 + 1, so "i0 even" (factor 1.2 / sign +1) is "i odd" here.
+ORGANIC_EMB_CTE = """
+ebase AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+eexp AS (
+  SELECT vec_id, nums.i AS i, emb[nums.i] AS v
+  FROM ebase, (SELECT unnest(generate_series(1, 64)) AS i) nums
+  WHERE nums.i <= len(emb)
+),
+eorg AS (
+  SELECT vec_id, emb FROM ebase
+  UNION ALL
+  SELECT vec_id + 1000000,
+         list(v * (CASE WHEN i % 2 = 1 THEN 1.2 ELSE 0.8 END) ORDER BY i)
+  FROM eexp WHERE vec_id % 11 = 2 GROUP BY vec_id
+  UNION ALL
+  SELECT vec_id + 2000000,
+         list(v * (CASE WHEN i % 2 = 1 THEN 1.0 ELSE -1.0 END) ORDER BY i)
+  FROM eexp WHERE vec_id % 11 = 5 GROUP BY vec_id
+)
+"""

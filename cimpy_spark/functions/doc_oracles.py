@@ -7,7 +7,16 @@ from __future__ import annotations
 WORDS = "string_split_regex(trim(text), '\\s+')"
 
 NUMS = "nums AS (SELECT unnest(generate_series(1, 500)) AS i)"
-W_CTE = f"w AS (SELECT doc_id, {WORDS} AS w FROM documents)"
+
+
+def _w_cte(src: str = "documents") -> str:
+    """The word-array CTE over a parameterized source relation — the
+    dedup-family oracles run over either the raw `documents` view or
+    the organic-duplicate corpus (fixtures/organic.py)."""
+    return f"w AS (SELECT doc_id, {WORDS} AS w FROM {src})"
+
+
+W_CTE = _w_cte("documents")
 SH3_CTE = """
 sh AS (
   SELECT DISTINCT doc_id, w.w[i] || ' ' || w.w[i+1] || ' ' || w.w[i+2] AS shingle
@@ -81,15 +90,14 @@ def fingerprint_sql() -> str:
 
 
 def exact_duplicates_sql() -> str:
-    return """
-    WITH alldocs AS (
-      SELECT doc_id, text FROM documents
-      UNION ALL
-      SELECT doc_id + 1000000, text FROM documents
-    )
+    """Exact-dup groups over the ORGANIC corpus: the planted verbatim
+    copies (and any naturally identical texts) arrive in the input —
+    no self-union of the whole table (round-3 verdict finding #1)."""
+    return f"""
+    WITH {ORGANIC_DOCS_CTE.strip()}
     SELECT md5(text) AS text_hash, count(*) AS n_docs,
            min(doc_id) AS canonical_doc_id
-    FROM alldocs GROUP BY 1 HAVING count(*) > 1
+    FROM orgdocs GROUP BY 1 HAVING count(*) > 1
     """
 
 
@@ -98,8 +106,17 @@ def exact_duplicates_sql() -> str:
 from cimpy_spark.functions.dedup import MAX_BUCKET as MINHASH_MAX_BUCKET  # noqa: E402
 from cimpy_spark.functions.similarity import MAX_BUCKET as _NEARDUP_CAP  # noqa: E402
 
-SIG_CTES = f"""
-{NUMS}, {W_CTE}, {SH3_CTE},
+from cimpy_spark.fixtures.organic import (  # noqa: E402
+    ORGANIC_COS_THRESHOLD,
+    ORGANIC_DOCS_CTE,
+    ORGANIC_EMB_CTE,
+)
+
+
+def sig_ctes(src: str = "documents") -> str:
+    """MinHash signature/band/candidate CTE chain over `src`."""
+    return f"""
+{NUMS}, {_w_cte(src)}, {SH3_CTE},
 seeds AS (SELECT unnest(generate_series(0, 11)) AS seed),
 sig AS (
   SELECT doc_id, seed,
@@ -124,12 +141,17 @@ cand AS (
 """
 
 
+SIG_CTES = sig_ctes("documents")
+
+
 def minhash_candidates_sql() -> str:
     return f"WITH {SIG_CTES} SELECT doc_a, doc_b FROM cand"
 
 
-JAC_CTES = f"""
-{SIG_CTES},
+def jac_ctes(src: str = "documents") -> str:
+    """Candidate-pair exact-Jaccard CTE chain over `src`."""
+    return f"""
+{sig_ctes(src)},
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
   SELECT c.doc_a, c.doc_b, count(*) AS n_inter
@@ -150,20 +172,26 @@ jac AS (
 """
 
 
+JAC_CTES = jac_ctes("documents")
+
+
 def ngram_jaccard_sql() -> str:
     return f"WITH {JAC_CTES} SELECT doc_a, doc_b, jaccard FROM jac"
 
 
 def dedup_corpus_sql(threshold: float = 0.8) -> str:
-    """End-to-end dedup oracle: verified dup pairs -> transitive
-    closure -> min-id canonical election."""
+    """End-to-end dedup oracle over the ORGANIC corpus (planted exact
+    copies + controlled-Jaccard mutations, fixtures/organic.py):
+    verified dup pairs -> transitive closure -> min-id canonical
+    election. The corpus arrives as a plain input relation — the
+    operator under test never manufactures its own duplicates."""
     return f"""
-    WITH RECURSIVE {JAC_CTES},
+    WITH RECURSIVE {ORGANIC_DOCS_CTE.strip()}, {jac_ctes("orgdocs")},
     dup AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= {threshold}),
     sym AS (SELECT doc_a AS a, doc_b AS b FROM dup
             UNION SELECT doc_b, doc_a FROM dup),
     reach(a, b) AS (
-      SELECT doc_id, doc_id FROM documents
+      SELECT doc_id, doc_id FROM orgdocs
       UNION
       SELECT r.a, e.b FROM reach r JOIN sym e ON r.b = e.a
     ),
@@ -432,13 +460,10 @@ def kmeans_ivf_topk_sql(
 
 
 def _neardup_ctes(threshold: float, max_bucket: int) -> str:
-    # over embeddings ∪ shifted copy (planted exact dups), LSH-bucketed
-    return f"""eraw AS (
-      SELECT vec_id, embedding FROM embeddings
-      UNION ALL
-      SELECT vec_id + 1000000, embedding FROM embeddings
-    ),
-    e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM eraw),
+    # over the ORGANIC embedding corpus (controlled-cosine perturbed
+    # copies planted in the input, fixtures/organic.py), LSH-bucketed
+    return f"""{ORGANIC_EMB_CTE.strip()},
+    e AS (SELECT vec_id, emb FROM eorg),
     pos AS (
       SELECT vec_id, nums.i AS i, emb[nums.i] AS v
       FROM e, (SELECT unnest(generate_series(1, 64)) AS i) nums
@@ -469,7 +494,7 @@ def _neardup_ctes(threshold: float, max_bucket: int) -> str:
 
 
 def neardup_pairs_sql(
-    threshold: float = 0.99, max_bucket: int = NEARDUP_MAX_BUCKET
+    threshold: float = ORGANIC_COS_THRESHOLD, max_bucket: int = NEARDUP_MAX_BUCKET
 ) -> str:
     return (
         "WITH "
@@ -479,11 +504,11 @@ def neardup_pairs_sql(
 
 
 def emb_dedup_corpus_sql(
-    threshold: float = 0.99, max_bucket: int = NEARDUP_MAX_BUCKET
+    threshold: float = ORGANIC_COS_THRESHOLD, max_bucket: int = NEARDUP_MAX_BUCKET
 ) -> str:
-    """End-to-end embedding dedup oracle: verified near-dup pairs ->
-    transitive closure -> min-id canonical election (mirror of
-    dedup_corpus_sql over the embedding table)."""
+    """End-to-end embedding dedup oracle over the ORGANIC corpus:
+    verified near-dup pairs -> transitive closure -> min-id canonical
+    election (mirror of dedup_corpus_sql over the embedding table)."""
     return (
         "WITH RECURSIVE "
         + _neardup_ctes(threshold, max_bucket)
@@ -492,7 +517,7 @@ def emb_dedup_corpus_sql(
     symv AS (SELECT vec_a AS a, vec_b AS b FROM dupv
              UNION SELECT vec_b, vec_a FROM dupv),
     reachv(a, b) AS (
-      SELECT vec_id, vec_id FROM eraw
+      SELECT vec_id, vec_id FROM eorg
       UNION
       SELECT r.a, e.b FROM reachv r JOIN symv e ON r.b = e.a
     ),

@@ -108,6 +108,11 @@ def resize(bin_docs: DataFrame, width: int = 8, height: int = 8) -> DataFrame:
     ``head_hex`` (first 4 output bytes, hex) plus ``n_bytes`` make the
     deterministic stub independently checkable by the DuckDB oracle
     without blob gymnastics."""
+    # head_hex is defined as the first 4 output bytes and the oracle
+    # always emits 8 hex chars — a payload smaller than 4 bytes would
+    # silently diverge from it
+    if width * height < 4:
+        raise ValueError("resize requires width*height >= 4 (head_hex covers 4 bytes)")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -275,10 +275,22 @@ def ingest_increment(
         # stage (crash between the triples and meta commits of a
         # previous increment) falls back to capturing over the WHOLE
         # transcripts argument — a superset of `fresh`, the most
-        # history reachable without the lost commit.
+        # history reachable without the lost commit. NB: the fallback
+        # is exact only when the caller passes the full corpus (as the
+        # driver does); a caller passing just the increment gets a
+        # header that can differ from a full rebuild, hence the
+        # warning.
         if old_hdr is not None:
             hdr = merge_headers(old_hdr, snapshot_header(fresh))
         else:
+            import warnings
+
+            warnings.warn(
+                "stale/legacy meta stage: recovering the snapshot header "
+                "from the passed transcripts only — pass the widest "
+                "transcript set available for an exact header",
+                stacklevel=2,
+            )
             hdr = snapshot_header(transcripts)
         return snapshot_meta(triples, hdr)
 

@@ -287,7 +287,6 @@ def route_to_profiles(
     active = (
         sorted(PROFILE_PRIORITY) if active_profiles is None else list(active_profiles)
     )
-    types = _entity_types(nodes)
     class_rows = schema_df.filter(F.col("attr") == "__class__").select(
         "type", F.col("profiles").alias("class_possible")
     )

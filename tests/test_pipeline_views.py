@@ -30,17 +30,36 @@ def test_adjacency_emits_sorted_scalar_neighbors(spark):
         ],
     )
     rows = {
-        (r["src"], r["pred"]): (r["neighbors"], r["n_neighbors"])
+        (r["src"], r["pred"]): (r["neighbors"], r["n_neighbors"], r["overflow"])
         for r in P.adjacency(edges).collect()
     }
     assert rows == {
-        ("a", "p"): ("b,m,z", 3),
-        ("a", "q"): ("x", 1),
-        ("b", "p"): ("a", 1),
+        ("a", "p"): ("b,m,z", 3, False),
+        ("a", "q"): ("x", 1, False),
+        ("b", "p"): ("a", 1, False),
     }
     # scalar string type, never array — the comparator contract
     schema = dict(P.adjacency(edges).dtypes)
     assert schema["neighbors"] == "string"
+
+
+def test_adjacency_hub_key_is_bounded(spark):
+    """A hub exceeding max_neighbors emits the FIRST K sorted
+    neighbors, the EXACT total count, and overflow=true — no
+    aggregation buffer ever holds the full neighbor set (the round-3
+    verdict's hub-key scale fix)."""
+    hub = [("hub", "p", f"d{i:03d}") for i in range(10)]
+    edges = _edges(spark, hub + [("small", "p", "x")])
+    rows = {
+        (r["src"], r["pred"]): (r["neighbors"], r["n_neighbors"], r["overflow"])
+        for r in P.adjacency(edges, max_neighbors=4).collect()
+    }
+    assert rows[("hub", "p")] == ("d000,d001,d002,d003", 10, True)
+    assert rows[("small", "p")] == ("x", 1, False)
+    # one shuffle: the top-K groupBy reuses the ranking window's
+    # exchange (its keys are a superset of the partition keys)
+    plan = P.adjacency(edges, max_neighbors=4)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
 
 
 def test_reachability_closure_and_guard(spark):

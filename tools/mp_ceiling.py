@@ -59,27 +59,40 @@ def main() -> None:
     _chunks = np.array_split(pdf, N_CHUNKS)
 
     results = {}
-    for cores in LEVELS:
-        os.sched_setaffinity(0, set(range(cores)))
-        with mp.Pool(cores) as pool:
-            pool.map(_work, range(N_CHUNKS))  # warmup: fork + import + JIT
-            times = []
-            for _ in range(3):
-                t0 = time.perf_counter()
-                n_triples = sum(pool.map(_work, range(N_CHUNKS)))
-                times.append(time.perf_counter() - t0)
-        sec = statistics.median(times)
-        results[cores] = {
-            "cores": cores,
-            "turns": n_turns,
-            "triples": n_triples,
-            "sec": round(sec, 3),
-            "turns_per_sec": round(n_turns / sec, 1),
-            "runs": [round(t, 3) for t in times],
-        }
-        print(json.dumps(results[cores]))
+    # pin from the CPUs we are actually PERMITTED to use (a restricted
+    # cpuset need not contain 0..cores-1), and restore the original
+    # mask afterwards so the last level's pin doesn't leak
+    orig_mask = os.sched_getaffinity(0)
+    avail = sorted(orig_mask)
+    try:
+        for cores in LEVELS:
+            if cores > len(avail):
+                print(
+                    json.dumps({"skipped_level": cores, "avail_cpus": len(avail)})
+                )
+                continue
+            os.sched_setaffinity(0, set(avail[:cores]))
+            with mp.Pool(cores) as pool:
+                pool.map(_work, range(N_CHUNKS))  # warmup: fork + import + JIT
+                times = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    n_triples = sum(pool.map(_work, range(N_CHUNKS)))
+                    times.append(time.perf_counter() - t0)
+            sec = statistics.median(times)
+            results[cores] = {
+                "cores": cores,
+                "turns": n_turns,
+                "triples": n_triples,
+                "sec": round(sec, 3),
+                "turns_per_sec": round(n_turns / sec, 1),
+                "runs": [round(t, 3) for t in times],
+            }
+            print(json.dumps(results[cores]))
+    finally:
+        os.sched_setaffinity(0, orig_mask)
 
-    if len(LEVELS) == 2:
+    if len(LEVELS) == 2 and all(c in results for c in LEVELS):
         lo, hi = LEVELS
         eff = round(
             results[hi]["turns_per_sec"]
