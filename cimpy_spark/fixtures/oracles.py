@@ -436,6 +436,62 @@ def delete_t0_sql() -> str:
     """
 
 
+def bus_branch_sql(
+    breaker_type: str = "T1",
+    open_attr: str = "p_bool",
+    open_value: str = "true",
+    contract_pred: str = "controls",
+) -> str:
+    """End-to-end bus-branch reduction oracle (utils.py:6-88 analog):
+    delete open breakers + incident edges, contract the CLOSED
+    breakers' switch edges to min-id component labels, rewrite the
+    surviving edges."""
+    return PIPELINE_CTES + f"""
+    , brk AS (SELECT DISTINCT entity_id FROM nodes
+              WHERE attr = 'rdf_type' AND value = '{breaker_type}'),
+    openbrk AS (
+      SELECT DISTINCT b.entity_id FROM brk b
+      JOIN nodes o ON o.entity_id = b.entity_id
+      WHERE o.attr = '{open_attr}' AND o.value = '{open_value}'
+    ),
+    closedbrk AS (
+      SELECT entity_id FROM brk
+      WHERE entity_id NOT IN (SELECT entity_id FROM openbrk)
+    ),
+    kept AS (
+      SELECT e.src, e.pred, e.dst FROM canon_edges e
+      LEFT JOIN openbrk a ON e.src = a.entity_id
+      LEFT JOIN openbrk b ON e.dst = b.entity_id
+      WHERE a.entity_id IS NULL AND b.entity_id IS NULL
+    ),
+    sw AS (
+      SELECT e.src, e.pred, e.dst FROM kept e
+      JOIN closedbrk c ON e.src = c.entity_id
+      WHERE e.pred = '{contract_pred}'
+    ),
+    bpairs AS (SELECT DISTINCT src AS a, dst AS b FROM sw),
+    bsym AS (SELECT a, b FROM bpairs UNION SELECT b, a FROM bpairs),
+    bverts AS (SELECT src AS v FROM kept UNION SELECT dst FROM kept),
+    breach(a, b) AS (
+      SELECT v, v FROM bverts
+      UNION
+      SELECT r.a, e.b FROM breach r JOIN bsym e ON r.b = e.a
+    ),
+    bmap AS (SELECT a AS entity_id, min(b) AS canonical_id
+             FROM breach GROUP BY a),
+    kept2 AS (
+      SELECT e.src, e.pred, e.dst FROM kept e
+      LEFT JOIN sw s ON e.src = s.src AND e.pred = s.pred AND e.dst = s.dst
+      WHERE s.src IS NULL
+    )
+    SELECT DISTINCT m1.canonical_id AS src, e.pred, m2.canonical_id AS dst
+    FROM kept2 e
+    JOIN bmap m1 ON e.src = m1.entity_id
+    JOIN bmap m2 ON e.dst = m2.entity_id
+    WHERE m1.canonical_id <> m2.canonical_id
+    """
+
+
 def contract_controls_sql() -> str:
     """Edges after contracting all 'controls' edges (bus-branch
     closed-switch merge analog): endpoints merge to min-id component

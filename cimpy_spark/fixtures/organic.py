@@ -54,6 +54,12 @@ APPEND_SUFFIX = " qq7 zz9 xx3"
 # cross-engine float noise at round-6 precision.
 ORGANIC_COS_THRESHOLD = 0.95
 
+# Hyperplane-LSH tables for the organic near-dup gates: one 8-plane
+# table recalls the planted cos≈0.98 pairs at ~0.63 (per-plane
+# agreement 1 - arccos(0.98)/π ≈ 0.936, ^8 ≈ 0.59); three tables
+# OR-amplify to ~0.95 measured. The cap applies per (table, bucket).
+ORGANIC_N_TABLES = 3
+
 # Spark-side truncation expression: first max(1, (W*num) div 10) words
 _W = "split(trim(text), '\\\\s+')"
 

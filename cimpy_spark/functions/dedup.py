@@ -313,10 +313,31 @@ def dedup_corpus(
     )
 
 
-def simhash(docs: DataFrame, n_bits: int = 16) -> DataFrame:
-    """16-bit SimHash over distinct word tokens: bit j of a token's
-    md5 (parity of hex digit j) votes ±1; the sign of each bit-sum is
-    the fingerprint bit. (doc_id, simhash int).
+def simhash(docs: DataFrame, n_bits: int = 60) -> DataFrame:
+    """SimHash over distinct word tokens: bit j of a token's md5
+    votes ±1; the sign of each bit-sum is the fingerprint bit.
+    (doc_id, simhash long).
+
+    Bit source: an md5 has 32 hex digits; bit j draws bit
+    ``(j-1) // 32`` of hex digit ``(j-1) % 32`` — 128 independent bits
+    available, of which up to 60 fit a signed BIGINT without touching
+    the sign bit (both engines refuse ``1 << 63``; 60 also splits into
+    4 clean 15-bit bands). Fingerprint packing is integer shifts, NOT
+    double powers — sums of 2^(j-1) stop being exact in a double at
+    j > 53.
+
+    Choosing n_bits per corpus scale (band-bucket saturation: a b-bit
+    band slice has 2^(n_bits/n_bands) values; buckets saturate — and
+    the max_bucket cap starts dropping real near-dups — once corpus
+    size approaches n_bands × 2^(n_bits/n_bands)):
+
+    ======== ============ ==============================
+    corpus    n_bits       band slice (4 bands)
+    ======== ============ ==============================
+    ≤ 100k    16 (legacy)  4 bits — fixture scale ONLY
+    ≤ 10M     32           8 bits
+    ≤ 1B+     60 (default) 15 bits
+    ======== ============ ==============================
 
     Narrow single-fold formulation: ONE pass over the token-md5 array
     with an n_bits-wide vote accumulator, packed to the fingerprint in
@@ -324,15 +345,18 @@ def simhash(docs: DataFrame, n_bits: int = 16) -> DataFrame:
     evaluated exactly once per row (n_bits separate folds would
     re-evaluate them per bit after projection collapse; measured ~n×
     slower). No explode, no shuffle."""
+    if not 1 <= n_bits <= 60:
+        raise ValueError("simhash supports 1..60 bits in a signed long")
     hs = F.transform(
         F.array_distinct(F.split(F.trim("text"), "\\s+")), lambda t: F.md5(t)
     )
     init = F.array(*[F.lit(0) for _ in range(n_bits)])
 
     def vote(h, j: int):
-        # digit value = hex digit j of the token md5; parity votes ±1
+        # hex digit (j-1) % 32 of the token md5, bit (j-1) // 32
+        digit = F.conv(F.substring(h, (j - 1) % 32 + 1, 1), 16, 10).cast("int")
         return F.when(
-            F.conv(F.substring(h, j, 1), 16, 10).cast("int") % 2 == 1, F.lit(1)
+            F.shiftright(digit, (j - 1) // 32) % 2 == 1, F.lit(1)
         ).otherwise(F.lit(-1))
 
     def step(acc, h):
@@ -342,9 +366,10 @@ def simhash(docs: DataFrame, n_bits: int = 16) -> DataFrame:
         return reduce(
             lambda x, y: x + y,
             [
-                F.when(acc[j - 1] > 0, F.lit(float(2 ** (j - 1)))).otherwise(
-                    F.lit(0.0)
-                )
+                F.when(
+                    acc[j - 1] > 0,
+                    F.shiftleft(F.lit(1).cast("long"), j - 1),
+                ).otherwise(F.lit(0).cast("long"))
                 for j in range(1, n_bits + 1)
             ],
         )

@@ -110,6 +110,7 @@ from cimpy_spark.fixtures.organic import (  # noqa: E402
     ORGANIC_COS_THRESHOLD,
     ORGANIC_DOCS_CTE,
     ORGANIC_EMB_CTE,
+    ORGANIC_N_TABLES,
 )
 
 
@@ -204,6 +205,9 @@ def dedup_corpus_sql(threshold: float = 0.8) -> str:
 
 
 def _simhash_ctes(n_bits: int = 16) -> str:
+    # bit j draws bit (j-1)//32 of hex digit (j-1)%32 (mirrors
+    # dedup.simhash); packing is integer shifts — double powers stop
+    # being exact past 2^53
     return f"""
     toks AS (
       SELECT DISTINCT doc_id, tok
@@ -211,14 +215,17 @@ def _simhash_ctes(n_bits: int = 16) -> str:
     ),
     bits AS (
       SELECT doc_id, j,
-             sum(CASE WHEN (strpos('0123456789abcdef', substring(md5(tok), j, 1)) - 1) % 2 = 1
+             sum(CASE WHEN ((strpos('0123456789abcdef',
+                             substring(md5(tok), ((j - 1) % 32) + 1, 1)) - 1)
+                            >> ((j - 1) // 32)) % 2 = 1
                  THEN 1 ELSE -1 END) AS s
       FROM toks, (SELECT unnest(generate_series(1, {n_bits})) AS j) jj
       GROUP BY doc_id, j
     ),
     shs AS (
       SELECT doc_id,
-             CAST(sum(CASE WHEN s > 0 THEN power(2.0, j - 1) ELSE 0 END) AS BIGINT) AS simhash
+             CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << (j - 1)) ELSE 0 END)
+                  AS BIGINT) AS simhash
       FROM bits GROUP BY doc_id
     )
     """
@@ -300,7 +307,8 @@ pos AS (
 ),
 pl AS (
   SELECT vec_id, p,
-         sum(v * (CASE WHEN (p * 131 + i * 37) % 7 < 3 THEN 1.0 ELSE -1.0 END)) AS s
+         sum(v * (CASE WHEN ((2 * p + 3) * i + 5 * p + 1) % 127 < 63
+                  THEN 1.0 ELSE -1.0 END)) AS s
   FROM pos, (SELECT unnest(generate_series(0, 7)) AS p) pp
   GROUP BY vec_id, p
 ),
@@ -459,9 +467,11 @@ def kmeans_ivf_topk_sql(
     )
 
 
-def _neardup_ctes(threshold: float, max_bucket: int) -> str:
+def _neardup_ctes(threshold: float, max_bucket: int, n_tables: int = 1) -> str:
     # over the ORGANIC embedding corpus (controlled-cosine perturbed
     # copies planted in the input, fixtures/organic.py), LSH-bucketed
+    # across n_tables independent hyperplane tables (global plane
+    # q = t*8 + p; table 0 reproduces the single-table buckets)
     return f"""{ORGANIC_EMB_CTE.strip()},
     e AS (SELECT vec_id, emb FROM eorg),
     pos AS (
@@ -470,48 +480,58 @@ def _neardup_ctes(threshold: float, max_bucket: int) -> str:
       WHERE nums.i <= len(emb)
     ),
     pl AS (
-      SELECT vec_id, p,
-             sum(v * (CASE WHEN (p * 131 + i * 37) % 7 < 3 THEN 1.0 ELSE -1.0 END)) AS s
-      FROM pos, (SELECT unnest(generate_series(0, 7)) AS p) pp
-      GROUP BY vec_id, p
+      SELECT vec_id, tt.t AS t, pp.p AS p,
+             sum(v * (CASE WHEN ((2 * (tt.t * 8 + pp.p) + 3) * i
+                                 + 5 * (tt.t * 8 + pp.p) + 1) % 127 < 63
+                      THEN 1.0 ELSE -1.0 END)) AS s
+      FROM pos,
+           (SELECT unnest(generate_series(0, {n_tables - 1})) AS t) tt,
+           (SELECT unnest(generate_series(0, 7)) AS p) pp
+      GROUP BY vec_id, tt.t, pp.p
     ),
     buckets AS (
-      SELECT vec_id,
+      SELECT vec_id, t,
              CAST(sum(CASE WHEN s > 0 THEN power(2.0, p) ELSE 0 END) AS INT) AS bucket
-      FROM pl GROUP BY vec_id
+      FROM pl GROUP BY vec_id, t
     ),
     okb AS (
-      SELECT bucket FROM buckets GROUP BY bucket HAVING count(*) <= {max_bucket}
+      SELECT t, bucket FROM buckets
+      GROUP BY t, bucket HAVING count(*) <= {max_bucket}
     ),
-    v AS (SELECT e.vec_id, e.emb, b.bucket
-          FROM e JOIN buckets b USING (vec_id) JOIN okb USING (bucket)),
+    v AS (SELECT e.vec_id, e.emb, b.t, b.bucket
+          FROM e JOIN buckets b USING (vec_id) JOIN okb USING (t, bucket)),
     sims AS (
-      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
              round(list_dot_product(a.emb, b.emb)
                    / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 6) AS sim
-      FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      FROM v a JOIN v b ON a.t = b.t AND a.bucket = b.bucket
+                       AND a.vec_id < b.vec_id
     )"""
 
 
 def neardup_pairs_sql(
-    threshold: float = ORGANIC_COS_THRESHOLD, max_bucket: int = NEARDUP_MAX_BUCKET
+    threshold: float = ORGANIC_COS_THRESHOLD,
+    max_bucket: int = NEARDUP_MAX_BUCKET,
+    n_tables: int = ORGANIC_N_TABLES,
 ) -> str:
     return (
         "WITH "
-        + _neardup_ctes(threshold, max_bucket)
+        + _neardup_ctes(threshold, max_bucket, n_tables)
         + f"\n    SELECT DISTINCT vec_a, vec_b, sim FROM sims WHERE sim >= {threshold}\n"
     )
 
 
 def emb_dedup_corpus_sql(
-    threshold: float = ORGANIC_COS_THRESHOLD, max_bucket: int = NEARDUP_MAX_BUCKET
+    threshold: float = ORGANIC_COS_THRESHOLD,
+    max_bucket: int = NEARDUP_MAX_BUCKET,
+    n_tables: int = ORGANIC_N_TABLES,
 ) -> str:
     """End-to-end embedding dedup oracle over the ORGANIC corpus:
     verified near-dup pairs -> transitive closure -> min-id canonical
     election (mirror of dedup_corpus_sql over the embedding table)."""
     return (
         "WITH RECURSIVE "
-        + _neardup_ctes(threshold, max_bucket)
+        + _neardup_ctes(threshold, max_bucket, n_tables)
         + f""",
     dupv AS (SELECT DISTINCT vec_a, vec_b FROM sims WHERE sim >= {threshold}),
     symv AS (SELECT vec_a AS a, vec_b AS b FROM dupv

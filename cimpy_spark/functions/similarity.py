@@ -77,29 +77,62 @@ def cosine_topk(
     )
 
 
-def _bucket_expr(emb_col, n_planes: int = N_PLANES):
-    """Hyperplane-LSH bucket as a narrow per-row expression: for each
-    plane p, the signed projection is an ordered array fold over the
-    embedding (component i, 1-based, is +1 iff (p*131 + i*37) % 7 < 3 —
-    portable to SQL); the sign pattern packs into an int. Zero
-    explodes, zero shuffles (round 1 posexploded dims × planes and
-    shuffled twice)."""
+def _plane_sum(emb_col, q: int):
+    """Signed projection onto GLOBAL plane q: component i (1-based)
+    is +1 iff ((2q+3)·i + 5q+1) mod 127 < 63 — an affine family over
+    a prime modulus > dims, portable to SQL. Each plane's map is
+    injective on i (2q+3 invertible mod 127), so patterns are
+    balanced and genuinely DIFFERENT per plane. (The round-3 formula
+    reduced mod 7, which made planes q and q+7 identical — extra LSH
+    tables could never amplify recall because every table induced the
+    same partition.)"""
+    proj = F.transform(
+        emb_col,
+        lambda v, i0: v
+        * F.when(
+            (F.lit(2 * q + 3) * (i0 + 1) + F.lit(5 * q + 1)) % 127 < 63,
+            F.lit(1.0),
+        ).otherwise(F.lit(-1.0)),
+    )
+    return F.aggregate(proj, F.lit(0.0), lambda acc, x: acc + x)
 
-    def plane_sum(p: int):
-        proj = F.transform(
-            emb_col,
-            lambda v, i0: v
-            * F.when(
-                (F.lit(p * 131) + (i0 + 1) * 37) % 7 < 3, F.lit(1.0)
-            ).otherwise(F.lit(-1.0)),
-        )
-        return F.aggregate(proj, F.lit(0.0), lambda acc, x: acc + x)
 
+def _bucket_expr(emb_col, n_planes: int = N_PLANES, table: int = 0):
+    """Hyperplane-LSH bucket for one table as a narrow per-row
+    expression: the sign pattern of planes q = table*n_planes + p
+    packs into an int. Zero explodes, zero shuffles (round 1
+    posexploded dims × planes and shuffled twice)."""
     bucket = None
     for p in range(n_planes):
-        term = F.when(plane_sum(p) > 0, F.lit(float(2**p))).otherwise(F.lit(0.0))
+        term = F.when(
+            _plane_sum(emb_col, table * n_planes + p) > 0, F.lit(float(2**p))
+        ).otherwise(F.lit(0.0))
         bucket = term if bucket is None else bucket + term
     return bucket.cast("int")
+
+
+def multi_table_buckets(
+    embeddings: DataFrame, n_tables: int, n_planes: int = N_PLANES
+) -> DataFrame:
+    """(vec_id, tbl, bucket) over `n_tables` independent hyperplane
+    tables — the OR-amplification of LSH: a pair is a candidate if it
+    collides in ANY table, lifting per-pair recall from p^k to
+    1-(1-p^k)^L (at cos 0.98, k=8: 0.59 → 0.93 with L=3). Still a
+    pure projection + an n_tables-row explode; table 0 reproduces the
+    single-table `lsh_buckets` values exactly."""
+    emb = _as_double("embedding")
+    tb = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                _bucket_expr(emb, n_planes, table=t).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    return embeddings.select("vec_id", F.explode(tb).alias("b")).select(
+        "vec_id", "b.tbl", "b.bucket"
+    )
 
 
 def lsh_buckets(embeddings: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
@@ -329,7 +362,10 @@ def kmeans_ivf_topk(
 
 
 def neardup_pairs(
-    embeddings: DataFrame, threshold: float = 0.99, max_bucket: int = MAX_BUCKET
+    embeddings: DataFrame,
+    threshold: float = 0.99,
+    max_bucket: int = MAX_BUCKET,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (vec_a < vec_b) with
     sim ≥ threshold, candidates restricted to shared LSH buckets
@@ -337,23 +373,29 @@ def neardup_pairs(
     UNLESS their bucket exceeds max_bucket — degenerate regions are
     deliberately dropped). Buckets over the cap are excluded via a
     broadcast anti-join on the tiny oversize set, bounding the
-    self-join at n_buckets × max_bucket² pairs.
-    Output: (vec_a, vec_b, sim)."""
+    self-join at n_tables × n_buckets × max_bucket² pairs.
+
+    `n_tables > 1` OR-amplifies recall (see `multi_table_buckets`):
+    the planted organic dups at cos ≈ 0.98 are recalled at ~0.63 by
+    one 8-plane table and ~0.95 by three (measured, BENCH.md); the cap
+    applies per (table, bucket) and the pair set is deduped across
+    tables. Output: (vec_a, vec_b, sim)."""
     from cimpy_spark.functions.dedup import drop_oversize_buckets
 
-    # checkpoint only (vec_id, bucket) — the bucket fold would be
-    # re-evaluated per consumer otherwise, but the (wide) embeddings
-    # themselves must NOT be copied into checkpoint storage; the
-    # capped candidate pairs fetch them back by key
-    v = checkpoint_df(
-        embeddings.select(
-            "vec_id", _bucket_expr(_as_double("embedding")).alias("bucket")
-        )
+    # checkpoint only (vec_id, tbl, bucket) — the bucket folds would
+    # be re-evaluated per consumer otherwise, but the (wide)
+    # embeddings themselves must NOT be copied into checkpoint
+    # storage; the capped candidate pairs fetch them back by key
+    v = checkpoint_df(multi_table_buckets(embeddings, n_tables))
+    ok = drop_oversize_buckets(v, ["tbl", "bucket"], max_bucket)
+    a = ok.select(F.col("vec_id").alias("vec_a"), "tbl", "bucket")
+    b = ok.select(F.col("vec_id").alias("vec_b"), "tbl", "bucket")
+    cand = (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
     )
-    ok = drop_oversize_buckets(v, ["bucket"], max_bucket)
-    a = ok.select(F.col("vec_id").alias("vec_a"), "bucket")
-    b = ok.select(F.col("vec_id").alias("vec_b"), "bucket")
-    cand = a.join(b, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
     e = embeddings.select("vec_id", _as_double("embedding").alias("emb"))
     sims = (
         cand.join(e.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea")), "vec_a")
@@ -371,7 +413,10 @@ def neardup_pairs(
 
 
 def emb_dedup_corpus(
-    embeddings: DataFrame, threshold: float = 0.99, max_bucket: int = MAX_BUCKET
+    embeddings: DataFrame,
+    threshold: float = 0.99,
+    max_bucket: int = MAX_BUCKET,
+    n_tables: int = 1,
 ) -> DataFrame:
     """End-to-end embedding near-duplicate dedup — the vector-side
     mirror of `dedup.dedup_corpus` (same composition a training-data
@@ -394,7 +439,7 @@ def emb_dedup_corpus(
             "emb_dedup_corpus requires non-negative vec_id (zero-padded "
             "lexicographic ordering == numeric ordering); found vec_id < 0"
         )
-    pairs = neardup_pairs(embeddings, threshold, max_bucket)
+    pairs = neardup_pairs(embeddings, threshold, max_bucket, n_tables)
     pad = "%020d"  # int64 max is 19 digits — padding must cover it
     links = checkpoint_df(
         pairs.select(

@@ -59,7 +59,29 @@ def contract_edges(edges: DataFrame, pred: str, cmap_rows: int | None = 0) -> Da
 
     Reuses the canonicalization engine (connected components over the
     contracted edge set)."""
-    to_contract = edges.filter(F.col("pred") == pred)
+    # whole-predicate contraction: `remaining` is a FILTER, not an
+    # anti-join — at scale a predicate filter pushes to the scan while
+    # a triple anti-join would shuffle the full edge set
+    return contract_edge_set(
+        edges,
+        edges.filter(F.col("pred") == pred),
+        cmap_rows,
+        remaining=edges.filter(F.col("pred") != pred),
+    )
+
+
+def contract_edge_set(
+    edges: DataFrame,
+    to_contract: DataFrame,
+    cmap_rows: int | None = 0,
+    remaining: DataFrame | None = None,
+) -> DataFrame:
+    """Contract an EXPLICIT edge subset (not a whole predicate class):
+    the generalization `bus_branch` needs, where only the closed
+    breakers' edges are switches while other same-predicate edges are
+    ordinary and must survive the rewrite. `remaining` overrides the
+    default (edges ∖ to_contract by triple anti-join) when the caller
+    can express the complement as a pushdown-able filter."""
     endpoints = (
         to_contract.select(F.col("src").alias("entity_id"))
         .union(to_contract.select(F.col("dst").alias("entity_id")))
@@ -78,14 +100,68 @@ def contract_edges(edges: DataFrame, pred: str, cmap_rows: int | None = 0) -> Da
         cmap.select(F.col("entity_id").alias("dst"), F.col("canonical_id").alias("cdst")),
         cmap_rows,
     )
+    if remaining is None:
+        remaining = edges.join(
+            to_contract.select("src", "pred", "dst"),
+            ["src", "pred", "dst"],
+            "left_anti",
+        )
     return (
-        edges.filter(F.col("pred") != pred)
-        .join(src_map, "src")
+        remaining.join(src_map, "src")
         .join(dst_map, "dst")
         .select(F.col("csrc").alias("src"), "pred", F.col("cdst").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
         .dropDuplicates(["src", "pred", "dst"])
     )
+
+
+def bus_branch(
+    nodes: DataFrame,
+    edges: DataFrame,
+    breaker_type: str = "T1",
+    open_attr: str = "p_bool",
+    open_value: str = "true",
+    contract_pred: str = "controls",
+) -> DataFrame:
+    """The full bus-branch reduction as ONE composition — the
+    reference's `node_breaker_to_bus_branch` (cimpy/utils.py:6-88)
+    end-to-end rather than its three pieces separately:
+
+    1. select the open breakers: entities of `breaker_type` whose
+       elected `open_attr` equals `open_value` (utils.py:17-39 —
+       'open breaker' predicate as a semi-join of two attribute
+       selections),
+    2. bulk-delete them and every incident edge (utils.py:80-84
+       del_list → anti-joins),
+    3. contract the CLOSED breakers' `contract_pred` edges — only
+       switch equipment joins topological nodes (utils.py:41-78
+       'connect nodes across closed switches'); `contract_pred` edges
+       of non-breaker entities are ordinary and survive the rewrite.
+       Switch endpoints merge to min-id component labels, surviving
+       edges are rewritten to the merged endpoints, self-loops
+       dropped.
+
+    Output: the reduced (src, pred, dst) edge set. Invariants (pinned
+    by test, reference analog utils.py:80-88): no surviving edge
+    references a deleted open breaker, and no closed-breaker switch
+    edge survives as itself.
+
+    Scale shape: breaker selections are tiny dimension frames —
+    broadcast into the semi/anti joins; contraction reuses the shared
+    CC operator, which shuffles only the switch edge set, never the
+    corpus."""
+    breakers = select_entities(nodes, "rdf_type", breaker_type)
+    open_ids = breakers.join(
+        select_entities(nodes, open_attr, open_value), "entity_id", "left_semi"
+    )
+    closed_ids = breakers.join(open_ids, "entity_id", "left_anti")
+    _, kept = delete_entities(nodes, edges, open_ids)
+    switches = kept.filter(F.col("pred") == contract_pred).join(
+        F.broadcast(closed_ids.select(F.col("entity_id").alias("src"))),
+        "src",
+        "left_semi",
+    )
+    return contract_edge_set(kept, switches)
 
 
 def add_entities(

@@ -60,7 +60,7 @@ def test_jaccard_identical_is_one(spark, docs):
 
 
 def test_simhash_identical_texts_collide(spark, docs):
-    sh = D.simhash(docs)
+    sh = D.simhash(docs)  # 60-bit production default
     joined = (
         docs.select("doc_id", "text")
         .join(sh, "doc_id")
@@ -68,8 +68,35 @@ def test_simhash_identical_texts_collide(spark, docs):
         .agg(F.countDistinct("simhash").alias("n"))
     )
     assert joined.filter(F.col("n") > 1).count() == 0
-    # 16-bit range
-    assert sh.filter((F.col("simhash") < 0) | (F.col("simhash") >= 65536)).count() == 0
+    # 60-bit range, sign bit untouched
+    assert sh.filter((F.col("simhash") < 0) | (F.col("simhash") >= 2**60)).count() == 0
+    # legacy 16-bit fixture-scale case stays in range
+    sh16 = D.simhash(docs, n_bits=16)
+    assert sh16.filter((F.col("simhash") < 0) | (F.col("simhash") >= 65536)).count() == 0
+
+
+def test_simhash_60bit_matches_oracle(spark, docs):
+    """The widened fingerprint (bit (j-1)//32 of hex digit (j-1)%32,
+    integer-shift packing) matches the independent DuckDB derivation
+    bit for bit — double-power packing would already diverge at
+    j > 53."""
+    import duckdb
+
+    from cimpy_spark.functions.doc_oracles import simhash_sql
+    from tests.conftest import SF_TINY
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_TINY}/documents.parquet')"
+    )
+    oracle = {
+        r[0]: r[1] for r in con.execute(simhash_sql(n_bits=60)).fetchall()
+    }
+    got = {r["doc_id"]: r["simhash"] for r in D.simhash(docs, n_bits=60).collect()}
+    assert got == oracle
+    # 60 bits actually used somewhere (not silently 32-truncated)
+    assert any(v >= 2**53 for v in got.values())
 
 
 def test_cosine_topk_shape(spark, emb):

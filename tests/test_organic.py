@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from cimpy_spark.fixtures.organic import (
     ORGANIC_COS_THRESHOLD,
+    ORGANIC_N_TABLES,
     organic_documents,
     organic_embeddings,
 )
@@ -113,8 +114,28 @@ def test_trunc60_pairs_are_candidates_but_rejected(spark, odocs):
     assert all(r["jaccard"] < 0.8 for r in rows)
 
 
+def test_multi_table_lsh_amplifies_recall(spark, oemb):
+    """OR-amplification: extra hyperplane tables can only ADD
+    candidates (table 0 is shared), and at cos ≈ 0.98 they must add
+    some — the round-3 plane family reduced mod 7, collapsing every
+    table to the same partition, which this pins against."""
+    found = {
+        L: {
+            (r["vec_a"], r["vec_b"])
+            for r in SIM.neardup_pairs(
+                oemb, threshold=ORGANIC_COS_THRESHOLD, n_tables=L
+            ).collect()
+        }
+        for L in (1, ORGANIC_N_TABLES)
+    }
+    assert found[1] <= found[ORGANIC_N_TABLES]
+    assert len(found[ORGANIC_N_TABLES]) > len(found[1])
+
+
 def test_neardup_threshold_on_organic_cosine(spark, oemb):
-    pairs = SIM.neardup_pairs(oemb, threshold=ORGANIC_COS_THRESHOLD).cache()
+    pairs = SIM.neardup_pairs(
+        oemb, threshold=ORGANIC_COS_THRESHOLD, n_tables=ORGANIC_N_TABLES
+    ).cache()
     # found pairs are exactly (base, modulated-copy) pairs at cos ≈ 0.98
     assert pairs.count() > 0
     non_planted = pairs.filter(
@@ -131,7 +152,9 @@ def test_neardup_threshold_on_organic_cosine(spark, oemb):
 
 
 def test_emb_dedup_corpus_on_organic(spark, oemb):
-    res = SIM.emb_dedup_corpus(oemb, threshold=ORGANIC_COS_THRESHOLD).cache()
+    res = SIM.emb_dedup_corpus(
+        oemb, threshold=ORGANIC_COS_THRESHOLD, n_tables=ORGANIC_N_TABLES
+    ).cache()
     # every hard negative is kept; only modulated copies are dropped
     assert res.filter((_cls("vec_id") == 2) & ~F.col("is_kept")).count() == 0
     dropped = res.filter(~F.col("is_kept"))

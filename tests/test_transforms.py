@@ -66,3 +66,51 @@ def test_surrogate_ids_deterministic_and_distinct(spark):
     b = surrogate_ids(df, ["name", "v"]).collect()
     assert sorted(r["surrogate_id"] for r in a) == sorted(r["surrogate_id"] for r in b)
     assert len({r["surrogate_id"] for r in a}) == 2
+
+
+def test_bus_branch_composition_invariants(spark):
+    """node_breaker_to_bus_branch end-to-end (utils.py:6-88): open
+    breakers deleted with their edges, CLOSED breakers' switch edges
+    contracted (endpoints merged), ordinary edges rewritten — and the
+    reconnection invariant: no surviving edge references a deleted
+    entity (utils.py:80-88)."""
+    from cimpy_spark.operators.transforms import bus_branch
+
+    nodes = _nodes(
+        spark,
+        [
+            # open breaker bo: must vanish with its edges
+            ("bo", "rdf_type", "T1"),
+            ("bo", "p_bool", "true"),
+            # closed breaker bc: its controls edge is a switch
+            ("bc", "rdf_type", "T1"),
+            ("bc", "p_bool", "false"),
+            # non-breaker entity with a controls edge: ordinary edge
+            ("x", "rdf_type", "T2"),
+            ("y", "rdf_type", "T2"),
+            ("z", "rdf_type", "T2"),
+        ],
+    )
+    edges = _edges(
+        spark,
+        [
+            ("bo", "controls", "x"),   # open breaker: deleted
+            ("y", "feeds", "bo"),      # touches open breaker: deleted
+            ("bc", "controls", "y"),   # closed switch: contracted (bc~y)
+            ("x", "controls", "z"),    # non-breaker controls: survives
+            ("y", "feeds", "z"),       # ordinary: rewritten to (bc, feeds, z)
+            ("z", "feeds", "bc"),      # ordinary: rewritten to (z, feeds, bc)
+        ],
+    )
+    out = bus_branch(nodes, edges).collect()
+    triples = {(r["src"], r["pred"], r["dst"]) for r in out}
+    # bc < y lexicographically -> component label is 'bc'
+    assert triples == {
+        ("x", "controls", "z"),
+        ("bc", "feeds", "z"),
+        ("z", "feeds", "bc"),
+    }
+    # reconnection invariant: the deleted open breaker appears nowhere
+    assert all("bo" not in (s, d) for s, _, d in triples)
+    # the switch edge itself did not survive
+    assert ("bc", "controls", "y") not in triples
