@@ -339,6 +339,27 @@ def _q_doc_ngram_jaccard(spark, sf_dir):
     return D.ngram_jaccard(docs, D.minhash_candidates(docs))
 
 
+_DEDUP_INCR_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _q_doc_dedup_incremental(spark, sf_dir):
+    """Two-batch incremental dedup over the ORGANIC corpus (half the
+    docs by id-hash, then the full corpus through dedup_ingest —
+    already-seen docs skipped, touched-bucket re-pairing and the
+    verified-Jaccard cache exercised). Must hash-match the SAME
+    closed-form oracle as the one-shot doc_dedup_corpus."""
+    from pyspark.sql import functions as F
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _DEDUP_INCR_CACHE:
+        docs = _organic_docs(spark, sf_dir)
+        out_dir = _scratch_dir("cimpy_dedup_incr_")
+        first_half = F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(2)) == 0
+        D.dedup_ingest(spark, docs.filter(first_half), out_dir)
+        _DEDUP_INCR_CACHE[key] = D.dedup_ingest(spark, docs, out_dir)
+    return _DEDUP_INCR_CACHE[key]
+
+
 def _q_doc_dedup_corpus(spark, sf_dir):
     # organic corpus: exact copies + controlled-Jaccard mutations
     # planted in the input exercise the 0.8 threshold on an organic
@@ -574,6 +595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_adjacency": _q_kg_adjacency,
         "doc_dedup_exact": _q_doc_dedup_exact,
         "doc_dedup_corpus": _q_doc_dedup_corpus,
+        "doc_dedup_incremental": _q_doc_dedup_incremental,
         "emb_neardup_pairs": _q_emb_neardup,
         "emb_dedup_corpus": _q_emb_dedup_corpus,
         # -- load-bearing pipeline queries, kept gated every round ----
@@ -603,7 +625,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_default_suppression": _q_default_suppression,
         "kg_incremental_edges": _q_incremental_edges,
         "kg_incremental_nodes": _q_incremental_nodes,
-        "doc_ngram_jaccard": _q_doc_ngram_jaccard,
         # ---- gated prefix boundary (50) -----------------------------
         # -- rotation tail: r3-GREEN, code unchanged since, and
         #    independent of this round's changes (analytics over
@@ -620,6 +641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_hourly_counts": A.event_hourly_counts,
         "event_type_rollup": A.event_type_rollup,
         "doc_corpus_filter": _q_doc_corpus_filter,
+        "doc_ngram_jaccard": _q_doc_ngram_jaccard,  # r3-green, raw-corpus path unchanged; verify logic re-gated via doc_dedup_corpus/incremental
         "doc_simhash_candidates": _q_doc_simhash_candidates,
         "emb_cosine_topk": _q_emb_cosine_topk,
         "emb_lsh_buckets": _q_emb_lsh_buckets,
@@ -735,6 +757,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_ngram_jaccard": doc_oracles.ngram_jaccard_sql(),
         "doc_simhash": doc_oracles.simhash_sql(),
         "doc_dedup_corpus": doc_oracles.dedup_corpus_sql(),
+        # incremental must land on the SAME closed form as one-shot
+        "doc_dedup_incremental": doc_oracles.dedup_corpus_sql(),
         "doc_simhash_candidates": doc_oracles.simhash_candidates_sql(),
         "doc_corpus_filter": doc_oracles.corpus_filter_sql(),
         "kg_adjacency": oracles.adjacency_sql(max_neighbors=4),

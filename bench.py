@@ -63,11 +63,35 @@ def main() -> None:
 
     stage_dir = tempfile.mkdtemp(prefix="cimpy_bench_stage_")
     atexit.register(shutil.rmtree, stage_dir, True)
-    timed(
-        "stage_fixture",
-        lambda: transcripts_from_events(spark, sf_dir).write.mode("overwrite")
-        .parquet(stage_dir),
-    )
+
+    # warm the JVM write path too (whole-stage codegen + parquet
+    # committer first-use cost is session startup, not staging
+    # throughput): derive + write a 2k-row slice, then discard
+    warm_dir = tempfile.mkdtemp(prefix="cimpy_bench_warm_")
+    atexit.register(shutil.rmtree, warm_dir, True)
+    transcripts_from_events(spark, sf_dir).limit(2_000).write.mode(
+        "overwrite"
+    ).parquet(warm_dir)
+
+    def _stage():
+        # The window shuffle's map output is tiny (text is GENERATED
+        # on the reduce side), so AQE coalesces the post-shuffle
+        # partitions to ~5 — and text generation + parquet write then
+        # run at parallelism 5. Disable coalescing for this one write:
+        # 32 reduce tasks generate+write in parallel (measured 5.7s →
+        # 1.5s) and the stage lands as 32 files, the layout the
+        # 8-files-per-trigger stream canary is sized for.
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        try:
+            transcripts_from_events(spark, sf_dir).write.mode(
+                "overwrite"
+            ).parquet(stage_dir)
+        finally:
+            spark.conf.set(
+                "spark.sql.adaptive.coalescePartitions.enabled", "true"
+            )
+
+    timed("stage_fixture", _stage)
     transcripts = spark.read.parquet(stage_dir)
     n_turns = timed("load_transcripts", lambda: transcripts.count())
 

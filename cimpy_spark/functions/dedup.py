@@ -429,3 +429,157 @@ def simhash_candidates(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental corpus dedup (the production arrival path)
+# ---------------------------------------------------------------------------
+
+def dedup_ingest(
+    spark,
+    docs: DataFrame,
+    out_dir: str,
+    threshold: float = 0.8,
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """Incremental near-duplicate dedup: per arriving batch, re-LSH
+    only the NEW documents and re-pair only the buckets the batch
+    touched — never the whole corpus. At 100 TB the one-shot
+    `dedup_corpus` is a bootstrap job; this is the path every
+    subsequent ingest takes (the training-data analog of the KG
+    side's `materialize.ingest_increment`, and the reference's
+    "import more profile files later" axis, cimpy/cimimport.py:11-76
+    second pass over an existing object registry).
+
+    `docs` is the widest corpus available (the committed corpus plus
+    the new batch — already-seen doc_ids are skipped, like
+    ingest_increment's conv skip); old text is only READ BACK for the
+    few old docs that land in a verify pair against a new doc.
+
+    Committed stages under `out_dir` (LineageLedger, same
+    crash-retry/commit semantics as the KG pipeline):
+
+    - ``doc_seen``  (append): arrived doc_ids — O(batch) per ingest.
+    - ``doc_keys``  (append): LSH band keys of arrived docs —
+      O(batch), the signature fold never re-runs for old docs.
+    - ``doc_pairs`` (snapshot): candidate pairs WITH (band, band_key)
+      provenance. Rebuilt per ingest as: pairs of UNCHANGED buckets
+      carried verbatim + pairs of TOUCHED buckets recomputed against
+      the bucket's CURRENT size. Provenance is what makes the
+      `max_bucket` cap exact under growth: a bucket that crosses the
+      cap in a later batch retro-drops the pairs it justified —
+      matching the one-shot semantics bit for bit (pinned by test
+      with a cap-crossing fixture).
+    - ``doc_jaccard`` (append): verified word-3-gram Jaccard per
+      candidate pair — texts are immutable, so a pair is verified
+      ONCE ever; later ingests reuse the cached value.
+
+    Returns (doc_id, canonical_doc_id, is_kept) over all seen docs —
+    identical to `dedup_corpus` of the full corpus (equivalence-
+    tested): the final pair set per bucket depends only on final
+    bucket contents, links only on pairs + cached Jaccard, labels
+    only on links.
+    """
+    from cimpy_spark.operators.canonicalize import canonical_labels
+    from cimpy_spark.plans.lineage import LineageLedger
+
+    if docs.filter(F.col("doc_id") < 0).limit(1).count() > 0:
+        raise ValueError(
+            "dedup_ingest requires non-negative doc_id (zero-padded "
+            "lexicographic ordering == numeric ordering); found doc_id < 0"
+        )
+    ledger = LineageLedger(out_dir)
+    docs = docs.select("doc_id", "text")
+
+    booted = ledger.is_append_committed("doc_seen")
+    if booted:
+        seen = ledger.read_append_stage(spark, "doc_seen", "doc_id long")
+        fresh = checkpoint_df(
+            docs.join(seen.select("doc_id"), "doc_id", "left_anti")
+        )
+    else:
+        fresh = docs
+    ledger.run_append_stage(
+        spark,
+        "doc_seen",
+        lambda: fresh.select("doc_id"),
+        reset=not booted,
+    )
+
+    key_schema = "doc_id long, band int, band_key string"
+    fresh_keys = checkpoint_df(minhash_band_keys(fresh, n_hashes, n_bands))
+    all_keys = ledger.run_append_stage(
+        spark, "doc_keys", lambda: fresh_keys, reset=not booted
+    )
+
+    # buckets touched by this batch: re-pair them against CURRENT
+    # contents; every other bucket's pairs carry over verbatim
+    touched = fresh_keys.select("band", "band_key").distinct()
+    pair_schema = "band int, band_key string, doc_a long, doc_b long"
+    if booted and ledger.is_committed("doc_pairs"):
+        # materialize EAGERLY: the doc_pairs force-write below
+        # overwrites the very snapshot this reads (same hazard as the
+        # KG side's cmap_full, materialize.py)
+        old_pairs = checkpoint_df(
+            spark.read.schema(pair_schema).parquet(ledger.stage_dir("doc_pairs"))
+        )
+        carried = old_pairs.join(
+            F.broadcast(touched), ["band", "band_key"], "left_anti"
+        )
+    else:
+        carried = spark.createDataFrame([], pair_schema)
+    in_touched = all_keys.join(F.broadcast(touched), ["band", "band_key"])
+    ok = drop_oversize_buckets(
+        checkpoint_df(in_touched), ["band", "band_key"], max_bucket
+    )
+    a = ok.select("band", "band_key", F.col("doc_id").alias("doc_a"))
+    b = ok.select("band", "band_key", F.col("doc_id").alias("doc_b"))
+    recomputed = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+    )
+
+    def _pairs():
+        return carried.unionByName(recomputed)
+
+    pairs_prov = ledger.run_stage(spark, "doc_pairs", _pairs, force=True)
+    cand = pairs_prov.select("doc_a", "doc_b").distinct()
+
+    # verify once ever: texts are immutable, cached Jaccard is final
+    jac_schema = "doc_a long, doc_b long, jaccard double"
+    if booted and ledger.is_append_committed("doc_jaccard"):
+        cached = ledger.read_append_stage(spark, "doc_jaccard", jac_schema)
+        new_pairs = cand.join(cached, ["doc_a", "doc_b"], "left_anti")
+    else:
+        cached = spark.createDataFrame([], jac_schema)
+        new_pairs = cand
+    new_jac = ngram_jaccard(docs, new_pairs)
+    all_jac = ledger.run_append_stage(
+        spark, "doc_jaccard", lambda: new_jac, reset=not booted
+    )
+
+    links = (
+        cand.join(all_jac, ["doc_a", "doc_b"])
+        .filter(F.col("jaccard") >= threshold)
+    )
+    pad = "%020d"
+    links_p = checkpoint_df(
+        links.select(
+            F.format_string(pad, "doc_a").alias("src"),
+            F.format_string(pad, "doc_b").alias("dst"),
+        )
+    )
+    ids = ledger.read_append_stage(spark, "doc_seen", "doc_id long").select(
+        F.format_string(pad, "doc_id").alias("entity_id")
+    )
+    labels = canonical_labels(ids, links_p)
+    return (
+        ids.join(labels, "entity_id")
+        .select(
+            F.col("entity_id").cast("bigint").alias("doc_id"),
+            F.col("canonical_id").cast("bigint").alias("canonical_doc_id"),
+        )
+        .withColumn("is_kept", F.col("doc_id") == F.col("canonical_doc_id"))
+    )

@@ -1,0 +1,104 @@
+"""Incremental corpus dedup (dedup_ingest): per-batch work touches
+only new docs' signatures and the buckets the batch changed, yet the
+committed result must equal the one-shot `dedup_corpus` of the full
+corpus — including the subtle retro-drop case where a bucket crosses
+`max_bucket` between batches."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from cimpy_spark.fixtures.organic import organic_documents
+from cimpy_spark.functions import dedup as D
+from tests.conftest import SF_TINY
+
+
+@pytest.fixture()
+def out_dir():
+    d = tempfile.mkdtemp(prefix="cimpy_test_dedup_incr_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _rows(df):
+    return {
+        (r["doc_id"], r["canonical_doc_id"], r["is_kept"]) for r in df.collect()
+    }
+
+
+def test_two_batch_ingest_equals_one_shot(spark, out_dir):
+    docs = organic_documents(
+        spark.read.parquet(f"{SF_TINY}/documents.parquet")
+    ).cache()
+    first = F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(2)) == 0
+    D.dedup_ingest(spark, docs.filter(first), out_dir)
+    inc = D.dedup_ingest(spark, docs, out_dir)
+    assert _rows(inc) == _rows(D.dedup_corpus(docs))
+
+
+def test_cap_crossing_bucket_retro_drops_pairs(spark, out_dir):
+    """A bucket under the cap in batch 1 (pairs emitted) that crosses
+    `max_bucket` in batch 2 must retro-drop those pairs — the one-shot
+    semantics treat the bucket as boilerplate. The (band, band_key)
+    provenance on the committed pair snapshot is what makes this
+    exact."""
+    text = "alpha beta gamma delta epsilon zeta"
+    filler = [
+        (100 + i, f"unique{i} filler{i} words{i} here{i} now{i}")
+        for i in range(4)
+    ]
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    batch1 = mk([(i, text) for i in range(3)] + filler)
+    full = mk(
+        [(i, text) for i in range(3)]
+        + filler
+        + [(10 + i, text) for i in range(3)]
+    )
+    r1 = D.dedup_ingest(spark, batch1, out_dir, max_bucket=4)
+    # batch 1: the 3 copies cluster (bucket size 3 <= 4)
+    kept1 = {r["doc_id"] for r in r1.filter("is_kept").collect()}
+    assert kept1 == {0} | {r[0] for r in filler}
+    # batch 2: 3 more copies -> bucket size 6 > 4 -> boilerplate;
+    # every pair it justified must disappear
+    r2 = D.dedup_ingest(spark, full, out_dir, max_bucket=4)
+    assert _rows(r2) == _rows(D.dedup_corpus(full, max_bucket=4))
+    assert r2.filter(~F.col("is_kept")).count() == 0
+
+
+def test_second_ingest_is_o_increment(spark, out_dir):
+    """The committed signature stage grows by the batch only: ingest 2
+    appends keys for exactly the fresh docs (old docs are never
+    re-signed), and re-arriving docs are skipped entirely."""
+    from cimpy_spark.plans.lineage import LineageLedger
+
+    docs = organic_documents(
+        spark.read.parquet(f"{SF_TINY}/documents.parquet")
+    ).cache()
+    first = F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(2)) == 0
+    b1 = docs.filter(first)
+    D.dedup_ingest(spark, b1, out_dir)
+    ledger = LineageLedger(out_dir)
+    keys_after_1 = ledger.records()["doc_keys"]["rows_out"]
+    seen_after_1 = ledger.records()["doc_seen"]["rows_out"]
+    assert seen_after_1 == b1.count()
+    D.dedup_ingest(spark, docs, out_dir)
+    rec = LineageLedger(out_dir).records()
+    fresh = docs.count() - b1.count()
+    assert rec["doc_seen"]["rows_out"] == seen_after_1 + fresh
+    # keys grew by the fresh docs' bands only (docs with >= 3 words)
+    fresh_with_shingles = (
+        docs.join(b1.select("doc_id"), "doc_id", "left_anti")
+        .filter(F.size(F.split(F.trim("text"), r"\s+")) >= 3)
+        .count()
+    )
+    assert (
+        rec["doc_keys"]["rows_out"] - keys_after_1
+        == fresh_with_shingles * D.N_BANDS
+    )
+    # third ingest of the SAME corpus: nothing fresh, result unchanged
+    r3 = D.dedup_ingest(spark, docs, out_dir)
+    assert _rows(r3) == _rows(D.dedup_corpus(docs))
