@@ -176,12 +176,30 @@ def main() -> None:
     timed("doc_dedup_corpus", lambda: dedup_corpus(docs).count())
     timed("doc_corpus_filter", lambda: corpus_filter(docs).count())
 
+    # incremental-arrival dedup (side metric): bootstrap on 90% of the
+    # corpus (untimed), then time ingesting the last 10% — the
+    # production path where a batch arrives against a committed corpus.
+    # Compare with doc_dedup_corpus above, which re-LSHes everything.
+    from pyspark.sql import functions as F
+
+    from cimpy_spark.functions.dedup import dedup_ingest
+
+    ingest_dir = tempfile.mkdtemp(prefix="cimpy_bench_ingest_")
+    atexit.register(shutil.rmtree, ingest_dir, True)
+    late = F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(10)) == 0
+    dedup_ingest(spark, docs.filter(~late), ingest_dir)
+    timed(
+        "doc_dedup_ingest_batch",
+        lambda: dedup_ingest(spark, docs, ingest_dir).count(),
+    )
+
     SIDE = {
         "stage_fixture",
         "extract_steady",
         "stream_extract",
         "doc_dedup_corpus",
         "doc_corpus_filter",
+        "doc_dedup_ingest_batch",
     }
     # side measurements are not pipeline work — keep them out of the
     # end-to-end total
