@@ -312,6 +312,14 @@ def _q_doc_token_count(spark, sf_dir):
     return T.token_count(_docs(spark, sf_dir))
 
 
+def _q_doc_hash_split(spark, sf_dir):
+    return T.hash_split(_docs(spark, sf_dir))
+
+
+def _q_doc_source_quota(spark, sf_dir):
+    return T.source_quota(_docs(spark, sf_dir))
+
+
 def _q_doc_quality(spark, sf_dir):
     return T.quality_score(_docs(spark, sf_dir))
 
@@ -593,6 +601,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    adjacency, organic-duplicate dedup corpus) ---------------
         "kg_bus_branch": _q_bus_branch,
         "kg_adjacency": _q_kg_adjacency,
+        "doc_hash_split": _q_doc_hash_split,
+        "doc_source_quota": _q_doc_source_quota,
         "doc_dedup_exact": _q_doc_dedup_exact,
         "doc_dedup_corpus": _q_doc_dedup_corpus,
         "doc_dedup_incremental": _q_doc_dedup_incremental,
@@ -610,7 +620,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_link_quarantine": _q_link_quarantine,
         "kg_canonical_edges": _q_canonical_edges,
         "kg_nodes": _q_nodes,
-        "kg_khop": _q_khop,
         "kg_reachability": _q_reachability,
         "kg_assembly": _q_assembly,
         "kg_results_writeback": _q_results_writeback,
@@ -621,7 +630,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_multivalued_attrs": _q_multivalued_attrs,
         "kg_snapshot_meta": _q_snapshot_meta,
         "kg_schema_cast": _q_schema_cast,
-        "kg_schema_quarantine": _q_schema_quarantine,
         "kg_default_suppression": _q_default_suppression,
         "kg_incremental_edges": _q_incremental_edges,
         "kg_incremental_nodes": _q_incremental_nodes,
@@ -642,6 +650,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_rollup": A.event_type_rollup,
         "doc_corpus_filter": _q_doc_corpus_filter,
         "doc_ngram_jaccard": _q_doc_ngram_jaccard,  # r3-green, raw-corpus path unchanged; verify logic re-gated via doc_dedup_corpus/incremental
+        "kg_khop": _q_khop,  # r3-green unchanged; traversal re-gated via kg_reachability
+        "kg_schema_quarantine": _q_schema_quarantine,  # r3-green unchanged; projection of gated kg_schema_cast
         "doc_simhash_candidates": _q_doc_simhash_candidates,
         "emb_cosine_topk": _q_emb_cosine_topk,
         "emb_lsh_buckets": _q_emb_lsh_buckets,
@@ -749,6 +759,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_contract_controls": oracles.contract_controls_sql(),
         "kg_bus_branch": oracles.bus_branch_sql(),
         "doc_token_count": doc_oracles.token_count_sql(),
+        "doc_hash_split": doc_oracles.hash_split_sql(),
+        "doc_source_quota": doc_oracles.source_quota_sql(),
         "doc_quality": doc_oracles.quality_score_sql(),
         "doc_lang_id": doc_oracles.lang_id_sql(),
         "doc_fingerprint": doc_oracles.fingerprint_sql(),

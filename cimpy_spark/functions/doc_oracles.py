@@ -548,3 +548,35 @@ def emb_dedup_corpus_sql(
     FROM cmapv
     """
     )
+
+
+def hash_split_sql(
+    salt: str = "split0", val_pct: int = 5, test_pct: int = 5
+) -> str:
+    """Deterministic hash split oracle (mirror of text.hash_split:
+    first 8 hex digits of md5(salt#doc_id) mod 100)."""
+    return f"""
+    SELECT doc_id, bucket,
+           CASE WHEN bucket < {val_pct} THEN 'val'
+                WHEN bucket < {val_pct + test_pct} THEN 'test'
+                ELSE 'train' END AS split
+    FROM (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5('{salt}#' || CAST(doc_id AS STRING)), 1, 8))::BIGINT % 100 AS INT) AS bucket
+      FROM documents
+    )
+    """
+
+
+def source_quota_sql(k: int = 10) -> str:
+    """Per-source quality quota oracle (mirror of text.source_quota)."""
+    return f"""
+    WITH q AS ({quality_score_sql()})
+    SELECT doc_id, source, quality, rk FROM (
+      SELECT d.doc_id, d.source, q.quality,
+             CAST(row_number() OVER (
+               PARTITION BY d.source ORDER BY q.quality DESC, d.doc_id ASC
+             ) AS INT) AS rk
+      FROM documents d JOIN q USING (doc_id)
+    ) WHERE rk <= {k}
+    """

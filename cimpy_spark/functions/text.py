@@ -164,3 +164,57 @@ def fingerprint(docs: DataFrame) -> DataFrame:
         .join(fp, "doc_id", "left")
         .select("doc_id", F.coalesce("fp", "fallback").alias("fingerprint"))
     )
+
+
+def hash_split(
+    docs: DataFrame, salt: str = "split0", val_pct: int = 5, test_pct: int = 5
+) -> DataFrame:
+    """Deterministic hash-based train/val/test split — the
+    reproducible-corpus-split primitive a training pipeline needs
+    instead of RNG sampling: bucket = first 8 hex digits of
+    md5(salt#doc_id) mod 100, so a document's split (a) never changes
+    when OTHER documents arrive or depart (stable under corpus
+    growth, unlike any fraction-based random split), (b) is
+    recomputable by any engine from the id alone, and (c) re-salts
+    into an independent split. Output: (doc_id, bucket, split)."""
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws("#", F.lit(salt), F.col("doc_id").cast("string"))
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    bucket = (h % 100).cast("int")
+    split = (
+        F.when(bucket < val_pct, F.lit("val"))
+        .when(bucket < val_pct + test_pct, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    return docs.select(
+        "doc_id", bucket.alias("bucket"), split.alias("split")
+    )
+
+
+def source_quota(docs: DataFrame, k: int = 10) -> DataFrame:
+    """Per-source quality quota: the top `k` documents of each source
+    by (quality desc, doc_id asc) — the per-domain selection/mixing
+    step of corpus curation (cap each domain's contribution, keep its
+    best). One window over the (source, quality) projection; at scale
+    this is a rank-based top-K per partition key, spillable, no
+    collect. Output: (doc_id, source, quality, rk)."""
+    from pyspark.sql import Window
+
+    q = quality_score(docs).select("doc_id", "quality")
+    joined = docs.select("doc_id", "source").join(q, "doc_id")
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return (
+        joined.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", "source", "quality", "rk")
+    )

@@ -152,3 +152,53 @@ def run_to_memory_sink(
     q = w.start()
     q.awaitTermination()
     return q
+
+
+def stream_dedup_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    corpus_dir: str,
+    state_dir: str,
+    threshold: float = 0.8,
+    max_files_per_trigger: int = 4,
+):
+    """Streaming corpus-dedup maintenance — the training-data mirror
+    of `stream_ingest`: each micro-batch of document files (a) appends
+    to the committed corpus table and (b) flows through the SAME
+    batch-incremental `dedup_ingest` against it, so new documents are
+    signed once, only touched LSH buckets re-pair, and the
+    verified-Jaccard cache carries across micro-batches.
+
+    The corpus table under `corpus_dir` stands in for the Iceberg
+    documents table batches arrive into (at scale the stream source
+    IS that table's snapshots); `dedup_ingest` reads old text back
+    only for verify pairs that touch an old document. The bounded
+    drain (availableNow) leaves the committed dedup state equal to a
+    single one-shot `dedup_corpus` over all input
+    (equivalence-tested, same discipline as `stream_ingest`).
+
+    Arrival invariant: a doc_id arrives exactly once across the
+    stream (append-only corpus — re-sends are skipped by the seen
+    set, never re-verified)."""
+    from cimpy_spark.functions.dedup import dedup_ingest
+
+    def _sink(batch_df, _batch_id: int):
+        batch_df.write.mode("append").parquet(corpus_dir)
+        dedup_ingest(
+            spark,
+            spark.read.parquet(corpus_dir),
+            state_dir,
+            threshold=threshold,
+        )
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+        .writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", f"{state_dir}/_stream_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

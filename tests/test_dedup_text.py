@@ -276,3 +276,50 @@ def test_signature_ops_are_pure_projections(spark, docs, emb):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, plan
         assert "Generate" not in plan, plan  # no explodes
+
+
+def test_hash_split_stable_under_corpus_growth(spark, docs):
+    """The property RNG splits lack: a doc's split depends only on its
+    id and the salt, so adding documents never moves existing ones —
+    and re-salting yields an independent assignment."""
+    full = T.hash_split(docs)
+    half = T.hash_split(docs.filter(F.col("doc_id") % 2 == 0))
+    fm = {r["doc_id"]: (r["bucket"], r["split"]) for r in full.collect()}
+    for r in half.collect():
+        assert fm[r["doc_id"]] == (r["bucket"], r["split"])
+    # split fractions roughly honored (5/5/90 over 100 buckets)
+    n = len(fm)
+    by = {}
+    for _, s in fm.values():
+        by[s] = by.get(s, 0) + 1
+    assert by["train"] > 0.8 * n
+    assert 0 < by.get("val", 0) < 0.15 * n
+    # re-salt: assignments differ somewhere
+    other = {
+        r["doc_id"]: r["bucket"]
+        for r in T.hash_split(docs, salt="split1").collect()
+    }
+    assert any(other[d] != b for d, (b, _) in fm.items())
+
+
+def test_source_quota_keeps_top_k_per_source(spark, docs):
+    k = 3
+    out = T.source_quota(docs, k=k).collect()
+    per_src = {}
+    for r in out:
+        per_src.setdefault(r["source"], []).append((r["rk"], r["quality"]))
+    q = {r["doc_id"]: r["quality"] for r in T.quality_score(docs).collect()}
+    src_of = {r["doc_id"]: r["source"] for r in docs.select("doc_id", "source").collect()}
+    for src, rows in per_src.items():
+        assert len(rows) == min(k, sum(1 for d in src_of.values() if d == src))
+        ranked = sorted(rows)
+        # quality non-increasing down the ranks
+        assert all(
+            ranked[i][1] >= ranked[i + 1][1] for i in range(len(ranked) - 1)
+        )
+        # nothing outside the quota beats the last kept quality
+        kept_min = ranked[-1][1]
+        kept_ids = {r["doc_id"] for r in out if r["source"] == src}
+        for d, srcd in src_of.items():
+            if srcd == src and d not in kept_ids:
+                assert q[d] <= kept_min

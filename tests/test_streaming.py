@@ -127,3 +127,33 @@ def test_stream_ingest_equals_batch_pipeline(spark, tmp_path):
         assert a.count() == b.count(), stage
         assert a.select(*cols).exceptAll(b.select(*cols)).count() == 0, stage
         assert b.select(*cols).exceptAll(a.select(*cols)).count() == 0, stage
+
+
+def test_stream_dedup_ingest_equals_one_shot(spark, tmp_path):
+    """foreachBatch-driven dedup maintenance over the ORGANIC corpus:
+    draining the document stream (multiple micro-batches) must leave
+    the SAME dedup result as one-shot dedup_corpus over all input."""
+    from pyspark.sql import functions as F
+
+    from cimpy_spark.fixtures.organic import organic_documents
+    from cimpy_spark.functions.dedup import dedup_corpus, dedup_ingest
+    from cimpy_spark.streaming.ingest import stream_dedup_ingest
+
+    docs = organic_documents(
+        spark.read.parquet(f"{SF_TINY}/documents.parquet")
+    ).cache()
+    d_in = str(tmp_path / "docs_in")
+    # 8 files / maxFilesPerTrigger=4 -> 2 micro-batches
+    docs.repartition(8).write.parquet(d_in)
+
+    d_corpus = str(tmp_path / "corpus")
+    d_state = str(tmp_path / "dedup_state")
+    stream_dedup_ingest(spark, d_in, d_corpus, d_state)
+
+    # the committed state answers from a no-op ingest of the corpus
+    final = dedup_ingest(spark, spark.read.parquet(d_corpus), d_state)
+    batch = dedup_corpus(docs)
+    cols = ["doc_id", "canonical_doc_id", "is_kept"]
+    a, b = final.select(*cols), batch.select(*cols)
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
