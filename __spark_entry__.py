@@ -569,6 +569,42 @@ def _q_emb_dedup_corpus(spark, sf_dir):
     )
 
 
+_EMB_INCR_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _q_emb_dedup_incremental(spark, sf_dir):
+    """Two-batch incremental embedding dedup over the ORGANIC corpus
+    (mirror of doc_dedup_incremental) — must hash-match the SAME
+    closed-form oracle as the one-shot emb_dedup_corpus."""
+    from pyspark.sql import functions as F
+
+    from cimpy_spark.fixtures.organic import (
+        ORGANIC_COS_THRESHOLD,
+        ORGANIC_N_TABLES,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _EMB_INCR_CACHE:
+        emb = _organic_emb(spark, sf_dir)
+        out_dir = _scratch_dir("cimpy_emb_incr_")
+        first_half = F.pmod(F.xxhash64(F.col("vec_id").cast("string")), F.lit(2)) == 0
+        SIM.emb_ingest(
+            spark,
+            emb.filter(first_half),
+            out_dir,
+            threshold=ORGANIC_COS_THRESHOLD,
+            n_tables=ORGANIC_N_TABLES,
+        )
+        _EMB_INCR_CACHE[key] = SIM.emb_ingest(
+            spark,
+            emb,
+            out_dir,
+            threshold=ORGANIC_COS_THRESHOLD,
+            n_tables=ORGANIC_N_TABLES,
+        )
+    return _EMB_INCR_CACHE[key]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered by GATING PRIORITY, not by topic: the driver evaluates
     a bounded prefix (50 rows), so entries that most need a fresh
@@ -608,12 +644,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dedup_incremental": _q_doc_dedup_incremental,
         "emb_neardup_pairs": _q_emb_neardup,
         "emb_dedup_corpus": _q_emb_dedup_corpus,
+        "emb_dedup_incremental": _q_emb_dedup_incremental,
         # -- load-bearing pipeline queries, kept gated every round ----
         "stream_extract_triples": _q_stream_extract,
         "stream_conv_state": _q_stream_conv_state,
         "kg_transcripts": _q_transcripts,
         "kg_extract_triples": _q_extract,
-        "kg_extract_metrics": _q_extract_metrics,
         "kg_input_validation": _q_input_validation,
         "kg_entities": _q_entities,
         "kg_link_edges": _q_link_edges,
@@ -651,6 +687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_corpus_filter": _q_doc_corpus_filter,
         "doc_ngram_jaccard": _q_doc_ngram_jaccard,  # r3-green, raw-corpus path unchanged; verify logic re-gated via doc_dedup_corpus/incremental
         "kg_khop": _q_khop,  # r3-green unchanged; traversal re-gated via kg_reachability
+        "kg_extract_metrics": _q_extract_metrics,  # r3-green unchanged; extraction re-gated via kg_extract_triples
         "kg_schema_quarantine": _q_schema_quarantine,  # r3-green unchanged; projection of gated kg_schema_cast
         "doc_simhash_candidates": _q_doc_simhash_candidates,
         "emb_cosine_topk": _q_emb_cosine_topk,
@@ -780,6 +817,8 @@ def oracle_sql() -> dict[str, str]:
         "emb_kmeans_ivf_topk": doc_oracles.kmeans_ivf_topk_sql(),
         "emb_neardup_pairs": doc_oracles.neardup_pairs_sql(),
         "emb_dedup_corpus": doc_oracles.emb_dedup_corpus_sql(),
+        # incremental must land on the SAME closed form as one-shot
+        "emb_dedup_incremental": doc_oracles.emb_dedup_corpus_sql(),
         "mm_features": _mm_features_oracle(),
         "mm_resize": _mm_resize_oracle(),
         "mm_frame_sample": _mm_frame_sample_oracle(),

@@ -457,3 +457,137 @@ def emb_dedup_corpus(
         )
         .withColumn("is_kept", F.col("vec_id") == F.col("canonical_vec_id"))
     )
+
+
+def emb_ingest(
+    spark,
+    embeddings: DataFrame,
+    out_dir: str,
+    threshold: float = 0.99,
+    max_bucket: int = MAX_BUCKET,
+    n_tables: int = 1,
+) -> DataFrame:
+    """Incremental embedding near-dup dedup — the vector-side mirror
+    of `dedup.dedup_ingest` (same committed-stage design, same
+    exact-equivalence guarantee vs the one-shot `emb_dedup_corpus`):
+
+    - ``emb_seen``  (append): arrived vec_ids — O(batch) per ingest.
+    - ``emb_keys``  (append): (vec_id, tbl, bucket) hyperplane-LSH
+      keys of arrived vectors — old vectors are never re-bucketed.
+    - ``emb_pairs`` (snapshot): candidate pairs WITH (tbl, bucket)
+      provenance; unchanged buckets carry verbatim, buckets touched
+      by the batch re-pair against CURRENT size — a bucket crossing
+      `max_bucket` later retro-drops the pairs it justified, exactly
+      as the one-shot cap semantics require.
+    - ``emb_cos``   (append): verified cosine per candidate pair —
+      vectors are immutable, so a pair is verified ONCE ever.
+
+    `embeddings` is the widest corpus available (committed + batch;
+    seen ids are skipped); old vectors are only read back for the few
+    verify pairs that touch them. Returns (vec_id, canonical_vec_id,
+    is_kept) over all seen vectors.
+    """
+    from cimpy_spark.functions.dedup import drop_oversize_buckets
+    from cimpy_spark.operators.canonicalize import canonical_labels
+    from cimpy_spark.plans.lineage import LineageLedger
+
+    if embeddings.filter(F.col("vec_id") < 0).limit(1).count() > 0:
+        raise ValueError(
+            "emb_ingest requires non-negative vec_id (zero-padded "
+            "lexicographic ordering == numeric ordering); found vec_id < 0"
+        )
+    ledger = LineageLedger(out_dir)
+    emb = embeddings.select("vec_id", _as_double("embedding").alias("emb"))
+
+    booted = ledger.is_append_committed("emb_seen")
+    if booted:
+        seen = ledger.read_append_stage(spark, "emb_seen", "vec_id long")
+        fresh = checkpoint_df(
+            emb.join(seen.select("vec_id"), "vec_id", "left_anti")
+        )
+    else:
+        fresh = emb
+    ledger.run_append_stage(
+        spark, "emb_seen", lambda: fresh.select("vec_id"), reset=not booted
+    )
+
+    fresh_keys = checkpoint_df(
+        multi_table_buckets(
+            fresh.select("vec_id", F.col("emb").alias("embedding")), n_tables
+        )
+    )
+    all_keys = ledger.run_append_stage(
+        spark, "emb_keys", lambda: fresh_keys, reset=not booted
+    )
+
+    touched = fresh_keys.select("tbl", "bucket").distinct()
+    pair_schema = "tbl int, bucket int, vec_a long, vec_b long"
+    if booted and ledger.is_committed("emb_pairs"):
+        # eager: the force-write below overwrites the snapshot read here
+        old_pairs = checkpoint_df(
+            spark.read.schema(pair_schema).parquet(ledger.stage_dir("emb_pairs"))
+        )
+        carried = old_pairs.join(
+            F.broadcast(touched), ["tbl", "bucket"], "left_anti"
+        )
+    else:
+        carried = spark.createDataFrame([], pair_schema)
+    in_touched = all_keys.join(F.broadcast(touched), ["tbl", "bucket"])
+    ok = drop_oversize_buckets(
+        checkpoint_df(in_touched), ["tbl", "bucket"], max_bucket
+    )
+    a = ok.select("tbl", "bucket", F.col("vec_id").alias("vec_a"))
+    b = ok.select("tbl", "bucket", F.col("vec_id").alias("vec_b"))
+    recomputed = a.join(b, ["tbl", "bucket"]).filter(F.col("vec_a") < F.col("vec_b"))
+
+    pairs_prov = ledger.run_stage(
+        spark, "emb_pairs", lambda: carried.unionByName(recomputed), force=True
+    )
+    cand = pairs_prov.select("vec_a", "vec_b").distinct()
+
+    cos_schema = "vec_a long, vec_b long, sim double"
+    if booted and ledger.is_append_committed("emb_cos"):
+        cached = ledger.read_append_stage(spark, "emb_cos", cos_schema)
+        new_pairs = cand.join(cached, ["vec_a", "vec_b"], "left_anti")
+    else:
+        new_pairs = cand
+    new_cos = (
+        checkpoint_df(new_pairs)
+        .join(emb.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea")), "vec_a")
+        .join(emb.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb")), "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(
+                _dot(F.col("ea"), F.col("eb"))
+                / (_norm(F.col("ea")) * _norm(F.col("eb"))),
+                6,
+            ).alias("sim"),
+        )
+    )
+    all_cos = ledger.run_append_stage(
+        spark, "emb_cos", lambda: new_cos, reset=not booted
+    )
+
+    links = cand.join(all_cos, ["vec_a", "vec_b"]).filter(
+        F.col("sim") >= threshold
+    )
+    pad = "%020d"
+    links_p = checkpoint_df(
+        links.select(
+            F.format_string(pad, "vec_a").alias("src"),
+            F.format_string(pad, "vec_b").alias("dst"),
+        )
+    )
+    ids = ledger.read_append_stage(spark, "emb_seen", "vec_id long").select(
+        F.format_string(pad, "vec_id").alias("entity_id")
+    )
+    labels = canonical_labels(ids, links_p)
+    return (
+        ids.join(labels, "entity_id")
+        .select(
+            F.col("entity_id").cast("bigint").alias("vec_id"),
+            F.col("canonical_id").cast("bigint").alias("canonical_vec_id"),
+        )
+        .withColumn("is_kept", F.col("vec_id") == F.col("canonical_vec_id"))
+    )

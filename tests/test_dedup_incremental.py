@@ -102,3 +102,55 @@ def test_second_ingest_is_o_increment(spark, out_dir):
     # third ingest of the SAME corpus: nothing fresh, result unchanged
     r3 = D.dedup_ingest(spark, docs, out_dir)
     assert _rows(r3) == _rows(D.dedup_corpus(docs))
+
+
+def test_emb_two_batch_ingest_equals_one_shot(spark, out_dir):
+    from cimpy_spark.fixtures.organic import (
+        ORGANIC_COS_THRESHOLD,
+        ORGANIC_N_TABLES,
+        organic_embeddings,
+    )
+    from cimpy_spark.functions import similarity as SIM
+
+    emb = organic_embeddings(
+        spark.read.parquet(f"{SF_TINY}/embeddings.parquet")
+    ).cache()
+    first = F.pmod(F.xxhash64(F.col("vec_id").cast("string")), F.lit(2)) == 0
+    kw = dict(threshold=ORGANIC_COS_THRESHOLD, n_tables=ORGANIC_N_TABLES)
+    SIM.emb_ingest(spark, emb.filter(first), out_dir, **kw)
+    inc = SIM.emb_ingest(spark, emb, out_dir, **kw)
+    one = SIM.emb_dedup_corpus(emb, **kw)
+    a = {(r["vec_id"], r["canonical_vec_id"], r["is_kept"]) for r in inc.collect()}
+    b = {(r["vec_id"], r["canonical_vec_id"], r["is_kept"]) for r in one.collect()}
+    assert a == b
+
+
+def test_emb_cap_crossing_bucket_retro_drops_pairs(spark, out_dir):
+    """Same retro-drop semantics as the doc side: identical vectors
+    always share every bucket; once their bucket crosses max_bucket
+    the pairs it justified must disappear, matching one-shot."""
+    from cimpy_spark.functions import similarity as SIM
+
+    base = spark.read.parquet(f"{SF_TINY}/embeddings.parquet").limit(5)
+    one_vec = base.filter(F.col("vec_id") == 0).select("embedding")
+    mk_copies = lambda n, off: (
+        one_vec.crossJoin(
+            spark.range(n).select(F.col("id").cast("long").alias("k"))
+        ).select((F.lit(off) + F.col("k")).alias("vec_id"), "embedding")
+    )
+    # fillers exclude vec 0 — they must not duplicate the copied vector
+    fillers = base.filter(F.col("vec_id") > 0).select(
+        (F.col("vec_id") + 500).alias("vec_id"), "embedding"
+    )
+    batch1 = mk_copies(3, 0).unionByName(fillers)
+    full = batch1.unionByName(mk_copies(3, 100))
+    kw = dict(threshold=0.999, max_bucket=4)
+    r1 = SIM.emb_ingest(spark, batch1, out_dir, **kw)
+    assert r1.filter(~F.col("is_kept")).count() == 2  # 3 copies cluster
+    r2 = SIM.emb_ingest(spark, full, out_dir, **kw)
+    one = SIM.emb_dedup_corpus(full, **kw)
+    a = {(r["vec_id"], r["canonical_vec_id"], r["is_kept"]) for r in r2.collect()}
+    b = {(r["vec_id"], r["canonical_vec_id"], r["is_kept"]) for r in one.collect()}
+    assert a == b
+    # the 6-copy bucket (> cap) is boilerplate now: nobody dropped
+    assert r2.filter(~F.col("is_kept")).count() == 0
