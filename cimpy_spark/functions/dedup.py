@@ -461,9 +461,12 @@ def dedup_ingest(
     Committed stages under `out_dir` (LineageLedger, same
     crash-retry/commit semantics as the KG pipeline):
 
-    - ``doc_seen``  (append): arrived doc_ids — O(batch) per ingest.
-    - ``doc_keys``  (append): LSH band keys of arrived docs —
-      O(batch), the signature fold never re-runs for old docs.
+    - ``doc_arrivals`` (append): ONE atomic commit per batch carrying
+      both the arrival record and the LSH band keys — shingled docs
+      contribute n_bands key rows, no-shingle docs one null-band row.
+      A single stage means there is NO window where a doc is "seen"
+      but unsigned (or signed but unseen): a crash before the commit
+      re-ingests the whole batch, after it skips the whole batch.
     - ``doc_pairs`` (snapshot): candidate pairs WITH (band, band_key)
       provenance. Rebuilt per ingest as: pairs of UNCHANGED buckets
       carried verbatim + pairs of TOUCHED buckets recomputed against
@@ -471,10 +474,15 @@ def dedup_ingest(
       `max_bucket` cap exact under growth: a bucket that crosses the
       cap in a later batch retro-drops the pairs it justified —
       matching the one-shot semantics bit for bit (pinned by test
-      with a cap-crossing fixture).
+      with a cap-crossing fixture). STALENESS GUARD: if the committed
+      snapshot predates the latest arrivals commit (a crash landed
+      between the two), every bucket is treated as touched — one full
+      re-pair recovery run restores exactness.
     - ``doc_jaccard`` (append): verified word-3-gram Jaccard per
       candidate pair — texts are immutable, so a pair is verified
-      ONCE ever; later ingests reuse the cached value.
+      ONCE ever; later ingests reuse the cached value. A crash before
+      this commit self-heals: the missing pairs are re-verified on
+      the next run (anti-join against the cache).
 
     Returns (doc_id, canonical_doc_id, is_kept) over all seen docs —
     identical to `dedup_corpus` of the full corpus (equivalence-
@@ -493,32 +501,52 @@ def dedup_ingest(
     ledger = LineageLedger(out_dir)
     docs = docs.select("doc_id", "text")
 
-    booted = ledger.is_append_committed("doc_seen")
+    arrival_schema = "doc_id long, band int, band_key string"
+    booted = ledger.is_append_committed("doc_arrivals")
+    # staleness BEFORE this batch's append: a crash between a previous
+    # arrivals commit and its pairs rewrite leaves a pair snapshot
+    # that never saw those keys — recover with a full re-pair
+    pairs_usable = (
+        booted
+        and ledger.is_committed("doc_pairs")
+        and ledger.committed_after("doc_pairs", "doc_arrivals")
+    )
     if booted:
-        seen = ledger.read_append_stage(spark, "doc_seen", "doc_id long")
-        fresh = checkpoint_df(
-            docs.join(seen.select("doc_id"), "doc_id", "left_anti")
-        )
+        seen_ids = ledger.read_append_stage(
+            spark, "doc_arrivals", arrival_schema
+        ).select("doc_id").distinct()
+        fresh = checkpoint_df(docs.join(seen_ids, "doc_id", "left_anti"))
     else:
         fresh = docs
-    ledger.run_append_stage(
-        spark,
-        "doc_seen",
-        lambda: fresh.select("doc_id"),
-        reset=not booted,
-    )
 
-    key_schema = "doc_id long, band int, band_key string"
-    fresh_keys = checkpoint_df(minhash_band_keys(fresh, n_hashes, n_bands))
-    all_keys = ledger.run_append_stage(
-        spark, "doc_keys", lambda: fresh_keys, reset=not booted
+    def _arrivals():
+        keys = minhash_band_keys(fresh, n_hashes, n_bands)
+        keyless = (
+            fresh.join(keys.select("doc_id").distinct(), "doc_id", "left_anti")
+            .select(
+                "doc_id",
+                F.lit(None).cast("int").alias("band"),
+                F.lit(None).cast("string").alias("band_key"),
+            )
+        )
+        return keys.unionByName(keyless)
+
+    arrivals = ledger.run_append_stage(
+        spark, "doc_arrivals", _arrivals, reset=not booted
     )
+    all_keys = arrivals.filter(F.col("band").isNotNull())
+    # this batch's keys, read back from the JUST-committed increment
+    # (no signature refold)
+    fresh_keys = spark.read.schema(arrival_schema).parquet(
+        ledger.append_increments("doc_arrivals")[-1]
+    ).filter(F.col("band").isNotNull())
 
     # buckets touched by this batch: re-pair them against CURRENT
-    # contents; every other bucket's pairs carry over verbatim
-    touched = fresh_keys.select("band", "band_key").distinct()
+    # contents; every other bucket's pairs carry over verbatim. With a
+    # stale/missing pair snapshot, EVERY bucket is touched (recovery).
     pair_schema = "band int, band_key string, doc_a long, doc_b long"
-    if booted and ledger.is_committed("doc_pairs"):
+    if pairs_usable:
+        touched = fresh_keys.select("band", "band_key").distinct()
         # materialize EAGERLY: the doc_pairs force-write below
         # overwrites the very snapshot this reads (same hazard as the
         # KG side's cmap_full, materialize.py)
@@ -529,8 +557,14 @@ def dedup_ingest(
             F.broadcast(touched), ["band", "band_key"], "left_anti"
         )
     else:
+        # bootstrap or recovery: every bucket re-pairs — no broadcast
+        # of the (corpus-sized) bucket list, the keys ARE the input
         carried = spark.createDataFrame([], pair_schema)
-    in_touched = all_keys.join(F.broadcast(touched), ["band", "band_key"])
+    in_touched = (
+        all_keys.join(F.broadcast(touched), ["band", "band_key"])
+        if pairs_usable
+        else all_keys
+    )
     ok = drop_oversize_buckets(
         checkpoint_df(in_touched), ["band", "band_key"], max_bucket
     )
@@ -571,7 +605,7 @@ def dedup_ingest(
             F.format_string(pad, "doc_b").alias("dst"),
         )
     )
-    ids = ledger.read_append_stage(spark, "doc_seen", "doc_id long").select(
+    ids = arrivals.select("doc_id").distinct().select(
         F.format_string(pad, "doc_id").alias("entity_id")
     )
     labels = canonical_labels(ids, links_p)

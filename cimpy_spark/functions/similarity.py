@@ -471,16 +471,22 @@ def emb_ingest(
     of `dedup.dedup_ingest` (same committed-stage design, same
     exact-equivalence guarantee vs the one-shot `emb_dedup_corpus`):
 
-    - ``emb_seen``  (append): arrived vec_ids — O(batch) per ingest.
     - ``emb_keys``  (append): (vec_id, tbl, bucket) hyperplane-LSH
-      keys of arrived vectors — old vectors are never re-bucketed.
+      keys of arrived vectors — ONE atomic commit per batch. The
+      bucketer is total (every vector gets n_tables keys), so the key
+      stage doubles as the arrival record: there is no seen/signed
+      inconsistency window, and the id universe for labeling is its
+      distinct vec_id set.
     - ``emb_pairs`` (snapshot): candidate pairs WITH (tbl, bucket)
       provenance; unchanged buckets carry verbatim, buckets touched
       by the batch re-pair against CURRENT size — a bucket crossing
       `max_bucket` later retro-drops the pairs it justified, exactly
-      as the one-shot cap semantics require.
+      as the one-shot cap semantics require. STALENESS GUARD: a pair
+      snapshot predating the latest keys commit (crash between the
+      two) triggers a full re-pair recovery run.
     - ``emb_cos``   (append): verified cosine per candidate pair —
-      vectors are immutable, so a pair is verified ONCE ever.
+      vectors are immutable, so a pair is verified ONCE ever; a crash
+      before this commit self-heals (missing pairs re-verify).
 
     `embeddings` is the widest corpus available (committed + batch;
     seen ids are skipped); old vectors are only read back for the few
@@ -499,30 +505,39 @@ def emb_ingest(
     ledger = LineageLedger(out_dir)
     emb = embeddings.select("vec_id", _as_double("embedding").alias("emb"))
 
-    booted = ledger.is_append_committed("emb_seen")
+    key_schema = "vec_id long, tbl int, bucket int"
+    booted = ledger.is_append_committed("emb_keys")
+    # staleness BEFORE this batch's append (crash between a previous
+    # keys commit and its pairs rewrite → full re-pair recovery)
+    pairs_usable = (
+        booted
+        and ledger.is_committed("emb_pairs")
+        and ledger.committed_after("emb_pairs", "emb_keys")
+    )
     if booted:
-        seen = ledger.read_append_stage(spark, "emb_seen", "vec_id long")
-        fresh = checkpoint_df(
-            emb.join(seen.select("vec_id"), "vec_id", "left_anti")
-        )
+        seen_ids = ledger.read_append_stage(
+            spark, "emb_keys", key_schema
+        ).select("vec_id").distinct()
+        fresh = checkpoint_df(emb.join(seen_ids, "vec_id", "left_anti"))
     else:
         fresh = emb
-    ledger.run_append_stage(
-        spark, "emb_seen", lambda: fresh.select("vec_id"), reset=not booted
-    )
 
-    fresh_keys = checkpoint_df(
-        multi_table_buckets(
-            fresh.select("vec_id", F.col("emb").alias("embedding")), n_tables
-        )
-    )
     all_keys = ledger.run_append_stage(
-        spark, "emb_keys", lambda: fresh_keys, reset=not booted
+        spark,
+        "emb_keys",
+        lambda: multi_table_buckets(
+            fresh.select("vec_id", F.col("emb").alias("embedding")), n_tables
+        ),
+        reset=not booted,
+    )
+    # this batch's keys, read back from the just-committed increment
+    fresh_keys = spark.read.schema(key_schema).parquet(
+        ledger.append_increments("emb_keys")[-1]
     )
 
-    touched = fresh_keys.select("tbl", "bucket").distinct()
     pair_schema = "tbl int, bucket int, vec_a long, vec_b long"
-    if booted and ledger.is_committed("emb_pairs"):
+    if pairs_usable:
+        touched = fresh_keys.select("tbl", "bucket").distinct()
         # eager: the force-write below overwrites the snapshot read here
         old_pairs = checkpoint_df(
             spark.read.schema(pair_schema).parquet(ledger.stage_dir("emb_pairs"))
@@ -530,9 +545,11 @@ def emb_ingest(
         carried = old_pairs.join(
             F.broadcast(touched), ["tbl", "bucket"], "left_anti"
         )
+        in_touched = all_keys.join(F.broadcast(touched), ["tbl", "bucket"])
     else:
+        # bootstrap or recovery: every bucket re-pairs
         carried = spark.createDataFrame([], pair_schema)
-    in_touched = all_keys.join(F.broadcast(touched), ["tbl", "bucket"])
+        in_touched = all_keys
     ok = drop_oversize_buckets(
         checkpoint_df(in_touched), ["tbl", "bucket"], max_bucket
     )
@@ -579,7 +596,7 @@ def emb_ingest(
             F.format_string(pad, "vec_b").alias("dst"),
         )
     )
-    ids = ledger.read_append_stage(spark, "emb_seen", "vec_id long").select(
+    ids = all_keys.select("vec_id").distinct().select(
         F.format_string(pad, "vec_id").alias("entity_id")
     )
     labels = canonical_labels(ids, links_p)

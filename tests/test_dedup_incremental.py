@@ -82,22 +82,19 @@ def test_second_ingest_is_o_increment(spark, out_dir):
     b1 = docs.filter(first)
     D.dedup_ingest(spark, b1, out_dir)
     ledger = LineageLedger(out_dir)
-    keys_after_1 = ledger.records()["doc_keys"]["rows_out"]
-    seen_after_1 = ledger.records()["doc_seen"]["rows_out"]
-    assert seen_after_1 == b1.count()
+    arrivals_after_1 = ledger.records()["doc_arrivals"]["rows_out"]
     D.dedup_ingest(spark, docs, out_dir)
     rec = LineageLedger(out_dir).records()
-    fresh = docs.count() - b1.count()
-    assert rec["doc_seen"]["rows_out"] == seen_after_1 + fresh
-    # keys grew by the fresh docs' bands only (docs with >= 3 words)
-    fresh_with_shingles = (
-        docs.join(b1.select("doc_id"), "doc_id", "left_anti")
-        .filter(F.size(F.split(F.trim("text"), r"\s+")) >= 3)
-        .count()
-    )
+    # the arrivals stage grew by the fresh docs only: n_bands key rows
+    # per shingled doc + one null-band row per no-shingle doc
+    b2 = docs.join(b1.select("doc_id"), "doc_id", "left_anti")
+    fresh_with_shingles = b2.filter(
+        F.size(F.split(F.trim("text"), r"\s+")) >= 3
+    ).count()
+    fresh_keyless = b2.count() - fresh_with_shingles
     assert (
-        rec["doc_keys"]["rows_out"] - keys_after_1
-        == fresh_with_shingles * D.N_BANDS
+        rec["doc_arrivals"]["rows_out"] - arrivals_after_1
+        == fresh_with_shingles * D.N_BANDS + fresh_keyless
     )
     # third ingest of the SAME corpus: nothing fresh, result unchanged
     r3 = D.dedup_ingest(spark, docs, out_dir)
@@ -154,3 +151,65 @@ def test_emb_cap_crossing_bucket_retro_drops_pairs(spark, out_dir):
     assert a == b
     # the 6-copy bucket (> cap) is boilerplate now: nobody dropped
     assert r2.filter(~F.col("is_kept")).count() == 0
+
+
+def _crash_on_stage(monkeypatch, stage_name, method_name):
+    """Make the FIRST ledger commit of `stage_name` raise — simulating
+    a crash in the window after earlier commits of the same ingest."""
+    from cimpy_spark.plans.lineage import LineageLedger
+
+    real = getattr(LineageLedger, method_name)
+
+    def boom(self, spark, stage, *a, **k):
+        if stage == stage_name:
+            raise RuntimeError(f"injected crash before {stage} commit")
+        return real(self, spark, stage, *a, **k)
+
+    monkeypatch.setattr(LineageLedger, method_name, boom)
+    return real
+
+
+def test_crash_between_arrivals_and_pairs_recovers(spark, out_dir, monkeypatch):
+    """Crash window: batch-2 arrivals committed, pair snapshot not.
+    Without the staleness guard the next run would trust a pair
+    snapshot that never saw batch 2's keys and silently drop its
+    duplicates; with it, a full re-pair recovery restores exact
+    one-shot equality."""
+    from cimpy_spark.plans.lineage import LineageLedger
+
+    docs = organic_documents(
+        spark.read.parquet(f"{SF_TINY}/documents.parquet")
+    ).cache()
+    first = F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(2)) == 0
+    D.dedup_ingest(spark, docs.filter(first), out_dir)
+
+    real = _crash_on_stage(monkeypatch, "doc_pairs", "run_stage")
+    with pytest.raises(RuntimeError, match="injected crash"):
+        D.dedup_ingest(spark, docs, out_dir)
+    monkeypatch.setattr(LineageLedger, "run_stage", real)
+
+    # retry after the crash: arrivals for batch 2 are committed (the
+    # seen-skip must NOT re-ingest them) and the stale pair snapshot
+    # must NOT be trusted
+    rec = D.dedup_ingest(spark, docs, out_dir)
+    assert _rows(rec) == _rows(D.dedup_corpus(docs))
+
+
+def test_crash_before_jaccard_append_self_heals(spark, out_dir, monkeypatch):
+    """Crash window: pair snapshot committed, verify cache not — the
+    missing pairs must simply re-verify on the retry."""
+    from cimpy_spark.plans.lineage import LineageLedger
+
+    docs = organic_documents(
+        spark.read.parquet(f"{SF_TINY}/documents.parquet")
+    ).cache()
+    first = F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(2)) == 0
+    D.dedup_ingest(spark, docs.filter(first), out_dir)
+
+    real = _crash_on_stage(monkeypatch, "doc_jaccard", "run_append_stage")
+    with pytest.raises(RuntimeError, match="injected crash"):
+        D.dedup_ingest(spark, docs, out_dir)
+    monkeypatch.setattr(LineageLedger, "run_append_stage", real)
+
+    rec = D.dedup_ingest(spark, docs, out_dir)
+    assert _rows(rec) == _rows(D.dedup_corpus(docs))
