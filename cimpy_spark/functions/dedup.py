@@ -587,7 +587,6 @@ def dedup_ingest(
         cached = ledger.read_append_stage(spark, "doc_jaccard", jac_schema)
         new_pairs = cand.join(cached, ["doc_a", "doc_b"], "left_anti")
     else:
-        cached = spark.createDataFrame([], jac_schema)
         new_pairs = cand
     new_jac = ngram_jaccard(docs, new_pairs)
     all_jac = ledger.run_append_stage(
