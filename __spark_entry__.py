@@ -320,6 +320,18 @@ def _q_doc_source_quota(spark, sf_dir):
     return T.source_quota(_docs(spark, sf_dir))
 
 
+def _q_doc_contamination(spark, sf_dir):
+    # train = raw documents; benchmark = the organic trunc90 mutations
+    # (realistic 'benchmark rephrasings' whose 5-grams overlap their
+    # source docs) — the GPT-3-style n-gram decontamination check
+    from pyspark.sql import functions as F
+
+    bench = _organic_docs(spark, sf_dir).filter(
+        (F.col("doc_id") >= 2_000_000) & (F.col("doc_id") < 3_000_000)
+    )
+    return T.contamination(_docs(spark, sf_dir).select("doc_id", "text"), bench)
+
+
 def _q_doc_quality(spark, sf_dir):
     return T.quality_score(_docs(spark, sf_dir))
 
@@ -639,6 +651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_adjacency": _q_kg_adjacency,
         "doc_hash_split": _q_doc_hash_split,
         "doc_source_quota": _q_doc_source_quota,
+        "doc_contamination": _q_doc_contamination,
         "doc_dedup_exact": _q_doc_dedup_exact,
         "doc_dedup_corpus": _q_doc_dedup_corpus,
         "doc_dedup_incremental": _q_doc_dedup_incremental,
@@ -668,7 +681,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_schema_cast": _q_schema_cast,
         "kg_default_suppression": _q_default_suppression,
         "kg_incremental_edges": _q_incremental_edges,
-        "kg_incremental_nodes": _q_incremental_nodes,
         # ---- gated prefix boundary (50) -----------------------------
         # -- rotation tail: r3-GREEN, code unchanged since, and
         #    independent of this round's changes (analytics over
@@ -688,6 +700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ngram_jaccard": _q_doc_ngram_jaccard,  # r3-green, raw-corpus path unchanged; verify logic re-gated via doc_dedup_corpus/incremental
         "kg_khop": _q_khop,  # r3-green unchanged; traversal re-gated via kg_reachability
         "kg_extract_metrics": _q_extract_metrics,  # r3-green unchanged; extraction re-gated via kg_extract_triples
+        "kg_incremental_nodes": _q_incremental_nodes,  # r3-green; same committed snapshot as the gated kg_incremental_edges
         "kg_schema_quarantine": _q_schema_quarantine,  # r3-green unchanged; projection of gated kg_schema_cast
         "doc_simhash_candidates": _q_doc_simhash_candidates,
         "emb_cosine_topk": _q_emb_cosine_topk,
@@ -798,6 +811,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_token_count": doc_oracles.token_count_sql(),
         "doc_hash_split": doc_oracles.hash_split_sql(),
         "doc_source_quota": doc_oracles.source_quota_sql(),
+        "doc_contamination": doc_oracles.contamination_sql(),
         "doc_quality": doc_oracles.quality_score_sql(),
         "doc_lang_id": doc_oracles.lang_id_sql(),
         "doc_fingerprint": doc_oracles.fingerprint_sql(),

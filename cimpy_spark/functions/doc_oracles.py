@@ -580,3 +580,32 @@ def source_quota_sql(k: int = 10) -> str:
       FROM documents d JOIN q USING (doc_id)
     ) WHERE rk <= {k}
     """
+
+
+def contamination_sql(n: int = 5) -> str:
+    """Decontamination oracle: train = raw documents, benchmark = the
+    organic trunc90 mutations (realistic 'benchmark rephrasings' of
+    training docs); a train doc is contaminated iff it shares any
+    distinct word n-gram with any benchmark doc."""
+    gram = " || ' ' || ".join(f"w.w[i+{j}]" for j in range(n))
+    return f"""
+    WITH {NUMS}, {ORGANIC_DOCS_CTE.strip()},
+    tw AS (SELECT doc_id, {WORDS} AS w FROM documents),
+    tg AS (
+      SELECT DISTINCT doc_id, {gram.replace('w.w', 'tw.w')} AS gram
+      FROM tw JOIN nums ON nums.i <= len(tw.w) - {n - 1}
+    ),
+    bw AS (SELECT doc_id, {WORDS} AS w FROM orgdocs
+           WHERE doc_id >= 2000000 AND doc_id < 3000000),
+    bg AS (
+      SELECT DISTINCT {gram.replace('w.w', 'bw.w')} AS gram
+      FROM bw JOIN nums ON nums.i <= len(bw.w) - {n - 1}
+    ),
+    hits AS (
+      SELECT doc_id, count(*) AS n FROM tg JOIN bg USING (gram)
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hit_grams,
+           COALESCE(h.n, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    """

@@ -218,3 +218,38 @@ def source_quota(docs: DataFrame, k: int = 10) -> DataFrame:
         .filter(F.col("rk") <= k)
         .select("doc_id", "source", "quality", "rk")
     )
+
+
+def contamination(train: DataFrame, bench: DataFrame, n: int = 5) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word n-gram with a benchmark/eval corpus (the GPT-3-style 13-gram
+    check, here parameterized; default 5 suits the short synthetic
+    docs). Output: (doc_id, n_hit_grams, contaminated) for every
+    training doc.
+
+    Scale shape: the benchmark side is SMALL by definition — its
+    distinct n-gram set broadcasts; the training side is one narrow
+    explode feeding a broadcast semi-equi-join, so the corpus is read
+    once and never shuffled (the aggregation shuffles only the hit
+    rows, a tiny fraction). No per-row Python anywhere."""
+    bench_grams = (
+        bench.select(F.explode(shingle_array(n)).alias("gram")).distinct()
+    )
+    train_grams = train.select(
+        "doc_id", F.explode(shingle_array(n)).alias("gram")
+    )
+    hits = (
+        train_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit_grams"))
+    )
+    return (
+        train.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .fillna(0, ["n_hit_grams"])
+        .select(
+            "doc_id",
+            F.col("n_hit_grams").cast("bigint").alias("n_hit_grams"),
+            (F.col("n_hit_grams") > 0).alias("contaminated"),
+        )
+    )

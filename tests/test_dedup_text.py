@@ -323,3 +323,45 @@ def test_source_quota_keeps_top_k_per_source(spark, docs):
         for d, srcd in src_of.items():
             if srcd == src and d not in kept_ids:
                 assert q[d] <= kept_min
+
+
+def test_contamination_flags_ngram_overlap(spark, docs):
+    """A train doc sharing any 5-gram with the benchmark is flagged;
+    one with disjoint vocabulary is not; hit counts are distinct-gram
+    counts."""
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta"),
+            (2, "totally different words nothing shared here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        # shares the 5-grams 'alpha..epsilon' and 'beta..zeta'
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["n_hit_grams"], r["contaminated"])
+           for r in T.contamination(train, bench, n=5).collect()}
+    assert out[1] == (2, True)
+    assert out[2] == (0, False)
+    # every source doc of a planted trunc90 mutation is contaminated
+    # against the organic benchmark (prefix property: the mutation's
+    # 5-grams are a subset of its source's)
+    from cimpy_spark.fixtures.organic import organic_documents
+
+    org = organic_documents(docs)
+    bench2 = org.filter(
+        (F.col("doc_id") >= 2_000_000) & (F.col("doc_id") < 3_000_000)
+    )
+    res = T.contamination(docs.select("doc_id", "text"), bench2)
+    sources = {r["doc_id"] - 2_000_000 for r in bench2.select("doc_id").collect()}
+    flagged = {r["doc_id"] for r in res.filter("contaminated").collect()}
+    # sources whose trunc90 kept >= 5 words must be flagged
+    long_enough = {
+        r["doc_id"]
+        for r in docs.filter(
+            F.greatest(F.lit(1), (F.size(F.split(F.trim("text"), r"\s+")) * 9).cast("long") / 10) >= 5
+        ).select("doc_id").collect()
+    }
+    assert (sources & long_enough) <= flagged
