@@ -165,3 +165,42 @@ def test_emb_dedup_corpus_on_organic(spark, oemb):
         F.col("canonical_vec_id") != F.col("vec_id") - 1_000_000
     ).count()
     assert bad == 0
+
+
+def test_organic_derivations_bit_identical_across_engines(spark, odocs, oemb):
+    """The fixture's whole premise: the Spark and DuckDB derivations
+    of the organic corpus are the SAME corpus, bit for bit — text
+    equality for documents, float64 equality for embeddings. Drift
+    here would silently desynchronize every dedup gate from its
+    oracle."""
+    import duckdb
+    import numpy as np
+
+    from cimpy_spark.fixtures.organic import (
+        ORGANIC_DOCS_CTE,
+        ORGANIC_EMB_CTE,
+    )
+
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_TINY}/{t}.parquet')"
+        )
+    dd = con.execute(
+        "WITH " + ORGANIC_DOCS_CTE + " SELECT doc_id, text FROM orgdocs ORDER BY doc_id"
+    ).fetchall()
+    sd = sorted(
+        (r["doc_id"], r["text"]) for r in odocs.select("doc_id", "text").collect()
+    )
+    assert sd == [(i, t) for i, t in dd]
+
+    de = con.execute(
+        "WITH " + ORGANIC_EMB_CTE + " SELECT vec_id, emb FROM eorg ORDER BY vec_id"
+    ).fetchall()
+    se = sorted((r["vec_id"], r["embedding"]) for r in oemb.collect())
+    assert [i for i, _ in se] == [i for i, _ in de]
+    for (_, a), (_, b) in zip(se, de):
+        assert np.array_equal(
+            np.asarray(a, dtype=np.float64), np.asarray(b, dtype=np.float64)
+        )
