@@ -76,7 +76,12 @@ def main() -> None:
         )
     )
     stage = tempfile.mkdtemp(prefix="dedup_scale_corpus_")
-    corpus.write.mode("overwrite").parquet(stage)
+    # write at full parallelism: the signature fold is COMPUTE-bound
+    # per byte, and Spark's bytes-based file splitting would pack this
+    # small-but-heavy corpus into ~2 partitions (measured: the fold at
+    # parallelism 2 took 95s; at 32, ~7s) — a real corpus arrives in
+    # thousands of files and never hits this
+    corpus.repartition(CORES).write.mode("overwrite").parquet(stage)
     corpus = spark.read.parquet(stage)
     n_total = corpus.count()
 
