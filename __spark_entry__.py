@@ -332,6 +332,20 @@ def _q_doc_contamination(spark, sf_dir):
     return T.contamination(_docs(spark, sf_dir).select("doc_id", "text"), bench)
 
 
+def _q_doc_pack_sequences(spark, sf_dir):
+    return T.pack_sequences(_docs(spark, sf_dir))
+
+
+def _q_doc_mixture_sample(spark, sf_dir):
+    return T.mixture_sample(_docs(spark, sf_dir))
+
+
+def _q_doc_pii_scrub(spark, sf_dir):
+    from cimpy_spark.fixtures.organic import pii_documents
+
+    return T.pii_scrub(pii_documents(_docs(spark, sf_dir)))
+
+
 def _q_doc_quality(spark, sf_dir):
     return T.quality_score(_docs(spark, sf_dir))
 
@@ -483,6 +497,37 @@ def _q_stream_conv_state(spark, sf_dir):
     )
 
 
+_STREAM_KG_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _q_stream_kg_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming KG maintenance end-to-end, oracle-gated: stage the
+    transcripts as 24 conversation-atomic files (3 micro-batches at 8
+    files/trigger), drain them through `stream_ingest` (foreachBatch →
+    the committed batch-incremental ingest), and return the committed
+    canon_edges snapshot — which must hash-match the SAME closed-form
+    `canonical_edges_sql` oracle as one batch run over all input (the
+    streaming mirror of how doc_dedup_incremental gates dedup_ingest).
+    Memoized by applicationId: the drain commits durable state, so
+    re-evaluation for the row-count and hash passes reads the same
+    snapshot instead of re-running the stream."""
+    from cimpy_spark.plans.lineage import LineageLedger
+    from cimpy_spark.streaming.ingest import stream_ingest
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _STREAM_KG_CACHE:
+        d = _scratch_dir("cimpy_stream_kg_")
+        transcripts_from_events(spark, sf_dir).repartition(
+            24, "conv_id"
+        ).write.mode("overwrite").parquet(f"{d}/in")
+        stream_ingest(spark, f"{d}/in", f"{d}/out")
+        _STREAM_KG_CACHE[key] = f"{d}/out"
+    ledger = LineageLedger(_STREAM_KG_CACHE[key])
+    return spark.read.parquet(ledger.stage_dir("canon_edges")).select(
+        "src", "pred", "dst"
+    )
+
+
 _INCR_CACHE: dict[tuple[str, str], dict] = {}
 
 
@@ -620,44 +665,49 @@ def _q_emb_dedup_incremental(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered by GATING PRIORITY, not by topic: the driver evaluates
     a bounded prefix (50 rows), so entries that most need a fresh
-    CORRECTNESS row come first — (a) the round-3 rotation tail (no r3
-    row), (b) queries new or changed this round, (c) the load-bearing
-    pipeline queries — and the tail holds queries that are r3-GREEN
-    with code unchanged since (analytics, ANN and multimodal views
-    independent of this round's changes). Rotate per round so every
-    entry's newest green row is at most one round old."""
+    CORRECTNESS row come first — (a) the round-4 rotation tail (no r4
+    row; mm_* first — multimodal.py gained an argument guard in r4,
+    so these are the stalest claims), (b) queries new or changed this
+    round, (c) the load-bearing pipeline queries — and the tail holds
+    queries that are r4-GREEN with code verifiably unchanged since.
+    Rotate per round so every entry's newest green row is at most one
+    round old."""
     return {
-        # -- round-3 rotation tail: no r3 row, re-gate first ----------
-        "doc_token_count": _q_doc_token_count,
-        "doc_quality": _q_doc_quality,
-        "doc_lang_id": _q_doc_lang_id,
-        "doc_fingerprint": _q_doc_fingerprint,
-        "doc_simhash": _q_doc_simhash,
-        "doc_minhash_candidates": _q_doc_minhash_candidates,
-        "kg_sql_interface": _q_sql_interface,
-        "kg_reverse_edges": _q_reverse_edges,
-        "kg_canonical_map": _q_canonical_map,
-        "kg_typed_attrs": _q_typed_attrs,
-        "kg_node_degree": _q_node_degree,
-        "kg_multihop": _q_multihop,
-        "kg_type_dispatch": _q_type_dispatch,
-        "kg_value_rollup": _q_value_rollup,
-        "kg_delete_t0": _q_delete_t0,
-        "kg_enum_dictionary": _q_enum_dictionary,
-        "kg_contract_controls": _q_contract_controls,
-        # -- new or changed in round 4 (bus-branch composite, bounded
-        #    adjacency, organic-duplicate dedup corpus) ---------------
-        "kg_bus_branch": _q_bus_branch,
-        "kg_adjacency": _q_kg_adjacency,
-        "doc_hash_split": _q_doc_hash_split,
-        "doc_source_quota": _q_doc_source_quota,
-        "doc_contamination": _q_doc_contamination,
-        "doc_dedup_exact": _q_doc_dedup_exact,
-        "doc_dedup_corpus": _q_doc_dedup_corpus,
+        # -- round-4 rotation tail: no r4 row, re-gate first ----------
+        "mm_features": _q_mm_features,
+        "mm_resize": _q_mm_resize,
+        "mm_frame_sample": _q_mm_frame_sample,
+        "emb_cosine_topk": _q_emb_cosine_topk,
+        "emb_lsh_buckets": _q_emb_lsh_buckets,  # r4 plane-family change, now directly re-gated (ADVICE r4)
+        "emb_ivf_topk": _q_emb_ivf_topk,
+        "emb_kmeans_ivf_topk": _q_emb_kmeans_ivf_topk,  # ALSO changed r5: argmin + broadcast-centroid cell ranking
+        "doc_simhash_candidates": _q_doc_simhash_candidates,  # ALSO changed r5: 60-bit default (oracle in lockstep)
+        "doc_corpus_filter": _q_doc_corpus_filter,
+        "doc_ngram_jaccard": _q_doc_ngram_jaccard,
+        "kg_khop": _q_khop,
+        "kg_extract_metrics": _q_extract_metrics,
+        "kg_incremental_nodes": _q_incremental_nodes,
+        "kg_schema_quarantine": _q_schema_quarantine,
+        "tpch_pricing_summary": A.pricing_summary,
+        "tpch_revenue_by_nation": A.revenue_by_nation,
+        "top_customer_per_nation": A.top_customer_per_nation,
+        "customers_without_orders": A.customers_without_orders,
+        "first_lineitem_per_order": A.first_lineitem_per_order,
+        "user_event_profile": A.user_event_profile,
+        "event_sessions": A.event_sessions,
+        "event_hourly_counts": A.event_hourly_counts,
+        "event_type_rollup": A.event_type_rollup,
+        # -- new or changed in round 5 (streaming KG gate; size-gated
+        #    touched-broadcast + enforced widest-corpus contract in
+        #    both ingests; hashed decontamination broadcast; NEW
+        #    curation ops: packing, mixture sampling, PII scrub) ------
+        "stream_kg_ingest": _q_stream_kg_ingest,
+        "doc_pack_sequences": _q_doc_pack_sequences,
+        "doc_mixture_sample": _q_doc_mixture_sample,
+        "doc_pii_scrub": _q_doc_pii_scrub,
         "doc_dedup_incremental": _q_doc_dedup_incremental,
-        "emb_neardup_pairs": _q_emb_neardup,
-        "emb_dedup_corpus": _q_emb_dedup_corpus,
         "emb_dedup_incremental": _q_emb_dedup_incremental,
+        "doc_contamination": _q_doc_contamination,
         # -- load-bearing pipeline queries, kept gated every round ----
         "stream_extract_triples": _q_stream_extract,
         "stream_conv_state": _q_stream_conv_state,
@@ -679,37 +729,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_multivalued_attrs": _q_multivalued_attrs,
         "kg_snapshot_meta": _q_snapshot_meta,
         "kg_schema_cast": _q_schema_cast,
+        # ---- gated prefix boundary (50) -----------------------------
+        # -- rotation tail: r4-GREEN with the exercised code unchanged
+        #    this round. Files touched in r5: functions/dedup.py
+        #    (dedup_ingest/_touched_joins/_require_widest_corpus +
+        #    simhash_candidates DEFAULT — one-shot dedup_corpus,
+        #    exact_duplicates, minhash and the simhash fingerprint are
+        #    byte-identical), functions/similarity.py (emb_ingest,
+        #    kmeans_cells/kmeans_ivf_topk — neardup_pairs and
+        #    emb_dedup_corpus untouched), functions/text.py
+        #    (contamination only), streaming/ingest.py
+        #    (stream_dedup_ingest corpus sink only), plans/lineage.py
+        #    (new read-only helper). Every r5-changed codepath has a
+        #    gated-prefix row above; the three r4-green load-bearing
+        #    entries displaced by the new curation gates
+        #    (kg_default_suppression, kg_incremental_edges,
+        #    doc_dedup_corpus) lead the tail and rotate back first.
+        #    Next round this tail rotates back into the prefix. ------
         "kg_default_suppression": _q_default_suppression,
         "kg_incremental_edges": _q_incremental_edges,
-        # ---- gated prefix boundary (50) -----------------------------
-        # -- rotation tail: r3-GREEN, code unchanged since, and
-        #    independent of this round's changes (analytics over
-        #    orders/lineitem/events; ANN and multimodal views; raw-
-        #    corpus filter/simhash compositions). Next round these
-        #    rotate back into the prefix. -----------------------------
-        "tpch_pricing_summary": A.pricing_summary,
-        "tpch_revenue_by_nation": A.revenue_by_nation,
-        "top_customer_per_nation": A.top_customer_per_nation,
-        "customers_without_orders": A.customers_without_orders,
-        "first_lineitem_per_order": A.first_lineitem_per_order,
-        "user_event_profile": A.user_event_profile,
-        "event_sessions": A.event_sessions,
-        "event_hourly_counts": A.event_hourly_counts,
-        "event_type_rollup": A.event_type_rollup,
-        "doc_corpus_filter": _q_doc_corpus_filter,
-        "doc_ngram_jaccard": _q_doc_ngram_jaccard,  # r3-green, raw-corpus path unchanged; verify logic re-gated via doc_dedup_corpus/incremental
-        "kg_khop": _q_khop,  # r3-green unchanged; traversal re-gated via kg_reachability
-        "kg_extract_metrics": _q_extract_metrics,  # r3-green unchanged; extraction re-gated via kg_extract_triples
-        "kg_incremental_nodes": _q_incremental_nodes,  # r3-green; same committed snapshot as the gated kg_incremental_edges
-        "kg_schema_quarantine": _q_schema_quarantine,  # r3-green unchanged; projection of gated kg_schema_cast
-        "doc_simhash_candidates": _q_doc_simhash_candidates,
-        "emb_cosine_topk": _q_emb_cosine_topk,
-        "emb_lsh_buckets": _q_emb_lsh_buckets,
-        "emb_ivf_topk": _q_emb_ivf_topk,
-        "emb_kmeans_ivf_topk": _q_emb_kmeans_ivf_topk,
-        "mm_features": _q_mm_features,
-        "mm_resize": _q_mm_resize,
-        "mm_frame_sample": _q_mm_frame_sample,
+        "doc_dedup_corpus": _q_doc_dedup_corpus,
+        "doc_token_count": _q_doc_token_count,
+        "doc_quality": _q_doc_quality,
+        "doc_lang_id": _q_doc_lang_id,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "doc_simhash": _q_doc_simhash,
+        "doc_minhash_candidates": _q_doc_minhash_candidates,
+        "doc_hash_split": _q_doc_hash_split,
+        "doc_source_quota": _q_doc_source_quota,
+        "doc_dedup_exact": _q_doc_dedup_exact,
+        "emb_neardup_pairs": _q_emb_neardup,
+        "emb_dedup_corpus": _q_emb_dedup_corpus,
+        "kg_sql_interface": _q_sql_interface,
+        "kg_reverse_edges": _q_reverse_edges,
+        "kg_canonical_map": _q_canonical_map,
+        "kg_typed_attrs": _q_typed_attrs,
+        "kg_node_degree": _q_node_degree,
+        "kg_multihop": _q_multihop,
+        "kg_type_dispatch": _q_type_dispatch,
+        "kg_value_rollup": _q_value_rollup,
+        "kg_delete_t0": _q_delete_t0,
+        "kg_enum_dictionary": _q_enum_dictionary,
+        "kg_contract_controls": _q_contract_controls,
+        "kg_bus_branch": _q_bus_branch,
+        "kg_adjacency": _q_kg_adjacency,
     }
 
 
@@ -779,6 +842,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_reverse_edges": oracles.reverse_edges_sql(),
         "kg_canonical_map": oracles.canonical_map_sql(),
         "kg_canonical_edges": oracles.canonical_edges_sql(),
+        # the streamed drain must leave the same committed edges as
+        # one batch run over all input — same closed form
+        "stream_kg_ingest": oracles.canonical_edges_sql(),
         "kg_nodes": oracles.nodes_sql(),
         "kg_typed_attrs": oracles.typed_attrs_sql(),
         "kg_node_degree": oracles.node_degree_sql(),
@@ -812,6 +878,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_hash_split": doc_oracles.hash_split_sql(),
         "doc_source_quota": doc_oracles.source_quota_sql(),
         "doc_contamination": doc_oracles.contamination_sql(),
+        "doc_pack_sequences": doc_oracles.pack_sequences_sql(),
+        "doc_mixture_sample": doc_oracles.mixture_sample_sql(),
+        "doc_pii_scrub": doc_oracles.pii_scrub_sql(),
         "doc_quality": doc_oracles.quality_score_sql(),
         "doc_lang_id": doc_oracles.lang_id_sql(),
         "doc_fingerprint": doc_oracles.fingerprint_sql(),

@@ -38,11 +38,17 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
+    # ambient-load disclosure: this is a SHARED host (co-tenant spikes
+    # have moved recorded stage times ±20% between rounds with no code
+    # change) — record the 1-min loadavg at each stage boundary so the
+    # artifact carries its own noise evidence
+    loadavg: dict[str, float] = {"start": round(os.getloadavg()[0], 2)}
 
     def timed(name: str, fn):
         t0 = time.perf_counter()
         out = fn()
         timings[name] = round(time.perf_counter() - t0, 4)
+        loadavg[name] = round(os.getloadavg()[0], 2)
         return out
 
     # warm the Python worker pool (fork + import cost is startup, not
@@ -100,22 +106,25 @@ def main() -> None:
     triples = extract_triples(transcripts).cache()
     timed("extract", lambda: triples.count())
     # steady-state extraction (fresh uncached plan over the staged
-    # parquet; workers/JIT warm) — the BASELINE.md-comparable number.
-    # Best of 3: the shared host carries intermittent co-tenant load
-    # and this sub-second headline metric is the most noise-sensitive;
-    # min over 3 fresh runs costs ~1s and rejects ambient spikes.
-    def _steady():
-        return min(
-            _one_timed(lambda: extract_triples(transcripts).count())
-            for _ in range(3)
-        )
-
+    # parquet; workers/JIT warm) — the BASELINE.md-comparable number,
+    # and the source of extract_turns_per_sec. Best of 5: the shared
+    # host carries intermittent co-tenant load and this sub-second
+    # headline metric is the most noise-sensitive; min over 5 fresh
+    # runs costs ~2s and rejects ambient spikes. ALL samples and the
+    # surrounding loadavg are recorded so the artifact is itself the
+    # defensible evidence (r4's −22% driver number was co-tenant load
+    # the artifact couldn't disclose).
     def _one_timed(fn):
         t0 = time.perf_counter()
         fn()
         return time.perf_counter() - t0
 
-    timings["extract_steady"] = round(_steady(), 4)
+    steady_samples = [
+        round(_one_timed(lambda: extract_triples(transcripts).count()), 4)
+        for _ in range(5)
+    ]
+    timings["extract_steady"] = min(steady_samples)
+    loadavg["extract_steady"] = round(os.getloadavg()[0], 2)
 
     # streaming-path extraction (side metric): drain the SAME staged
     # table as a bounded file-source stream (32 files / 8 per trigger
@@ -217,9 +226,11 @@ def main() -> None:
                 "sf": sf,
                 "turns": n_turns,
                 "extract_turns_per_sec": turns_per_sec,
+                "extract_steady_samples": steady_samples,
                 "stream_turns_per_sec": round(
                     n_turns / timings["stream_extract"], 1
                 ),
+                "loadavg": loadavg,
                 "cores": cores,
             }
         )

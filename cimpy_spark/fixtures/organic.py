@@ -180,3 +180,39 @@ eorg AS (
   FROM eexp WHERE vec_id % 11 = 5 GROUP BY vec_id
 )
 """
+
+
+def pii_documents(docs: DataFrame) -> DataFrame:
+    """Planted-PII corpus for the scrubber gate: the synthetic fixture
+    text carries no organic PII, so a deterministic per-doc_id
+    appendage plants one known item per class on ~4/7 of documents
+    (email / URL / IPv4 / intl phone) — same derivation as
+    doc_oracles.PII_DOCS_CTE, computed independently by both engines.
+    The scrubber under test receives the corpus as a plain input
+    frame."""
+    d = F.col("doc_id")
+    text = (
+        F.when(
+            d % 7 == 1,
+            F.concat(F.col("text"), F.lit(" mail user"), d.cast("string"),
+                     F.lit("@example.com now")),
+        )
+        .when(
+            d % 7 == 2,
+            F.concat(F.col("text"), F.lit(" see https://ex.org/d/"),
+                     d.cast("string"), F.lit(" ok")),
+        )
+        .when(
+            d % 7 == 3,
+            F.concat(F.col("text"), F.lit(" host 10."),
+                     (d % 200).cast("string"), F.lit(".0."),
+                     (d % 250).cast("string"), F.lit(" up")),
+        )
+        .when(
+            d % 7 == 4,
+            F.concat(F.col("text"), F.lit(" call +49301234"),
+                     (d % 90 + 10).cast("string"), F.lit(" thanks")),
+        )
+        .otherwise(F.col("text"))
+    )
+    return docs.select("doc_id", text.alias("text"))

@@ -43,6 +43,10 @@ from cimpy_spark.plans.checkpoints import checkpoint_df
 N_HASHES = 12
 N_BANDS = 4  # rows-per-band r = 3
 MAX_BUCKET = 32  # max docs per LSH bucket before it is dropped as boilerplate
+# incremental-ingest broadcast gate: the touched-bucket set is batch-
+# sized (batch × n_bands keys) — broadcast it only below this row
+# count (~tens of MB of short keys); above, plain shuffle joins
+BROADCAST_TOUCHED_MAX = 4_000_000
 
 
 
@@ -380,7 +384,7 @@ def simhash(docs: DataFrame, n_bits: int = 60) -> DataFrame:
 
 def simhash_candidates(
     docs: DataFrame,
-    n_bits: int = 32,
+    n_bits: int = 60,
     n_bands: int = 4,
     max_hamming: int = 3,
     max_bucket: int = MAX_BUCKET,
@@ -392,10 +396,13 @@ def simhash_candidates(
     then verify Hamming distance exactly with ``bit_count(xor)``
     (all JVM-side). Output: (doc_a, doc_b, hamming).
 
-    32-bit fingerprints (md5 has exactly 32 hex digits to vote with):
-    8-bit band slices give 256-way buckets per band; degenerate slices
-    (e.g. short docs voting identically) are dropped by the cap,
-    A1-style, like the MinHash path."""
+    Default 60 bits / 4 bands — the SAME setting as `simhash`'s
+    default (see its corpus-size table): 15-bit band slices keep
+    buckets unsaturated to ~1B+ docs. Narrower fingerprints (32/16)
+    remain available for small corpora and are what the fixture-scale
+    oracle gates pin; degenerate slices (e.g. short docs voting
+    identically) are dropped by the cap, A1-style, like the MinHash
+    path."""
     band_bits = n_bits // n_bands
     # materialize the fingerprints ONCE: the simhash fold would
     # otherwise be re-evaluated per band expression after projection
@@ -435,6 +442,58 @@ def simhash_candidates(
 # Incremental corpus dedup (the production arrival path)
 # ---------------------------------------------------------------------------
 
+def _touched_joins(
+    old_pairs: DataFrame,
+    all_keys: DataFrame,
+    touched: DataFrame,
+    keys: list[str],
+    use_broadcast: bool,
+) -> tuple[DataFrame, DataFrame]:
+    """The two touched-bucket joins of an incremental ingest: carry
+    unchanged-bucket pairs (anti-join) and restrict re-pairing to
+    touched buckets (equi-join). `use_broadcast` is the SIZE GATE
+    decision — `touched` is batch-sized (batch × n_bands keys), so a
+    broadcast hint is only safe below a row threshold; above it these
+    must be plain shuffle joins (a 10^9-doc daily batch would
+    otherwise broadcast ~4×10^9 keys — executor OOM). Without the
+    hint AQE may still broadcast if the RUNTIME size is small; that's
+    the planner's sized decision, not a forced one. Plan shape pinned
+    by `test_touched_join_broadcast_gate`."""
+    t = F.broadcast(touched) if use_broadcast else touched
+    return old_pairs.join(t, keys, "left_anti"), all_keys.join(t, keys)
+
+
+def _require_widest_corpus(
+    store: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    pair_cols: tuple[str, str],
+    op: str,
+) -> None:
+    """Enforce the ingest contract that the passed corpus frame is the
+    widest available: every id referenced by a pair that still needs
+    verification must resolve in it. Without this, a caller passing
+    only the new batch would have carried pairs against absent old
+    docs silently drop out of the verify inner join — known duplicates
+    quietly treated as unique. Cheap probe: anti-join the (small,
+    candidate-bounded) id set of unverified pairs against the corpus
+    ids, limit 1 — one bounded job per ingest, mirroring the enforced
+    non-negative-id contract's fail-fast discipline."""
+    a, b = pair_cols
+    missing = (
+        pairs.select(F.col(a).alias(id_col))
+        .unionByName(pairs.select(F.col(b).alias(id_col)))
+        .join(store.select(id_col), id_col, "left_anti")
+        .limit(1)
+    )
+    if missing.count() > 0:
+        raise ValueError(
+            f"{op}: verify pairs reference {id_col}s absent from the "
+            f"passed corpus frame — pass the widest corpus available "
+            f"(committed corpus + new batch), not just the batch"
+        )
+
+
 def dedup_ingest(
     spark,
     docs: DataFrame,
@@ -443,6 +502,7 @@ def dedup_ingest(
     n_hashes: int = N_HASHES,
     n_bands: int = N_BANDS,
     max_bucket: int = MAX_BUCKET,
+    broadcast_touched_max: int = BROADCAST_TOUCHED_MAX,
 ) -> DataFrame:
     """Incremental near-duplicate dedup: per arriving batch, re-LSH
     only the NEW documents and re-pair only the buckets the batch
@@ -456,7 +516,10 @@ def dedup_ingest(
     `docs` is the widest corpus available (the committed corpus plus
     the new batch — already-seen doc_ids are skipped, like
     ingest_increment's conv skip); old text is only READ BACK for the
-    few old docs that land in a verify pair against a new doc.
+    few old docs that land in a verify pair against a new doc. The
+    contract is ENFORCED (`_require_widest_corpus`): an ingest whose
+    unverified pairs reference ids absent from `docs` fails fast
+    instead of silently dropping known duplicates at the verify join.
 
     Committed stages under `out_dir` (LineageLedger, same
     crash-retry/commit semantics as the KG pipeline):
@@ -547,24 +610,28 @@ def dedup_ingest(
     pair_schema = "band int, band_key string, doc_a long, doc_b long"
     if pairs_usable:
         touched = fresh_keys.select("band", "band_key").distinct()
+        # size gate for the touched-side broadcast (see _touched_joins):
+        # |touched| ≤ the batch's key-row count, read from the ledger
+        # record just committed — free metadata, no extra job
+        batch_keys = ledger.last_increment_rows("doc_arrivals")
         # materialize EAGERLY: the doc_pairs force-write below
         # overwrites the very snapshot this reads (same hazard as the
         # KG side's cmap_full, materialize.py)
         old_pairs = checkpoint_df(
             spark.read.schema(pair_schema).parquet(ledger.stage_dir("doc_pairs"))
         )
-        carried = old_pairs.join(
-            F.broadcast(touched), ["band", "band_key"], "left_anti"
+        carried, in_touched = _touched_joins(
+            old_pairs,
+            all_keys,
+            touched,
+            ["band", "band_key"],
+            batch_keys <= broadcast_touched_max,
         )
     else:
         # bootstrap or recovery: every bucket re-pairs — no broadcast
         # of the (corpus-sized) bucket list, the keys ARE the input
         carried = spark.createDataFrame([], pair_schema)
-    in_touched = (
-        all_keys.join(F.broadcast(touched), ["band", "band_key"])
-        if pairs_usable
-        else all_keys
-    )
+        in_touched = all_keys
     ok = drop_oversize_buckets(
         checkpoint_df(in_touched), ["band", "band_key"], max_bucket
     )
@@ -588,6 +655,9 @@ def dedup_ingest(
         new_pairs = cand.join(cached, ["doc_a", "doc_b"], "left_anti")
     else:
         new_pairs = cand
+    _require_widest_corpus(
+        docs, new_pairs, "doc_id", ("doc_a", "doc_b"), "dedup_ingest"
+    )
     new_jac = ngram_jaccard(docs, new_pairs)
     all_jac = ledger.run_append_stage(
         spark, "doc_jaccard", lambda: new_jac, reset=not booted

@@ -236,7 +236,7 @@ def simhash_sql(n_bits: int = 16) -> str:
 
 
 def simhash_candidates_sql(
-    n_bits: int = 32,
+    n_bits: int = 60,  # in lockstep with dedup.simhash_candidates
     n_bands: int = 4,
     max_hamming: int = 3,
     max_bucket: int = MINHASH_MAX_BUCKET,
@@ -608,4 +608,119 @@ def contamination_sql(n: int = 5) -> str:
     SELECT d.doc_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hit_grams,
            COALESCE(h.n, 0) > 0 AS contaminated
     FROM documents d LEFT JOIN hits h USING (doc_id)
+    """
+
+
+# ---------------------------------------------------------------------------
+# Round-5 curation operators: packing, mixture sampling, PII scrubbing
+# ---------------------------------------------------------------------------
+
+def _md5_bucket_sql(salt: str, mod: int, id_expr: str = "doc_id") -> str:
+    """Mirror of text._md5_bucket (same family as hash_split)."""
+    return (
+        f"CAST(('0x' || substring(md5('{salt}#' || CAST({id_expr} AS STRING)"
+        f"), 1, 8))::BIGINT % {mod} AS BIGINT)"
+    )
+
+
+def pack_sequences_sql(
+    budget: int = 256, n_shards: int = 8, salt: str = "pack0"
+) -> str:
+    """Mirror of text.pack_sequences: md5 shard, exclusive running
+    token sum in doc_id order per shard, concatenate-then-chop."""
+    return f"""
+    WITH t AS ({token_count_sql()}),
+    s AS (
+      SELECT doc_id, CAST(n_ws_tokens AS INT) AS n_tokens,
+             CAST({_md5_bucket_sql(salt, n_shards)} AS INT) AS shard
+      FROM t
+    ),
+    c AS (
+      SELECT doc_id, shard, n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS cum_excl
+      FROM s
+    )
+    SELECT doc_id, shard, n_tokens,
+           CAST(cum_excl // {budget} AS BIGINT) AS seq_id,
+           CAST(cum_excl % {budget} AS INT) AS offset
+    FROM c
+    """
+
+
+def mixture_sample_sql(
+    weights: dict[str, float] | None = None,
+    budget_tokens: int = 2_000,
+    salt: str = "mix0",
+) -> str:
+    """Mirror of text.mixture_sample: per-source token totals, 6dp
+    keep rate, md5-bucket threshold."""
+    if weights is None:
+        weights = {"src0": 0.8, "src1": 0.1, "src2": 0.06, "src3": 0.04}
+    vals = ", ".join(
+        f"('{s}', CAST({float(v)!r} AS DOUBLE))" for s, v in sorted(weights.items())
+    )
+    return f"""
+    WITH t AS ({token_count_sql()}),
+    base AS (
+      SELECT d.doc_id, d.source, CAST(t.n_ws_tokens AS INT) AS n_tokens
+      FROM documents d JOIN t USING (doc_id)
+    ),
+    tot AS (
+      SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+      FROM base GROUP BY source
+    ),
+    wt(source, wt) AS (VALUES {vals}),
+    r AS (
+      SELECT b.doc_id, b.source, b.n_tokens,
+             round(least(CAST(1.0 AS DOUBLE),
+                         coalesce(wt.wt, CAST(0.0 AS DOUBLE))
+                         * CAST({float(budget_tokens)!r} AS DOUBLE)
+                         / tot.src_tokens), 6) AS rate
+      FROM base b JOIN tot USING (source) LEFT JOIN wt USING (source)
+    )
+    SELECT doc_id, source, n_tokens, rate,
+           ({_md5_bucket_sql(salt, 1_000_000)}
+            < CAST(round(rate * 1000000) AS BIGINT)) AS sampled
+    FROM r
+    """
+
+
+# planted-PII fixture derivation (mirror of fixtures.organic.
+# pii_documents): deterministic per-doc_id appendage so the scrubber
+# has real hits to count and redact in BOTH engines
+PII_DOCS_CTE = """
+piidocs AS (
+  SELECT doc_id,
+    CASE doc_id % 7
+      WHEN 1 THEN text || ' mail user' || doc_id || '@example.com now'
+      WHEN 2 THEN text || ' see https://ex.org/d/' || doc_id || ' ok'
+      WHEN 3 THEN text || ' host 10.' || (doc_id % 200) || '.0.' || (doc_id % 250) || ' up'
+      WHEN 4 THEN text || ' call +49301234' || (doc_id % 90 + 10) || ' thanks'
+      ELSE text
+    END AS text
+  FROM documents
+)
+"""
+
+
+def pii_scrub_sql() -> str:
+    """Mirror of text.pii_scrub over the planted-PII corpus: counts
+    per class on the original text, chained global regexp_replace in
+    the same order (url → email → ip → phone)."""
+    from cimpy_spark.functions.text import PII_PATTERNS
+
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS INT) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    clean = "text"
+    for _, pat, repl in PII_PATTERNS:
+        clean = f"regexp_replace({clean}, '{pat}', '{repl}', 'g')"
+    return f"""
+    WITH {PII_DOCS_CTE.strip()}
+    SELECT doc_id, {counts}, {clean} AS clean_text
+    FROM piidocs
     """

@@ -231,7 +231,10 @@ def _dist2(emb, centroid: list):
 
 
 def kmeans_cells(
-    embeddings: DataFrame, k: int = 4, iters: int = 2
+    embeddings: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    sample_fraction: float = 1.0,
 ) -> tuple[DataFrame, list]:
     """Deterministic Lloyd k-means coarse quantizer.
 
@@ -244,10 +247,24 @@ def kmeans_cells(
 
     Assignment is a narrow pass (k dot products per row, centroids as
     broadcast literals); the update is one explode + grouped avg —
-    the standard train step, run on a sample at corpus scale. Returns
-    (assignments (vec_id, cell), trained centroids as Python lists).
+    the standard train step. ``sample_fraction < 1`` trains the
+    centroid updates on a DETERMINISTIC hash sample of the corpus
+    (xxhash64 bucket, no RNG — stable across runs and engines), the
+    standard IVF train-on-sample move: Lloyd convergence needs only a
+    representative sample, while the returned assignment still covers
+    every vector. Returns (assignments (vec_id, cell), trained
+    centroids as Python lists).
     """
+    if not 0.0 < sample_fraction <= 1.0:
+        raise ValueError("sample_fraction must be in (0, 1]")
     base = embeddings.select("vec_id", _as_double("embedding").alias("emb"))
+    if sample_fraction < 1.0:
+        train = base.filter(
+            F.pmod(F.xxhash64(F.col("vec_id").cast("string")), F.lit(1_000_000))
+            < int(sample_fraction * 1_000_000)
+        )
+    else:
+        train = base
     seeds = (
         base.filter(F.col("vec_id") < k)
         .orderBy("vec_id")
@@ -260,21 +277,29 @@ def kmeans_cells(
     if not centroids:
         raise ValueError(f"kmeans_cells: no seed vectors with vec_id < {k}")
 
-    def assign(cents: dict) -> DataFrame:
-        cell = None
-        best = None
-        for j in sorted(cents):
-            d = F.round(_dist2(F.col("emb"), cents[j]), 6)
-            if cell is None:
-                cell, best = F.lit(j), d
-            else:
-                cond = d < best
-                cell = F.when(cond, F.lit(j)).otherwise(cell)
-                best = F.when(cond, d).otherwise(best)
-        return base.select("vec_id", "emb", cell.cast("int").alias("cell"))
+    def assign(cents: dict, frame: DataFrame = base) -> DataFrame:
+        # argmin over an ARRAY of (dist², cell) structs — struct
+        # ordering compares dist² first, then cell, so ties go to the
+        # smaller cell id exactly like a strict-< first-wins scan.
+        # Expression size is LINEAR in k: the earlier chained
+        # F.when(d < best, ...).otherwise(best) referenced `best`
+        # twice per step, doubling the tree each centroid —
+        # exponential blowup that OOMed the driver near k≈64, long
+        # before a real IVF cell count.
+        dists = F.array(
+            *[
+                F.struct(
+                    F.round(_dist2(F.col("emb"), cents[j]), 6).alias("d"),
+                    F.lit(j).alias("cell"),
+                )
+                for j in sorted(cents)
+            ]
+        )
+        cell = F.array_min(dists)["cell"]
+        return frame.select("vec_id", "emb", cell.cast("int").alias("cell"))
 
     for _ in range(iters):
-        assigned = assign(centroids)
+        assigned = assign(centroids, train)
         means = (
             assigned.select("cell", F.posexplode("emb").alias("i", "v"))
             .groupBy("cell", "i")
@@ -302,33 +327,46 @@ def kmeans_ivf_topk(
     n_queries: int = 8,
     topk: int = 5,
     nprobe: int = 2,
+    sample_fraction: float = 1.0,
 ) -> DataFrame:
     """IVF ANN with a TRAINED coarse quantizer (vs `ivf_topk`'s
-    label-as-cell stand-in): Lloyd k-means cells, queries probe the
-    nprobe nearest centroids by cosine, exact rank within probed
-    cells. Output: (query_id, neighbor_id, rank, sim)."""
-    assignments, centroids = kmeans_cells(embeddings, k, iters)
+    label-as-cell stand-in): Lloyd k-means cells (optionally trained
+    on a deterministic hash sample via ``sample_fraction``), queries
+    probe the nprobe nearest centroids by cosine, exact rank within
+    probed cells. Output: (query_id, neighbor_id, rank, sim)."""
+    assignments, centroids = kmeans_cells(
+        embeddings, k, iters, sample_fraction
+    )
     base = embeddings.select(
         "vec_id", _as_double("embedding").alias("emb")
     ).join(assignments, "vec_id")
     q = base.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
     )
-    # rank cells per query by centroid cosine (centroids are constants)
-    cell_sims = None
-    for j in sorted(centroids):
-        c = centroids[j]
-        carr = F.array(*[F.lit(float(x)) for x in c])
-        cnorm = float(sum(x * x for x in c)) ** 0.5
-        s = q.select(
-            "query_id",
-            F.lit(j).alias("cell"),
-            F.round(
-                _dot(F.col("qemb"), carr) / (_norm(F.col("qemb")) * F.lit(cnorm)),
-                6,
-            ).alias("csim"),
-        )
-        cell_sims = s if cell_sims is None else cell_sims.unionByName(s)
+    # rank cells per query by centroid cosine — trained centroids as
+    # ONE tiny broadcast table joined to the queries (the `ivf_topk`
+    # shape), NOT a k-way union of per-centroid literal frames: at a
+    # real IVF cell count (2^14–2^16) a union loop is a plan-size
+    # explosion (tens of thousands of branches with literal vectors
+    # baked into the plan — driver/planning blowup before any data
+    # moves), while this stays one broadcast join of n_queries × k
+    # rows regardless of k. Numerically identical: the fold order of
+    # _dot/_norm over the array column matches the former Python
+    # literal sum (left-to-right IEEE doubles), rounded to 6dp either
+    # way (pinned by test at k=4).
+    cent_df = embeddings.sparkSession.createDataFrame(
+        [(j, [float(x) for x in centroids[j]]) for j in sorted(centroids)],
+        "cell int, cemb array<double>",
+    )
+    cell_sims = F.broadcast(q).crossJoin(F.broadcast(cent_df)).select(
+        "query_id",
+        "cell",
+        F.round(
+            _dot(F.col("qemb"), F.col("cemb"))
+            / (_norm(F.col("qemb")) * _norm(F.col("cemb"))),
+            6,
+        ).alias("csim"),
+    )
     wcell = Window.partitionBy("query_id").orderBy(
         F.col("csim").desc(), F.col("cell").asc()
     )
@@ -466,6 +504,7 @@ def emb_ingest(
     threshold: float = 0.99,
     max_bucket: int = MAX_BUCKET,
     n_tables: int = 1,
+    broadcast_touched_max: int | None = None,
 ) -> DataFrame:
     """Incremental embedding near-dup dedup — the vector-side mirror
     of `dedup.dedup_ingest` (same committed-stage design, same
@@ -489,11 +528,18 @@ def emb_ingest(
       before this commit self-heals (missing pairs re-verify).
 
     `embeddings` is the widest corpus available (committed + batch;
-    seen ids are skipped); old vectors are only read back for the few
-    verify pairs that touch them. Returns (vec_id, canonical_vec_id,
-    is_kept) over all seen vectors.
+    seen ids are skipped; contract ENFORCED via
+    `_require_widest_corpus`, fail-fast like the non-negative-id
+    check); old vectors are only read back for the few verify pairs
+    that touch them. Returns (vec_id, canonical_vec_id, is_kept) over
+    all seen vectors.
     """
-    from cimpy_spark.functions.dedup import drop_oversize_buckets
+    from cimpy_spark.functions.dedup import (
+        BROADCAST_TOUCHED_MAX,
+        _require_widest_corpus,
+        _touched_joins,
+        drop_oversize_buckets,
+    )
     from cimpy_spark.operators.canonicalize import canonical_labels
     from cimpy_spark.plans.lineage import LineageLedger
 
@@ -538,14 +584,23 @@ def emb_ingest(
     pair_schema = "tbl int, bucket int, vec_a long, vec_b long"
     if pairs_usable:
         touched = fresh_keys.select("tbl", "bucket").distinct()
+        # size gate for the touched-side broadcast, same discipline as
+        # dedup_ingest (see dedup._touched_joins): |touched| ≤ batch ×
+        # n_tables, read from the just-committed ledger record
+        if broadcast_touched_max is None:
+            broadcast_touched_max = BROADCAST_TOUCHED_MAX
+        batch_keys = ledger.last_increment_rows("emb_keys")
         # eager: the force-write below overwrites the snapshot read here
         old_pairs = checkpoint_df(
             spark.read.schema(pair_schema).parquet(ledger.stage_dir("emb_pairs"))
         )
-        carried = old_pairs.join(
-            F.broadcast(touched), ["tbl", "bucket"], "left_anti"
+        carried, in_touched = _touched_joins(
+            old_pairs,
+            all_keys,
+            touched,
+            ["tbl", "bucket"],
+            batch_keys <= broadcast_touched_max,
         )
-        in_touched = all_keys.join(F.broadcast(touched), ["tbl", "bucket"])
     else:
         # bootstrap or recovery: every bucket re-pairs
         carried = spark.createDataFrame([], pair_schema)
@@ -568,6 +623,10 @@ def emb_ingest(
         new_pairs = cand.join(cached, ["vec_a", "vec_b"], "left_anti")
     else:
         new_pairs = cand
+    _require_widest_corpus(
+        emb.select(F.col("vec_id")), new_pairs, "vec_id",
+        ("vec_a", "vec_b"), "emb_ingest",
+    )
     new_cos = (
         checkpoint_df(new_pairs)
         .join(emb.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea")), "vec_a")

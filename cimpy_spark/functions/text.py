@@ -227,19 +227,31 @@ def contamination(train: DataFrame, bench: DataFrame, n: int = 5) -> DataFrame:
     docs). Output: (doc_id, n_hit_grams, contaminated) for every
     training doc.
 
-    Scale shape: the benchmark side is SMALL by definition — its
-    distinct n-gram set broadcasts; the training side is one narrow
-    explode feeding a broadcast semi-equi-join, so the corpus is read
-    once and never shuffled (the aggregation shuffles only the hit
-    rows, a tiny fraction). No per-row Python anywhere."""
+    Scale shape: the benchmark side is SMALL by definition, but a real
+    eval suite is still millions of 13-grams — so what broadcasts is
+    the xxhash64 of each distinct benchmark gram (8 bytes vs ~80-byte
+    raw strings, ~10× fewer broadcast bytes). The training side is one
+    narrow explode feeding that broadcast hash semi-join; candidate
+    hits (a tiny fraction) are then re-verified against the RAW gram
+    set with a plain join, so a 64-bit hash collision can never flag a
+    clean document — exactness is preserved without ever broadcasting
+    raw grams. The corpus is read once and never shuffled (only hit
+    rows reach the verify join and the aggregation). No per-row
+    Python anywhere."""
     bench_grams = (
         bench.select(F.explode(shingle_array(n)).alias("gram")).distinct()
     )
+    bench_hashes = bench_grams.select(
+        F.xxhash64("gram").alias("gram_h")
+    ).distinct()
     train_grams = train.select(
         "doc_id", F.explode(shingle_array(n)).alias("gram")
     )
+    candidates = train_grams.withColumn(
+        "gram_h", F.xxhash64("gram")
+    ).join(F.broadcast(bench_hashes), "gram_h")
     hits = (
-        train_grams.join(F.broadcast(bench_grams), "gram")
+        candidates.join(bench_grams, "gram")  # collision re-verify
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_hit_grams"))
     )
@@ -253,3 +265,164 @@ def contamination(train: DataFrame, bench: DataFrame, n: int = 5) -> DataFrame:
             (F.col("n_hit_grams") > 0).alias("contaminated"),
         )
     )
+
+
+def _md5_bucket(salt: str, mod: int, id_col: str = "doc_id"):
+    """Portable deterministic bucket: first 8 hex digits of
+    md5(salt#id) mod `mod` — the same engine-independent hash family
+    as `hash_split` (recomputable from the id alone, stable under
+    corpus growth, re-salts into an independent stream)."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("#", F.lit(salt), F.col(id_col).cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (h % mod).cast("long")
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 256,
+    n_shards: int = 8,
+    salt: str = "pack0",
+) -> DataFrame:
+    """Sequence packing for training batches: concatenate documents
+    (in stable order) into fixed-token-budget sequences and report
+    each document's position — the sample-packing step between corpus
+    curation and the training dataloader.
+
+    Distributed semantics (deterministic, no RNG): each document is
+    hash-bucketed into one of ``n_shards`` independent packing shards
+    (md5 bucket — stable under corpus growth); within a shard,
+    documents pack in doc_id order with an exclusive running token
+    sum, and a document's sequence is ``floor(cum_excl / budget)``
+    ("concatenate-then-chop": a document straddling a boundary starts
+    in seq's tail — exactly how packed pretraining streams chop, with
+    `offset` telling the loader where in the sequence the doc begins).
+
+    Scale shape: ONE window (sum over shard partitions ordered by
+    doc_id) — the shard is the parallelism unit, so n_shards is sized
+    to the cluster (each shard sorts corpus/n_shards rows, spillable);
+    no global sort, no collect. Output: (doc_id, shard, n_tokens,
+    seq_id, offset).
+    """
+    toks = token_count(docs).select(
+        "doc_id", F.col("n_ws_tokens").alias("n_tokens")
+    )
+    from pyspark.sql import Window
+
+    shard = _md5_bucket(salt, n_shards).cast("int")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_excl = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    return (
+        toks.withColumn("shard", shard)
+        .select(
+            "doc_id",
+            "shard",
+            "n_tokens",
+            F.floor(cum_excl / budget).cast("long").alias("seq_id"),
+            (cum_excl % budget).cast("int").alias("offset"),
+        )
+    )
+
+
+def mixture_sample(
+    docs: DataFrame,
+    weights: dict[str, float] | None = None,
+    budget_tokens: int = 2_000,
+    salt: str = "mix0",
+) -> DataFrame:
+    """Corpus mixture sampling: down-sample each source to hit a
+    target token mixture — the domain-reweighting step of corpus
+    curation (give source s a ``weights[s]`` share of a
+    ``budget_tokens`` training budget).
+
+    Per-source keep rate = min(1, weights[s] × budget / tokens_s)
+    (sources without a weight rate 0), applied as a DETERMINISTIC
+    md5-bucket threshold per document — so the sample is reproducible,
+    stable under corpus growth (a doc's fate never depends on other
+    docs' arrival), and any engine can recompute it from the id.
+    Rates are rounded to 6dp before thresholding so both engines
+    compare identical doubles.
+
+    Scale shape: one per-source token aggregate (map-side combinable,
+    |sources| rows) broadcast back onto the corpus as a rate column,
+    then a narrow filterable projection — the corpus itself is never
+    shuffled. Output: (doc_id, source, n_tokens, rate, sampled) for
+    EVERY doc (filter on `sampled` downstream).
+    """
+    if weights is None:
+        # default exercises all regimes: clamped-to-1, fractional, zero
+        weights = {"src0": 0.8, "src1": 0.1, "src2": 0.06, "src3": 0.04}
+    toks = token_count(docs).select(
+        "doc_id", F.col("n_ws_tokens").alias("n_tokens")
+    )
+    base = docs.select("doc_id", "source").join(toks, "doc_id")
+    totals = base.groupBy("source").agg(
+        F.sum("n_tokens").cast("long").alias("src_tokens")
+    )
+    wmap = F.create_map(
+        *[x for s, v in sorted(weights.items()) for x in (F.lit(s), F.lit(float(v)))]
+    )
+    rate = F.round(
+        F.least(
+            F.lit(1.0),
+            F.coalesce(wmap[F.col("source")], F.lit(0.0))
+            * F.lit(float(budget_tokens))
+            / F.col("src_tokens"),
+        ),
+        6,
+    )
+    bucket = _md5_bucket(salt, 1_000_000)
+    return (
+        base.join(F.broadcast(totals), "source")
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            rate.alias("rate"),
+            (bucket < F.round(rate * 1_000_000).cast("long")).alias("sampled"),
+        )
+    )
+
+
+# PII scrubbing patterns — dialect-safe (Java regex == RE2 here):
+# applied in THIS order, since an email/IP can be a URL substring.
+PII_PATTERNS = [
+    ("url", "https?://[A-Za-z0-9./_-]+", "<URL>"),
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", "([0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP>"),
+    ("phone", "\\+[0-9]{7,15}", "<PHONE>"),
+]
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """PII redaction for training corpora: replace emails, URLs, IPv4
+    addresses and international phone numbers with typed placeholder
+    tokens and report per-class hit counts.
+
+    Pure JVM-side projection (regexp_extract_all for the counts,
+    chained regexp_replace for the redaction — ordered so a URL's
+    host can't be re-matched as an email/IP); zero shuffles, zero
+    Python. Counts are taken on the ORIGINAL text per class, before
+    any replacement, so classes count independently. Output:
+    (doc_id, n_url, n_email, n_ip, n_phone, clean_text).
+    """
+    counts = [
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0)))
+        .cast("int")
+        .alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    clean = F.col("text")
+    for _, pat, repl in PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, repl)
+    return docs.select("doc_id", *counts, clean.alias("clean_text"))

@@ -109,6 +109,20 @@ class LineageLedger:
             os.path.exists(os.path.join(p, "_SUCCESS")) for p in dirs
         )
 
+    def last_increment_rows(self, stage: str) -> int:
+        """Row count of the MOST RECENT committed increment of an
+        append stage. The latest ledger record's ``partition_rows``
+        map covers only the increment that record committed (it is
+        built from a read of the new increment dir alone), so its sum
+        is the batch size — free metadata, no Spark job. Consumers use
+        it to size-gate broadcast hints on batch-derived frames."""
+        rec = self.records().get(stage)
+        if not rec or "increments" not in rec:
+            raise ValueError(
+                f"stage '{stage}' has no committed append increments"
+            )
+        return sum(rec["partition_rows"].values())
+
     def read_append_stage(self, spark: SparkSession, stage: str, schema) -> DataFrame:
         # one reader per increment dir, unioned: a single multi-path
         # read over hive-partitioned increments trips Spark's

@@ -179,14 +179,21 @@ def stream_dedup_ingest(
 
     Arrival invariant: a doc_id arrives exactly once across the
     stream (append-only corpus — re-sends are skipped by the seen
-    set, never re-verified)."""
+    set, never re-verified). The corpus write enforces it under
+    foreachBatch's at-least-once replay: each micro-batch lands at a
+    DETERMINISTIC per-batch path with mode('overwrite')
+    (`_corpus_batch_write`), so a crash between the corpus write and
+    the stream checkpoint commit re-overwrites the same dir on replay
+    instead of appending duplicate rows — duplicated text would
+    inflate later Jaccard verifies (shingle rows count per doc) and
+    could push a below-threshold pair into a false merge."""
     from cimpy_spark.functions.dedup import dedup_ingest
 
-    def _sink(batch_df, _batch_id: int):
-        batch_df.write.mode("append").parquet(corpus_dir)
+    def _sink(batch_df, batch_id: int):
+        _corpus_batch_write(batch_df, corpus_dir, batch_id)
         dedup_ingest(
             spark,
-            spark.read.parquet(corpus_dir),
+            read_corpus(spark, corpus_dir),
             state_dir,
             threshold=threshold,
         )
@@ -202,3 +209,22 @@ def stream_dedup_ingest(
     )
     q.awaitTermination()
     return q
+
+
+def _corpus_batch_write(batch_df, corpus_dir: str, batch_id: int) -> None:
+    """Idempotent micro-batch append: the batch id names the target
+    dir and the write overwrites it, so an at-least-once replay of
+    the same batch converges to the same bytes (the Iceberg analog is
+    a batch-id-keyed idempotent append commit)."""
+    batch_df.write.mode("overwrite").parquet(
+        f"{corpus_dir}/batch_{batch_id:09d}"
+    )
+
+
+def read_corpus(spark: SparkSession, corpus_dir: str):
+    """Reader over all committed per-batch corpus dirs."""
+    return (
+        spark.read.schema("doc_id long, text string")
+        .option("recursiveFileLookup", "true")
+        .parquet(corpus_dir)
+    )

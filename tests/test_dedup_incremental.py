@@ -213,3 +213,72 @@ def test_crash_before_jaccard_append_self_heals(spark, out_dir, monkeypatch):
 
     rec = D.dedup_ingest(spark, docs, out_dir)
     assert _rows(rec) == _rows(D.dedup_corpus(docs))
+
+
+def test_touched_join_broadcast_gate(spark, out_dir):
+    """The touched-bucket set is batch-sized, so its broadcast must be
+    a SIZE-GATED decision: above the gate both ingest joins are plain
+    shuffle joins (no forced BroadcastExchange on the touched side —
+    a 10^9-doc batch would otherwise broadcast ~4×10^9 keys), below
+    it the hint is applied. auto-broadcast is disabled for the probe
+    so the only possible BroadcastExchange is the explicit hint."""
+    old_pairs = spark.createDataFrame(
+        [(0, "k0", 1, 2), (1, "k1", 3, 4)],
+        "band int, band_key string, doc_a long, doc_b long",
+    )
+    all_keys = spark.createDataFrame(
+        [(1, 0, "k0"), (2, 0, "k0"), (5, 1, "k2")],
+        "doc_id long, band int, band_key string",
+    )
+    touched = spark.createDataFrame([(0, "k0")], "band int, band_key string")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for use_broadcast in (False, True):
+            carried, in_touched = D._touched_joins(
+                old_pairs, all_keys, touched, ["band", "band_key"], use_broadcast
+            )
+            for df in (carried, in_touched):
+                plan = df._jdf.queryExecution().executedPlan().toString()
+                assert ("BroadcastExchange" in plan) == use_broadcast, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_ingest_shuffle_path_matches_broadcast_path(spark, out_dir):
+    """Forcing the above-gate (shuffle) path end-to-end must leave the
+    committed result identical to the broadcast path and to the
+    one-shot closed form."""
+    docs = organic_documents(
+        spark.read.parquet(f"{SF_TINY}/documents.parquet")
+    ).cache()
+    first = F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(2)) == 0
+    D.dedup_ingest(spark, docs.filter(first), out_dir, broadcast_touched_max=0)
+    inc = D.dedup_ingest(spark, docs, out_dir, broadcast_touched_max=0)
+    assert _rows(inc) == _rows(D.dedup_corpus(docs))
+
+
+def test_ingest_rejects_batch_only_corpus(spark, out_dir):
+    """The widest-corpus contract is ENFORCED: a second ingest passed
+    only the new batch (carried pairs then reference absent old docs)
+    fails fast instead of silently dropping known duplicates at the
+    verify join."""
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    batch1 = mk([(0, text), (1, text)])
+    batch2_only = mk([(2, text)])
+    D.dedup_ingest(spark, batch1, out_dir)
+    with pytest.raises(ValueError, match="widest corpus"):
+        D.dedup_ingest(spark, batch2_only, out_dir)
+
+
+def test_emb_ingest_rejects_batch_only_corpus(spark, out_dir):
+    from cimpy_spark.functions import similarity as SIM
+
+    vec = [1.0, 0.5, 0.25, 0.125]
+    mk = lambda rows: spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    SIM.emb_ingest(spark, mk([(0, vec), (1, vec)]), out_dir)
+    with pytest.raises(ValueError, match="widest corpus"):
+        SIM.emb_ingest(spark, mk([(2, vec)]), out_dir)

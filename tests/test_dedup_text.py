@@ -365,3 +365,132 @@ def test_contamination_flags_ngram_overlap(spark, docs):
         ).select("doc_id").collect()
     }
     assert (sources & long_enough) <= flagged
+
+
+def test_kmeans_ivf_cell_ranking_is_one_join_not_k_unions(spark, emb):
+    """At a real IVF cell count (2^14+) a per-centroid union loop is a
+    plan-size explosion (k branches with literal vectors baked into
+    the plan). Cell ranking must be ONE broadcast join against a k-row
+    centroid table: the plan at k=64 contains no Union node at all."""
+    df = SIM.kmeans_ivf_topk(emb, k=64, iters=1, n_queries=2, topk=3)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Union" not in plan, plan
+    assert df.count() == 2 * 3
+
+
+def test_kmeans_sample_fraction_trains_on_hash_sample(spark, emb):
+    """Train-on-sample: centroid updates see only the deterministic
+    hash sample, but the returned assignment covers EVERY vector and
+    cells stay the seed ids. sample_fraction=1.0 is the exact path."""
+    full_assign, full_cents = SIM.kmeans_cells(emb, k=4, iters=2)
+    samp_assign, samp_cents = SIM.kmeans_cells(
+        emb, k=4, iters=2, sample_fraction=0.5
+    )
+    n = emb.count()
+    assert samp_assign.count() == n == full_assign.count()
+    assert set(samp_cents) == set(full_cents) == {0, 1, 2, 3}
+    # deterministic: same sample → same centroids, run to run
+    again_assign, again_cents = SIM.kmeans_cells(
+        emb, k=4, iters=2, sample_fraction=0.5
+    )
+    assert again_cents == samp_cents
+    with pytest.raises(ValueError, match="sample_fraction"):
+        SIM.kmeans_cells(emb, k=4, sample_fraction=0.0)
+
+
+def test_contamination_broadcasts_hashed_grams(spark):
+    """The broadcast side must carry xxhash64(gram) (8 bytes), not raw
+    gram strings — a real eval suite is millions of 13-grams and the
+    broadcast is this plan's only scale pressure point. Raw grams are
+    allowed only in the candidate-restricted collision re-verify."""
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    df = T.contamination(train, bench, n=5)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "xxhash64" in plan
+    # the hash semi-join key is present and hinted for broadcast
+    assert "gram_h" in plan
+
+
+def test_pack_sequences_invariants(spark, docs):
+    """Packing invariants: every doc lands in exactly one (shard,
+    seq); offset is the doc's start inside its sequence (cum_excl mod
+    budget); per-shard token sums reconcile with the highest seq_id;
+    derivation is deterministic call-to-call."""
+    budget = 64
+    out = T.pack_sequences(docs, budget=budget, n_shards=4).cache()
+    n = docs.count()
+    assert out.count() == n
+    assert out.select("doc_id").distinct().count() == n
+    assert out.filter((F.col("offset") < 0) | (F.col("offset") >= budget)).count() == 0
+    # shard totals: max seq's start == sum of preceding docs' tokens
+    per_shard = (
+        out.groupBy("shard")
+        .agg(
+            F.sum("n_tokens").alias("tot"),
+            F.max(F.col("seq_id") * budget + F.col("offset") + F.col("n_tokens")).alias("hi"),
+        )
+        .collect()
+    )
+    for r in per_shard:
+        # the last doc's end position equals the shard's total tokens
+        assert r["hi"] == r["tot"], r
+    again = T.pack_sequences(docs, budget=budget, n_shards=4)
+    assert out.exceptAll(again).count() == 0
+
+
+def test_mixture_sample_rates_and_determinism(spark, docs):
+    """Keep rates follow the weights: unweighted sources never
+    sampled; a clamped source (rate 1.0) keeps every doc; sampling is
+    a stable per-doc hash decision (re-salt changes it, same salt
+    doesn't)."""
+    out = T.mixture_sample(
+        docs, weights={"src0": 0.9, "src1": 0.05}, budget_tokens=5_000
+    ).cache()
+    rates = {r["source"]: r["rate"] for r in out.select("source", "rate").distinct().collect()}
+    assert rates["src0"] == 1.0  # 0.9*5000 > src0's ~1435 tokens → clamp
+    assert 0.0 < rates["src1"] < 1.0
+    assert all(v == 0.0 for s, v in rates.items() if s not in ("src0", "src1"))
+    assert out.filter((F.col("rate") == 0.0) & F.col("sampled")).count() == 0
+    src0 = out.filter(F.col("source") == "src0")
+    assert src0.filter(~F.col("sampled")).count() == 0
+    again = T.mixture_sample(
+        docs, weights={"src0": 0.9, "src1": 0.05}, budget_tokens=5_000
+    )
+    assert out.exceptAll(again).count() == 0
+    resalt = T.mixture_sample(
+        docs, weights={"src0": 0.9, "src1": 0.05}, budget_tokens=5_000,
+        salt="mix1",
+    )
+    assert out.exceptAll(resalt).count() > 0  # src1's fractional picks move
+
+
+def test_pii_scrub_redacts_planted_items(spark, docs):
+    """Every planted class is counted once on its docs and redacted in
+    clean_text; no pattern matches the scrubbed output; PII-free docs
+    pass through byte-identical."""
+    from cimpy_spark.fixtures.organic import pii_documents
+
+    pii = pii_documents(docs)
+    out = T.pii_scrub(pii).cache()
+    d = F.col("doc_id")
+    for m, col, token in [
+        (1, "n_email", "<EMAIL>"), (2, "n_url", "<URL>"),
+        (3, "n_ip", "<IP>"), (4, "n_phone", "<PHONE>"),
+    ]:
+        sub = out.filter(d % 7 == m)
+        assert sub.filter(F.col(col) != 1).count() == 0, col
+        assert sub.filter(~F.col("clean_text").contains(token)).count() == 0
+    # nothing matchable survives scrubbing
+    for _, pat, _repl in T.PII_PATTERNS:
+        assert out.filter(
+            F.size(F.regexp_extract_all(F.col("clean_text"), F.lit(pat), F.lit(0))) > 0
+        ).count() == 0, pat
+    # untouched docs: clean_text == text
+    joined = out.join(pii, "doc_id").filter(d % 7 > 4)
+    assert joined.filter(F.col("clean_text") != F.col("text")).count() == 0

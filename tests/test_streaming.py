@@ -137,7 +137,7 @@ def test_stream_dedup_ingest_equals_one_shot(spark, tmp_path):
 
     from cimpy_spark.fixtures.organic import organic_documents
     from cimpy_spark.functions.dedup import dedup_corpus, dedup_ingest
-    from cimpy_spark.streaming.ingest import stream_dedup_ingest
+    from cimpy_spark.streaming.ingest import read_corpus, stream_dedup_ingest
 
     docs = organic_documents(
         spark.read.parquet(f"{SF_TINY}/documents.parquet")
@@ -151,9 +151,31 @@ def test_stream_dedup_ingest_equals_one_shot(spark, tmp_path):
     stream_dedup_ingest(spark, d_in, d_corpus, d_state)
 
     # the committed state answers from a no-op ingest of the corpus
-    final = dedup_ingest(spark, spark.read.parquet(d_corpus), d_state)
+    final = dedup_ingest(spark, read_corpus(spark, d_corpus), d_state)
     batch = dedup_corpus(docs)
     cols = ["doc_id", "canonical_doc_id", "is_kept"]
     a, b = final.select(*cols), batch.select(*cols)
     assert a.count() == b.count()
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_corpus_batch_write_is_replay_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: a crash between the corpus write
+    and the stream checkpoint commit replays the batch. The per-batch
+    deterministic-path overwrite must converge — writing the same
+    micro-batch twice leaves exactly one copy of its rows (a plain
+    append would duplicate them, inflating later Jaccard verifies
+    into possible false merges)."""
+    from cimpy_spark.streaming.ingest import _corpus_batch_write, read_corpus
+
+    d_corpus = str(tmp_path / "corpus")
+    b0 = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "gamma delta")], "doc_id long, text string"
+    )
+    _corpus_batch_write(b0, d_corpus, 0)
+    _corpus_batch_write(b0, d_corpus, 0)  # simulated replay
+    b1 = spark.createDataFrame([(2, "epsilon")], "doc_id long, text string")
+    _corpus_batch_write(b1, d_corpus, 1)
+    got = read_corpus(spark, d_corpus)
+    assert got.count() == 3
+    assert got.select("doc_id").distinct().count() == 3
