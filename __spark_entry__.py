@@ -332,6 +332,30 @@ def _q_doc_contamination(spark, sf_dir):
     return T.contamination(_docs(spark, sf_dir).select("doc_id", "text"), bench)
 
 
+def _q_doc_repetition(spark, sf_dir):
+    return T.repetition_score(_docs(spark, sf_dir))
+
+
+def _q_doc_chunking(spark, sf_dir):
+    return T.chunk_documents(_docs(spark, sf_dir))
+
+
+def _q_emb_contamination(spark, sf_dir):
+    # train = raw embeddings; benchmark = the organic amplitude-
+    # modulated copies (cos ≈ 0.98 'paraphrase' stand-ins) — the
+    # embedding-level complement of the n-gram decontamination gate
+    from pyspark.sql import functions as F
+
+    bench = _organic_emb(spark, sf_dir).filter(
+        (F.col("vec_id") >= 1_000_000) & (F.col("vec_id") < 2_000_000)
+    )
+    return SIM.emb_contamination(_emb(spark, sf_dir), bench)
+
+
+def _q_emb_quantize(spark, sf_dir):
+    return SIM.quantize_embeddings(_emb(spark, sf_dir))
+
+
 def _q_doc_pack_sequences(spark, sf_dir):
     return T.pack_sequences(_docs(spark, sf_dir))
 
@@ -705,6 +729,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pack_sequences": _q_doc_pack_sequences,
         "doc_mixture_sample": _q_doc_mixture_sample,
         "doc_pii_scrub": _q_doc_pii_scrub,
+        "doc_repetition": _q_doc_repetition,
+        "doc_chunking": _q_doc_chunking,
+        "emb_contamination": _q_emb_contamination,
+        "emb_quantize": _q_emb_quantize,
         "doc_dedup_incremental": _q_doc_dedup_incremental,
         "emb_dedup_incremental": _q_emb_dedup_incremental,
         "doc_contamination": _q_doc_contamination,
@@ -723,11 +751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_assembly": _q_assembly,
         "kg_results_writeback": _q_results_writeback,
         "kg_per_type_stats": _q_per_type_stats,
-        "kg_enum_roundtrip": _q_enum_roundtrip,
         "kg_profile_routing": _q_profile_routing,
-        "kg_multiplicity_check": _q_multiplicity_check,
-        "kg_multivalued_attrs": _q_multivalued_attrs,
-        "kg_snapshot_meta": _q_snapshot_meta,
         "kg_schema_cast": _q_schema_cast,
         # ---- gated prefix boundary (50) -----------------------------
         # -- rotation tail: r4-GREEN with the exercised code unchanged
@@ -741,11 +765,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    (contamination only), streaming/ingest.py
         #    (stream_dedup_ingest corpus sink only), plans/lineage.py
         #    (new read-only helper). Every r5-changed codepath has a
-        #    gated-prefix row above; the three r4-green load-bearing
-        #    entries displaced by the new curation gates
-        #    (kg_default_suppression, kg_incremental_edges,
-        #    doc_dedup_corpus) lead the tail and rotate back first.
-        #    Next round this tail rotates back into the prefix. ------
+        #    gated-prefix row above; the r4-green load-bearing entries
+        #    displaced by the new curation gates (kg_enum_roundtrip,
+        #    kg_multiplicity_check, kg_multivalued_attrs,
+        #    kg_snapshot_meta, kg_default_suppression,
+        #    kg_incremental_edges, doc_dedup_corpus) lead the tail and
+        #    rotate back first. Next round this tail rotates back into
+        #    the prefix. -------------------------------------------
+        "kg_enum_roundtrip": _q_enum_roundtrip,
+        "kg_multiplicity_check": _q_multiplicity_check,
+        "kg_multivalued_attrs": _q_multivalued_attrs,
+        "kg_snapshot_meta": _q_snapshot_meta,
         "kg_default_suppression": _q_default_suppression,
         "kg_incremental_edges": _q_incremental_edges,
         "doc_dedup_corpus": _q_doc_dedup_corpus,
@@ -881,6 +911,10 @@ def oracle_sql() -> dict[str, str]:
         "doc_pack_sequences": doc_oracles.pack_sequences_sql(),
         "doc_mixture_sample": doc_oracles.mixture_sample_sql(),
         "doc_pii_scrub": doc_oracles.pii_scrub_sql(),
+        "doc_repetition": doc_oracles.repetition_sql(),
+        "doc_chunking": doc_oracles.chunking_sql(),
+        "emb_contamination": doc_oracles.emb_contamination_sql(),
+        "emb_quantize": doc_oracles.quantize_sql(),
         "doc_quality": doc_oracles.quality_score_sql(),
         "doc_lang_id": doc_oracles.lang_id_sql(),
         "doc_fingerprint": doc_oracles.fingerprint_sql(),

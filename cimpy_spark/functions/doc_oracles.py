@@ -724,3 +724,150 @@ def pii_scrub_sql() -> str:
     SELECT doc_id, {counts}, {clean} AS clean_text
     FROM piidocs
     """
+
+
+def repetition_sql(threshold: float = 0.3) -> str:
+    """Mirror of text.repetition_score: duplicate-fraction of ALL word
+    2-/3-grams (multiplicity kept, unlike the shingle set)."""
+    def gram_cte(n: int, name: str) -> str:
+        gram = " || ' ' || ".join(f"w.w[i+{j}]" for j in range(n))
+        return f"""
+    g{name} AS (
+      SELECT doc_id, {gram} AS g
+      FROM w JOIN nums ON nums.i <= len(w.w) - {n - 1}
+    ),
+    a{name} AS (
+      SELECT doc_id,
+             round((count(*) - count(DISTINCT g)) * 1.0 / count(*), 6) AS f
+      FROM g{name} GROUP BY doc_id
+    )"""
+
+    return f"""
+    WITH {NUMS}, {W_CTE},{gram_cte(2, "2")},{gram_cte(3, "3")}
+    SELECT d.doc_id,
+           coalesce(a2.f, 0.0) AS dup_2gram_frac,
+           coalesce(a3.f, 0.0) AS dup_3gram_frac,
+           (coalesce(a2.f, 0.0) >= {threshold}
+            OR coalesce(a3.f, 0.0) >= {threshold}) AS repetitive
+    FROM documents d
+    LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)
+    """
+
+
+def chunking_sql(max_tokens: int = 64, overlap: int = 8) -> str:
+    """Mirror of text.chunk_documents: minimal overlapping windows,
+    chunk i = words [i*stride+1 .. i*stride+max_tokens] (1-based
+    inclusive slice == Spark's slice(start, length))."""
+    stride = max_tokens - overlap
+    return f"""
+    WITH {NUMS}, {W_CTE},
+    l AS (
+      SELECT doc_id, w, len(w) AS n,
+             greatest(0, CAST(ceil((len(w) - {max_tokens}) * 1.0
+                                   / {stride}) AS INT)) AS last
+      FROM w
+    ),
+    ch AS (
+      SELECT doc_id, w, CAST(nums.i - 1 AS INT) AS chunk_idx
+      FROM l JOIN nums ON nums.i <= last + 1
+    )
+    SELECT doc_id, chunk_idx,
+           CAST(len(w[chunk_idx * {stride} + 1 :
+                      chunk_idx * {stride} + {max_tokens}]) AS INT) AS n_tokens,
+           array_to_string(w[chunk_idx * {stride} + 1 :
+                             chunk_idx * {stride} + {max_tokens}], ' ') AS chunk_text
+    FROM ch
+    """
+
+
+def emb_contamination_sql(
+    threshold: float = 0.95,
+    max_bucket: int = NEARDUP_MAX_BUCKET,
+    n_tables: int = 3,
+) -> str:
+    """Mirror of similarity.emb_contamination: train = raw embeddings,
+    benchmark = the organic amplitude-modulated copies (cos ≈ 0.98
+    paraphrase stand-ins, ids 1M–2M); same affine mod-127 hyperplane
+    family on both sides, bench-side bucket cap, candidate-restricted
+    cosine verify."""
+    plane = (
+        "(CASE WHEN ((2 * (tt.t * 8 + pp.p) + 3) * i"
+        " + 5 * (tt.t * 8 + pp.p) + 1) % 127 < 63"
+        " THEN 1.0 ELSE -1.0 END)"
+    )
+    def bucket_cte(src: str, name: str) -> str:
+        return f"""
+    {name}pos AS (
+      SELECT vec_id, nums.i AS i, emb[nums.i] AS v
+      FROM {src}, (SELECT unnest(generate_series(1, 64)) AS i) nums
+      WHERE nums.i <= len(emb)
+    ),
+    {name}pl AS (
+      SELECT vec_id, tt.t AS t, pp.p AS p, sum(v * {plane}) AS s
+      FROM {name}pos,
+           (SELECT unnest(generate_series(0, {n_tables - 1})) AS t) tt,
+           (SELECT unnest(generate_series(0, 7)) AS p) pp
+      GROUP BY vec_id, tt.t, pp.p
+    ),
+    {name}b AS (
+      SELECT vec_id, t,
+             CAST(sum(CASE WHEN s > 0 THEN power(2.0, p) ELSE 0 END) AS INT) AS bucket
+      FROM {name}pl GROUP BY vec_id, t
+    )"""
+
+    return f"""
+    WITH {ORGANIC_EMB_CTE.strip()},
+    tr AS (SELECT vec_id, emb FROM ebase),
+    be AS (SELECT vec_id, emb FROM eorg
+           WHERE vec_id >= 1000000 AND vec_id < 2000000),{bucket_cte("tr", "t")},{bucket_cte("be", "bn")},
+    okb AS (
+      SELECT t, bucket FROM bnb
+      GROUP BY t, bucket HAVING count(*) <= {max_bucket}
+    ),
+    cand AS (
+      SELECT DISTINCT tb.vec_id, bnb.vec_id AS bench_id
+      FROM tb JOIN bnb ON tb.t = bnb.t AND tb.bucket = bnb.bucket
+      JOIN okb ON okb.t = bnb.t AND okb.bucket = bnb.bucket
+    ),
+    sims AS (
+      SELECT c.vec_id, c.bench_id,
+             round(list_dot_product(a.emb, b.emb)
+                   / (sqrt(list_dot_product(a.emb, a.emb))
+                      * sqrt(list_dot_product(b.emb, b.emb))), 6) AS sim
+      FROM cand c JOIN tr a ON a.vec_id = c.vec_id
+                  JOIN be b ON b.vec_id = c.bench_id
+    ),
+    hits AS (
+      SELECT vec_id, count(DISTINCT bench_id) AS n_bench_hits
+      FROM sims WHERE sim >= {threshold} GROUP BY vec_id
+    )
+    SELECT t.vec_id, CAST(coalesce(h.n_bench_hits, 0) AS BIGINT) AS n_bench_hits,
+           coalesce(h.n_bench_hits, 0) > 0 AS contaminated
+    FROM tr t LEFT JOIN hits h USING (vec_id)
+    """
+
+
+def quantize_sql() -> str:
+    """Mirror of similarity.quantize_embeddings: symmetric int8 with
+    explicit floor(x+0.5) rounding and per-vector max reconstruction
+    error."""
+    return """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    s AS (
+      SELECT vec_id, emb,
+             round(list_aggregate(list_transform(emb, x -> abs(x)), 'max')
+                   / 127.0, 9) AS scale
+      FROM e
+    )
+    SELECT vec_id, scale,
+           CASE WHEN scale > 0 THEN
+             array_to_string(list_transform(emb,
+               x -> CAST(floor(x / scale + 0.5) AS INT)), ',')
+           ELSE array_to_string(list_transform(emb, x -> 0), ',') END AS qvec,
+           CASE WHEN scale > 0 THEN
+             round(list_aggregate(list_transform(emb,
+               x -> abs(floor(x / scale + 0.5) * scale - x)), 'max'), 6)
+           ELSE round(list_aggregate(list_transform(emb, x -> abs(x)), 'max'), 6)
+           END AS max_abs_err
+    FROM s
+    """

@@ -667,3 +667,112 @@ def emb_ingest(
         )
         .withColumn("is_kept", F.col("vec_id") == F.col("canonical_vec_id"))
     )
+
+
+def emb_contamination(
+    train: DataFrame,
+    bench: DataFrame,
+    threshold: float = 0.95,
+    max_bucket: int = MAX_BUCKET,
+    n_tables: int = 3,
+) -> DataFrame:
+    """Cross-corpus EMBEDDING decontamination — the semantic
+    complement of `text.contamination`'s n-gram check: flag training
+    vectors whose embedding is a near-duplicate (cosine ≥ threshold)
+    of any benchmark/eval vector, catching paraphrased leakage that
+    shares no n-grams.
+
+    Scale shape: both corpora are hyperplane-LSH bucketed with the
+    SAME `multi_table_buckets` family (narrow, zero-shuffle); the
+    benchmark side is SMALL by definition, so degenerate buckets are
+    capped on the bench side and candidates are the (tbl, bucket)
+    equi-join of train keys against bench keys — the train corpus is
+    never self-joined and never shuffled beyond its key projection.
+    Cosine verify runs only on candidates. Output: (vec_id,
+    n_bench_hits, contaminated) for EVERY train vector, where
+    n_bench_hits counts distinct benchmark vectors matched.
+    """
+    from cimpy_spark.functions.dedup import drop_oversize_buckets
+
+    t = train.select("vec_id", _as_double("embedding").alias("emb"))
+    b = bench.select(
+        F.col("vec_id").alias("bench_id"), _as_double("embedding").alias("bemb")
+    )
+    tk = multi_table_buckets(
+        t.select("vec_id", F.col("emb").alias("embedding")), n_tables
+    )
+    bk = multi_table_buckets(
+        b.select(
+            F.col("bench_id").alias("vec_id"), F.col("bemb").alias("embedding")
+        ),
+        n_tables,
+    ).select(F.col("vec_id").alias("bench_id"), "tbl", "bucket")
+    bk = drop_oversize_buckets(bk, ["tbl", "bucket"], max_bucket)
+    cand = (
+        tk.join(F.broadcast(bk), ["tbl", "bucket"])
+        .select("vec_id", "bench_id")
+        .distinct()
+    )
+    sims = (
+        cand.join(t, "vec_id")
+        .join(F.broadcast(b), "bench_id")
+        .select(
+            "vec_id",
+            "bench_id",
+            F.round(
+                _dot(F.col("emb"), F.col("bemb"))
+                / (_norm(F.col("emb")) * _norm(F.col("bemb"))),
+                6,
+            ).alias("sim"),
+        )
+    )
+    hits = (
+        sims.filter(F.col("sim") >= threshold)
+        .groupBy("vec_id")
+        .agg(F.countDistinct("bench_id").alias("n_bench_hits"))
+    )
+    return (
+        t.select("vec_id")
+        .join(hits, "vec_id", "left")
+        .fillna(0, ["n_bench_hits"])
+        .select(
+            "vec_id",
+            F.col("n_bench_hits").cast("bigint").alias("n_bench_hits"),
+            (F.col("n_bench_hits") > 0).alias("contaminated"),
+        )
+    )
+
+
+def quantize_embeddings(docs_or_emb: DataFrame) -> DataFrame:
+    """Symmetric int8 embedding quantization — the storage/serving
+    compression step of an embedding pipeline (4× smaller than
+    float32, 8× than float64), with per-vector reconstruction error
+    reported so a corpus job can gate on quality.
+
+    Per vector: scale = round(max|v| / 127, 9); q_i = floor(v_i /
+    scale + 0.5) (explicit floor(x+0.5) rounding — identical in every
+    engine, unlike bankers'-vs-half-up `round` edge cases); all-zero
+    vectors quantize to zeros with scale 0. Pure per-row array
+    arithmetic, zero shuffles. The quantized vector is emitted as a
+    comma-joined string (driver-comparator-stable, like the adjacency
+    list join). Output: (vec_id, scale, qvec, max_abs_err).
+    """
+    e = docs_or_emb.select("vec_id", _as_double("embedding").alias("emb"))
+    scale = F.round(
+        F.array_max(F.transform(F.col("emb"), lambda x: F.abs(x))) / 127.0, 9
+    )
+    q = F.when(scale > 0, F.transform(
+        F.col("emb"), lambda x: F.floor(x / scale + 0.5).cast("int")
+    )).otherwise(F.transform(F.col("emb"), lambda x: F.lit(0)))
+    err = F.when(scale > 0, F.round(
+        F.array_max(
+            F.zip_with(q, F.col("emb"), lambda qi, x: F.abs(qi * scale - x))
+        ),
+        6,
+    )).otherwise(F.round(F.array_max(F.transform(F.col("emb"), F.abs)), 6))
+    return e.select(
+        "vec_id",
+        scale.alias("scale"),
+        F.concat_ws(",", q.cast("array<string>")).alias("qvec"),
+        err.alias("max_abs_err"),
+    )

@@ -426,3 +426,95 @@ def pii_scrub(docs: DataFrame) -> DataFrame:
     for _, pat, repl in PII_PATTERNS:
         clean = F.regexp_replace(clean, pat, repl)
     return docs.select("doc_id", *counts, clean.alias("clean_text"))
+
+
+def _gram_array(n: int, col: str = "text"):
+    """ALL word n-grams of `col` in order (duplicates kept — the
+    repetition signal needs multiplicity, unlike `shingle_array`'s
+    distinct set)."""
+    w = _words(col)
+    idx = F.when(
+        F.size(w) >= n, F.sequence(F.lit(0), F.size(w) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+
+
+def repetition_score(
+    docs: DataFrame, threshold: float = 0.3
+) -> DataFrame:
+    """Intra-document repetition detection — the Gopher-rules quality
+    signal that catches boilerplate/looping text a stopword-based
+    quality score misses: the fraction of DUPLICATE word 2-grams and
+    3-grams (1 − distinct/total; 0 for docs too short to have any).
+
+    Pure per-row array arithmetic (one gram array + array_distinct
+    per n — narrow, zero shuffles, codegen-friendly), ratios rounded
+    to 6dp for cross-engine parity. Output: (doc_id, dup_2gram_frac,
+    dup_3gram_frac, repetitive) with `repetitive` = either fraction
+    ≥ threshold.
+    """
+    def frac(n: int):
+        g = _gram_array(n)
+        total = F.size(g)
+        return F.when(
+            total > 0,
+            F.round(
+                (total - F.size(F.array_distinct(g))) * F.lit(1.0) / total, 6
+            ),
+        ).otherwise(F.lit(0.0))
+
+    f2, f3 = frac(2), frac(3)
+    return docs.select(
+        "doc_id",
+        f2.alias("dup_2gram_frac"),
+        f3.alias("dup_3gram_frac"),
+        ((f2 >= threshold) | (f3 >= threshold)).alias("repetitive"),
+    )
+
+
+def chunk_documents(
+    docs: DataFrame, max_tokens: int = 64, overlap: int = 8
+) -> DataFrame:
+    """Overlapping-window document chunking — the long-document
+    splitter feeding embedding/indexing pipelines: chunk i covers
+    words [i·stride, i·stride + max_tokens) with stride =
+    max_tokens − overlap, so consecutive chunks share `overlap`
+    words; the last chunk is the final partial window (every word
+    belongs to ≥1 chunk, no empty trailing chunk).
+
+    One narrow explode over the per-doc chunk-start sequence — row
+    amplification is ceil(len/stride) per doc by construction, the
+    output size itself; no shuffle, no Python. Chunk text is the
+    space-join of the word slice (tokenization already normalized
+    whitespace, so both engines reconstruct identical bytes).
+    Output: (doc_id, chunk_idx, n_tokens, chunk_text).
+    """
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("require 0 <= overlap < max_tokens")
+    stride = max_tokens - overlap
+    w = _words()
+    n = F.size(w)
+    # minimal chunk count: one chunk covers n <= max_tokens; beyond
+    # that, each extra stride-step covers `stride` more words -> last
+    # start index = ceil((n - max_tokens) / stride), floored at 0 (a
+    # short/empty doc still gets exactly one chunk)
+    last = F.greatest(
+        F.lit(0),
+        F.ceil((n - max_tokens) * F.lit(1.0) / stride).cast("int"),
+    )
+    starts = F.sequence(F.lit(0), last)
+    ex = docs.select(
+        "doc_id", w.alias("w"), F.posexplode(starts).alias("chunk_idx", "s")
+    )
+    piece = F.slice(F.col("w"), F.col("s") * stride + 1, max_tokens)
+    return ex.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size(piece).alias("n_tokens"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+    )

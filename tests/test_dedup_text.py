@@ -494,3 +494,87 @@ def test_pii_scrub_redacts_planted_items(spark, docs):
     # untouched docs: clean_text == text
     joined = out.join(pii, "doc_id").filter(d % 7 > 4)
     assert joined.filter(F.col("clean_text") != F.col("text")).count() == 0
+
+
+def test_repetition_score_flags_looping_text(spark):
+    """A doc that repeats one phrase has high duplicate-gram fractions;
+    an all-distinct doc scores 0; short docs (no grams) score 0."""
+    d = spark.createDataFrame(
+        [
+            (1, "spam ham spam ham spam ham spam ham"),
+            (2, "one two three four five six seven eight"),
+            (3, "single"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in T.repetition_score(d).collect()}
+    assert out[1]["repetitive"] and out[1]["dup_2gram_frac"] > 0.5
+    assert not out[2]["repetitive"] and out[2]["dup_2gram_frac"] == 0.0
+    assert out[3]["dup_2gram_frac"] == 0.0 and out[3]["dup_3gram_frac"] == 0.0
+
+
+def test_chunk_documents_covers_every_word_minimally(spark, docs):
+    """Chunking invariants: chunk 0 starts at word 0; consecutive
+    chunks overlap by exactly `overlap` when full; every word index is
+    covered; no chunk beyond the minimal count; reconstruction of
+    chunk 0 equals the first max_tokens words."""
+    mt, ov = 16, 4
+    stride = mt - ov
+    ws = docs.select("doc_id", F.size(F.split(F.trim("text"), "\\s+")).alias("n"))
+    out = T.chunk_documents(docs, max_tokens=mt, overlap=ov)
+    joined = out.groupBy("doc_id").agg(
+        F.max("chunk_idx").alias("last"), F.count(F.lit(1)).alias("k")
+    ).join(ws, "doc_id")
+    rows = joined.collect()
+    import math
+    for r in rows:
+        expect_last = max(0, math.ceil((r["n"] - mt) / stride))
+        assert r["last"] == expect_last, r
+        assert r["k"] == expect_last + 1
+        # coverage: last chunk reaches the end
+        assert expect_last * stride + mt >= r["n"] or r["n"] <= mt
+    # chunk token counts: full chunks have mt tokens, the tail has the rest
+    bad = out.join(ws, "doc_id").filter(
+        (F.col("chunk_idx") * stride + mt <= F.col("n"))
+        & (F.col("n_tokens") != mt)
+    )
+    assert bad.count() == 0
+    with pytest.raises(ValueError):
+        T.chunk_documents(docs, max_tokens=8, overlap=8)
+
+
+def test_emb_contamination_flags_modulated_sources(spark, emb):
+    """Every train vector whose organic modulated copy (cos≈0.98) is
+    in the benchmark must be flagged when its LSH bucket collides;
+    vectors with no planted copy are never flagged (hard negatives
+    sit at cos≈0)."""
+    from cimpy_spark.fixtures.organic import organic_embeddings
+
+    bench = organic_embeddings(emb).filter(
+        (F.col("vec_id") >= 1_000_000) & (F.col("vec_id") < 2_000_000)
+    )
+    out = SIM.emb_contamination(emb, bench).cache()
+    flagged = {r["vec_id"] for r in out.filter("contaminated").collect()}
+    sources = {r["vec_id"] for r in emb.filter(F.col("vec_id") % 11 == 2).select("vec_id").collect()}
+    # flagged ⊆ sources (nothing else is near any bench vector) ...
+    assert flagged <= sources
+    # ... and LSH recall at 3 tables catches most planted pairs
+    assert len(flagged) >= 0.8 * len(sources)
+
+
+def test_quantize_embeddings_bounds_and_reconstruction(spark, emb):
+    """Quantized components fit int8 symmetric range; reconstruction
+    error is bounded by scale/2; all-zero vectors quantize cleanly."""
+    out = SIM.quantize_embeddings(emb).cache()
+    rows = out.collect()
+    for r in rows:
+        qs = [int(x) for x in r["qvec"].split(",")]
+        assert all(-127 <= q <= 127 for q in qs), r["vec_id"]
+        # err is 6dp-rounded, so allow the half-ulp of that rounding
+        assert r["max_abs_err"] <= r["scale"] / 2 + 5e-7
+    zero = spark.createDataFrame(
+        [(0, [0.0] * 4)], "vec_id long, embedding array<double>"
+    )
+    zrow = SIM.quantize_embeddings(zero).collect()[0]
+    assert zrow["scale"] == 0.0 and zrow["qvec"] == "0,0,0,0"
+    assert zrow["max_abs_err"] == 0.0
