@@ -508,13 +508,23 @@ def chunk_documents(
         F.ceil((n - max_tokens) * F.lit(1.0) / stride).cast("int"),
     )
     starts = F.sequence(F.lit(0), last)
-    ex = docs.select(
-        "doc_id", w.alias("w"), F.posexplode(starts).alias("chunk_idx", "s")
+    # slice INSIDE the transform, BEFORE the explode: each generated
+    # row then carries only its own piece. Exploding (chunk_idx,
+    # start) and slicing afterwards would replicate the ENTIRE word
+    # array into every generated row — O(words × chunks) bytes per
+    # doc, a real hazard for book-length documents; this shape is
+    # O(words × max_tokens/stride) ≈ 1.14× at the defaults.
+    pieces = F.transform(
+        starts,
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            F.slice(w, i * stride + 1, max_tokens).alias("piece"),
+        ),
     )
-    piece = F.slice(F.col("w"), F.col("s") * stride + 1, max_tokens)
+    ex = docs.select("doc_id", F.explode(pieces).alias("c"))
     return ex.select(
         "doc_id",
-        F.col("chunk_idx").cast("int").alias("chunk_idx"),
-        F.size(piece).alias("n_tokens"),
-        F.concat_ws(" ", piece).alias("chunk_text"),
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.size("c.piece").alias("n_tokens"),
+        F.concat_ws(" ", F.col("c.piece")).alias("chunk_text"),
     )
