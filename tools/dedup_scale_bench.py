@@ -95,9 +95,22 @@ def main() -> None:
 
     state = tempfile.mkdtemp(prefix="dedup_scale_state_")
     dedup_ingest(spark, corpus.filter(~late).select("doc_id", "text"), state)
+    # snapshot the committed state so the broadcast and forced-shuffle
+    # variants each ingest the SAME batch against the SAME bootstrap
+    state_copy = state + "_shuf"
+    shutil.copytree(state, state_copy)
     t0 = time.perf_counter()
     dedup_ingest(spark, corpus.select("doc_id", "text"), state).count()
     ingest_sec = round(time.perf_counter() - t0, 3)
+    # the size-gate's above-threshold fallback: same ingest, touched
+    # joins as plain shuffle joins (broadcast_touched_max=0) — the
+    # path a corpus-scale daily batch takes
+    t0 = time.perf_counter()
+    dedup_ingest(
+        spark, corpus.select("doc_id", "text"), state_copy,
+        broadcast_touched_max=0,
+    ).count()
+    ingest_shuffle_sec = round(time.perf_counter() - t0, 3)
 
     print(
         json.dumps(
@@ -109,6 +122,7 @@ def main() -> None:
                 "docs_batch": n_batch,
                 "one_shot_sec": one_shot_sec,
                 "ingest_batch_sec": ingest_sec,
+                "ingest_batch_shuffle_sec": ingest_shuffle_sec,
                 "rep": REP,
                 "base_docs": n_base,
                 "cores": CORES,
@@ -117,6 +131,7 @@ def main() -> None:
     )
     shutil.rmtree(stage, True)
     shutil.rmtree(state, True)
+    shutil.rmtree(state_copy, True)
     spark.stop()
 
 
