@@ -332,6 +332,10 @@ def _q_doc_contamination(spark, sf_dir):
     return T.contamination(_docs(spark, sf_dir).select("doc_id", "text"), bench)
 
 
+def _q_doc_vocab_sketch(spark, sf_dir):
+    return T.vocab_sketch(_docs(spark, sf_dir))
+
+
 def _q_doc_repetition(spark, sf_dir):
     return T.repetition_score(_docs(spark, sf_dir))
 
@@ -731,6 +735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pii_scrub": _q_doc_pii_scrub,
         "doc_repetition": _q_doc_repetition,
         "doc_chunking": _q_doc_chunking,
+        "doc_vocab_sketch": _q_doc_vocab_sketch,
         "emb_contamination": _q_emb_contamination,
         "emb_quantize": _q_emb_quantize,
         "doc_dedup_incremental": _q_doc_dedup_incremental,
@@ -750,7 +755,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_reachability": _q_reachability,
         "kg_assembly": _q_assembly,
         "kg_results_writeback": _q_results_writeback,
-        "kg_per_type_stats": _q_per_type_stats,
         "kg_profile_routing": _q_profile_routing,
         "kg_schema_cast": _q_schema_cast,
         # ---- gated prefix boundary (50) -----------------------------
@@ -772,6 +776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    kg_incremental_edges, doc_dedup_corpus) lead the tail and
         #    rotate back first. Next round this tail rotates back into
         #    the prefix. -------------------------------------------
+        "kg_per_type_stats": _q_per_type_stats,
         "kg_enum_roundtrip": _q_enum_roundtrip,
         "kg_multiplicity_check": _q_multiplicity_check,
         "kg_multivalued_attrs": _q_multivalued_attrs,
@@ -913,6 +918,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_pii_scrub": doc_oracles.pii_scrub_sql(),
         "doc_repetition": doc_oracles.repetition_sql(),
         "doc_chunking": doc_oracles.chunking_sql(),
+        "doc_vocab_sketch": doc_oracles.vocab_sketch_sql(),
         "emb_contamination": doc_oracles.emb_contamination_sql(),
         "emb_quantize": doc_oracles.quantize_sql(),
         "doc_quality": doc_oracles.quality_score_sql(),

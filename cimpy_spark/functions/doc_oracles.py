@@ -871,3 +871,37 @@ def quantize_sql() -> str:
            END AS max_abs_err
     FROM s
     """
+
+
+def vocab_sketch_sql(k: int = 64) -> str:
+    """Mirror of text.vocab_sketch: KMV over md5-prefix fractions;
+    the estimate divides by the UNROUNDED kth value (kth_u is rounded
+    only for display)."""
+    return f"""
+    WITH tok AS (
+      SELECT DISTINCT source, tok
+      FROM (SELECT source, unnest({WORDS}) AS tok FROM documents)
+    ),
+    u AS (
+      SELECT source,
+             CAST(('0x' || substring(md5(tok), 1, 12))::BIGINT AS DOUBLE)
+               / 281474976710656.0 AS u
+      FROM tok
+    ),
+    r AS (
+      SELECT source, u,
+             row_number() OVER (PARTITION BY source ORDER BY u) AS rk
+      FROM u
+    ),
+    agg AS (
+      SELECT source, count(*) AS n_distinct,
+             min(CASE WHEN rk = {k} THEN u END) AS kth_u
+      FROM r GROUP BY source
+    )
+    SELECT source,
+           CAST(least(n_distinct, {k}) AS INT) AS n_min_k,
+           round(kth_u, 9) AS kth_u,
+           CAST(CASE WHEN kth_u IS NOT NULL THEN round(({k} - 1) / kth_u)
+                ELSE n_distinct END AS BIGINT) AS est_distinct
+    FROM agg
+    """

@@ -528,3 +528,49 @@ def chunk_documents(
         F.size("c.piece").alias("n_tokens"),
         F.concat_ws(" ", F.col("c.piece")).alias("chunk_text"),
     )
+
+
+def vocab_sketch(docs: DataFrame, k: int = 64) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch of each source's
+    vocabulary — the corpus-profiling sketch class done PORTABLY:
+    hash every distinct (source, token) to a uniform fraction
+    u = md5-prefix / 16^12 ∈ [0,1); the k-th smallest u per source
+    estimates the distinct count as (k−1)/u_k (the classic KMV
+    estimator, ±1/√k relative error). Because the hash family is md5,
+    the estimate is DETERMINISTIC and bit-identical in any engine —
+    unlike approx_count_distinct's HLL++, it can be oracle-gated
+    exactly, and the sketch is mergeable (union the min-k sets) which
+    is the 100 TB story: per-partition min-k combines map-side, only
+    k values per source ever shuffle. Sources with fewer than k
+    distinct tokens report the exact count (estimate = n, u_k null).
+    Output: (source, n_min_k, kth_u, est_distinct).
+    """
+    tok = (
+        docs.select("source", F.explode(_words()).alias("tok"))
+        .distinct()
+        .select(
+            "source",
+            (
+                F.conv(F.substring(F.md5("tok"), 1, 12), 16, 10).cast("double")
+                / F.lit(float(16**12))
+            ).alias("u"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy("u")
+    ranked = tok.withColumn("rk", F.row_number().over(w))
+    agg = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.min(F.when(F.col("rk") == k, F.col("u"))).alias("kth_u"),
+    )
+    est = F.when(
+        F.col("kth_u").isNotNull(),
+        F.round((k - 1) / F.col("kth_u")),
+    ).otherwise(F.col("n_distinct").cast("double"))
+    return agg.select(
+        "source",
+        F.least(F.col("n_distinct"), F.lit(k)).cast("int").alias("n_min_k"),
+        F.round("kth_u", 9).alias("kth_u"),
+        est.cast("long").alias("est_distinct"),
+    )

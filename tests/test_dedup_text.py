@@ -578,3 +578,29 @@ def test_quantize_embeddings_bounds_and_reconstruction(spark, emb):
     zrow = SIM.quantize_embeddings(zero).collect()[0]
     assert zrow["scale"] == 0.0 and zrow["qvec"] == "0,0,0,0"
     assert zrow["max_abs_err"] == 0.0
+
+
+def test_vocab_sketch_estimates_within_kmv_error(spark, docs):
+    """KMV invariants: the estimate is within the ~1/√k band of the
+    exact distinct count for sources with > k tokens; sources with
+    ≤ k distinct tokens report EXACTLY (kth_u null → est == exact);
+    deterministic run to run (no RNG — the hash IS the randomness)."""
+    k = 64
+    out = {r["source"]: r for r in T.vocab_sketch(docs, k=k).collect()}
+    exact = {
+        r["source"]: r["n"]
+        for r in docs.select("source", F.explode(F.split(F.trim("text"), "\\s+")).alias("t"))
+        .distinct()
+        .groupBy("source")
+        .agg(F.countDistinct("t").alias("n"))
+        .collect()
+    }
+    import math
+    for s, r in out.items():
+        if r["kth_u"] is None:
+            assert r["est_distinct"] == exact[s] and exact[s] <= k
+        else:
+            # 4/sqrt(k) ≈ 4-sigma band — deterministic fixture, no flake
+            assert abs(r["est_distinct"] - exact[s]) <= 4 * exact[s] / math.sqrt(k), (s, r, exact[s])
+    again = {r["source"]: r for r in T.vocab_sketch(docs, k=k).collect()}
+    assert again == out
