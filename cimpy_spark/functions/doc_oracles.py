@@ -905,3 +905,33 @@ def vocab_sketch_sql(k: int = 64) -> str:
                 ELSE n_distinct END AS BIGINT) AS est_distinct
     FROM agg
     """
+
+
+def heavy_hitters_cms_sql(d: int = 4, w: int = 512, k: int = 20) -> str:
+    """Mirror of text.heavy_hitters_cms: d md5 hash rows of w
+    counters, min over a token's d counters."""
+    bucket = (
+        "('0x' || substring(md5(CAST(jj.j AS STRING) || '#' || {tok}), 1, 8)"
+        f")::BIGINT % {w}"
+    )
+    return f"""
+    WITH toks AS (SELECT unnest({WORDS}) AS tok FROM documents),
+    js AS (SELECT unnest(generate_series(0, {d - 1})) AS j),
+    keyed AS (
+      SELECT tok, jj.j AS j, {bucket.format(tok="tok")} AS bucket
+      FROM toks, js jj
+    ),
+    sketch AS (SELECT j, bucket, count(*) AS cnt FROM keyed GROUP BY j, bucket),
+    exact AS (
+      SELECT tok, count(*) AS exact_cnt FROM toks GROUP BY tok
+      ORDER BY exact_cnt DESC, tok ASC LIMIT {k}
+    ),
+    cand AS (
+      SELECT e.tok, e.exact_cnt, jj.j AS j, {bucket.format(tok="e.tok")} AS bucket
+      FROM exact e, js jj
+    )
+    SELECT c.tok, CAST(c.exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(min(s.cnt) AS BIGINT) AS est_cnt
+    FROM cand c JOIN sketch s USING (j, bucket)
+    GROUP BY c.tok, c.exact_cnt
+    """

@@ -574,3 +574,80 @@ def vocab_sketch(docs: DataFrame, k: int = 64) -> DataFrame:
         F.round("kth_u", 9).alias("kth_u"),
         est.cast("long").alias("est_distinct"),
     )
+
+
+def heavy_hitters_cms(
+    docs: DataFrame, d: int = 4, w: int = 512, k: int = 20
+) -> DataFrame:
+    """Count-min-sketch frequency estimation for corpus heavy hitters
+    — the second sketch class (frequency, vs `vocab_sketch`'s
+    cardinality): token occurrences hash into `d` independent rows of
+    `w` counters (bucket_j = md5(j#tok) mod w); a token's estimate is
+    the MIN over its d counters, which can only OVERCOUNT (collisions
+    add, never subtract) by ≤ 2N/w with probability 1−2^−d.
+
+    Scale shape — the entire point of CMS: the corpus explodes to
+    tokens once, then aggregates onto d×w ≈ 2k FIXED shuffle keys
+    with map-side combine, so sketch construction cost is independent
+    of vocabulary size (a groupBy-token exact count shuffles the full
+    vocabulary). The hash family is md5 → the sketch is deterministic
+    and exactly oracle-gateable. The candidate set queried here (the
+    top-`k` exact tokens, count desc / tok asc tie-break) is
+    gate-scale convenience — at corpus scale candidates come from a
+    sample or a prior round, and the sketch answers point queries.
+    Output: (tok, exact_cnt, est_cnt) with est_cnt ≥ exact_cnt.
+    """
+    toks = docs.select(F.explode(_words()).alias("tok"))
+    rows = F.array(*[F.lit(j) for j in range(d)])
+    keyed = toks.select(
+        "tok", F.explode(rows).alias("j")
+    ).select(
+        "tok",
+        "j",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("#", F.col("j").cast("string"), "tok")),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % w
+        ).alias("bucket"),
+    )
+    sketch = keyed.groupBy("j", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    exact = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), F.col("tok").asc())
+        .limit(k)
+    )
+    cand = exact.select(
+        "tok", "exact_cnt", F.explode(rows).alias("j")
+    ).select(
+        "tok",
+        "exact_cnt",
+        "j",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("#", F.col("j").cast("string"), "tok")),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % w
+        ).alias("bucket"),
+    )
+    return (
+        cand.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy("tok", "exact_cnt")
+        .agg(F.min("cnt").alias("est_cnt"))
+        .select("tok", "exact_cnt", "est_cnt")
+    )

@@ -604,3 +604,20 @@ def test_vocab_sketch_estimates_within_kmv_error(spark, docs):
             assert abs(r["est_distinct"] - exact[s]) <= 4 * exact[s] / math.sqrt(k), (s, r, exact[s])
     again = {r["source"]: r for r in T.vocab_sketch(docs, k=k).collect()}
     assert again == out
+
+
+def test_heavy_hitters_cms_overestimates_only(spark, docs):
+    """CMS invariants: every estimate ≥ the exact count (collisions
+    only add); with enough width the top hitters estimate exactly;
+    deterministic run to run."""
+    out = T.heavy_hitters_cms(docs, d=4, w=2048, k=10).cache()
+    rows = out.collect()
+    assert len(rows) == 10
+    assert all(r["est_cnt"] >= r["exact_cnt"] for r in rows)
+    # wide sketch: overestimate bounded well below 2N/w
+    n_total = docs.select(F.explode(F.split(F.trim("text"), "\\s+"))).count()
+    assert all(
+        r["est_cnt"] - r["exact_cnt"] <= 2 * n_total / 2048 for r in rows
+    )
+    again = T.heavy_hitters_cms(docs, d=4, w=2048, k=10).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
