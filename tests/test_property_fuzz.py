@@ -194,3 +194,126 @@ def test_pipeline_matches_oracle_on_random_grammar(spark, rows):
     assert edges == oracle.edges
     cmap = {r["entity_id"]: r["canonical_id"] for r in g.cmap.collect()}
     assert cmap == oracle.cmap
+
+
+# ---------------------------------------------------------------------------
+# Curation-operator differential fuzz (round 5): random document
+# corpora (unicode noise, whitespace runs, empties) vs pure-Python
+# reimplementations of the packing / chunking semantics, plus
+# scrubbing idempotence.
+# ---------------------------------------------------------------------------
+
+DOC_TEXT = st.text(
+    alphabet="ab xyz0é中\t .,@:/+", min_size=0, max_size=80
+)
+
+
+@st.composite
+def doc_corpus(draw):
+    n = draw(st.integers(1, 25))
+    return [(i, draw(DOC_TEXT)) for i in range(n)]
+
+
+def _pywords(t: str) -> list[str]:
+    # mirror of text._words: Spark's trim strips SPACES only (tabs
+    # survive — DuckDB's trim agrees, which is why the oracles match),
+    # and Java's \s is ASCII whitespace; split of '' yields ['']
+    import re
+
+    return re.split(r"[ \t\n\x0b\f\r]+", t.strip(" "))
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(corpus=doc_corpus(), budget=st.integers(2, 40))
+def test_pack_sequences_matches_python_reimplementation(spark, corpus, budget):
+    """Differential fuzz: a pure-Python re-run of the packing rule
+    (md5 shard, doc_id order, exclusive cumsum, floor-div/mod) must
+    produce EXACTLY the engine's (shard, seq_id, offset) rows."""
+    import hashlib
+
+    from cimpy_spark.functions import text as T
+
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["shard"], r["n_tokens"], r["seq_id"], r["offset"])
+        for r in T.pack_sequences(df, budget=budget, n_shards=4).collect()
+    }
+    shards: dict[int, list[tuple[int, int]]] = {}
+    for doc_id, t in corpus:
+        h = int(hashlib.md5(f"pack0#{doc_id}".encode()).hexdigest()[:8], 16)
+        shards.setdefault(h % 4, []).append((doc_id, len(_pywords(t))))
+    expected = {}
+    for shard, members in shards.items():
+        cum = 0
+        for doc_id, n in sorted(members):
+            expected[doc_id] = (shard, n, cum // budget, cum % budget)
+            cum += n
+    assert got == expected
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    corpus=doc_corpus(),
+    mt=st.integers(3, 30),
+    ov=st.integers(0, 10),
+)
+def test_chunking_matches_python_reimplementation(spark, corpus, mt, ov):
+    """Differential fuzz for chunking: minimal window count, exact
+    slices, full word coverage — vs a Python re-run."""
+    import math
+
+    from cimpy_spark.functions import text as T
+
+    ov = min(ov, mt - 1)
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["n_tokens"], r["chunk_text"])
+        for r in T.chunk_documents(df, max_tokens=mt, overlap=ov).collect()
+    }
+    stride = mt - ov
+    expected = {}
+    for doc_id, t in corpus:
+        w = _pywords(t)
+        last = max(0, math.ceil((len(w) - mt) / stride))
+        for ci in range(last + 1):
+            piece = w[ci * stride : ci * stride + mt]
+            expected[(doc_id, ci)] = (len(piece), " ".join(piece))
+    assert got == expected
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(corpus=doc_corpus())
+def test_pii_scrub_is_idempotent_on_fuzz_text(spark, corpus):
+    """Scrubbing a scrubbed corpus is a no-op: placeholders never
+    re-match any pattern and counts on clean text are all zero (random
+    text may contain '@'/':'/'/' shards that look PII-adjacent)."""
+    from pyspark.sql import functions as F
+
+    from cimpy_spark.functions import text as T
+
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    once = T.pii_scrub(df).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    twice = T.pii_scrub(once)
+    assert twice.filter(
+        (F.col("n_url") > 0) | (F.col("n_email") > 0)
+        | (F.col("n_ip") > 0) | (F.col("n_phone") > 0)
+    ).count() == 0
+    joined = twice.join(once.select("doc_id", "text"), "doc_id")
+    assert joined.filter(F.col("clean_text") != F.col("text")).count() == 0
