@@ -398,11 +398,13 @@ def simhash_candidates(
 
     Default 60 bits / 4 bands — the SAME setting as `simhash`'s
     default (see its corpus-size table): 15-bit band slices keep
-    buckets unsaturated to ~1B+ docs. Narrower fingerprints (32/16)
-    remain available for small corpora and are what the fixture-scale
-    oracle gates pin; degenerate slices (e.g. short docs voting
-    identically) are dropped by the cap, A1-style, like the MinHash
-    path."""
+    buckets unsaturated to ~1B+ docs. The gated `doc_simhash_
+    candidates` runs THIS 60-bit default cross-engine (the oracle's
+    default moved in lockstep, round 5); narrower fingerprints
+    (32/16) remain available for small corpora, with 60-bit
+    fingerprint parity additionally pinned in `test_dedup_text.py`.
+    Degenerate slices (e.g. short docs voting identically) are
+    dropped by the cap, A1-style, like the MinHash path."""
     band_bits = n_bits // n_bands
     # materialize the fingerprints ONCE: the simhash fold would
     # otherwise be re-evaluated per band expression after projection

@@ -850,16 +850,18 @@ def emb_contamination_sql(
 def quantize_sql() -> str:
     """Mirror of similarity.quantize_embeddings: symmetric int8 with
     explicit floor(x+0.5) rounding and per-vector max reconstruction
-    error."""
+    error. The quantizing scale is EXACT max|v|/127 (a decimals-
+    rounded scale overflows int8 for small-magnitude vectors); only
+    the displayed scale column is rounded."""
     return """
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
     s AS (
       SELECT vec_id, emb,
-             round(list_aggregate(list_transform(emb, x -> abs(x)), 'max')
-                   / 127.0, 9) AS scale
+             list_aggregate(list_transform(emb, x -> abs(x)), 'max')
+                   / 127.0 AS scale
       FROM e
     )
-    SELECT vec_id, scale,
+    SELECT vec_id, round(scale, 9) AS scale,
            CASE WHEN scale > 0 THEN
              array_to_string(list_transform(emb,
                x -> CAST(floor(x / scale + 0.5) AS INT)), ',')

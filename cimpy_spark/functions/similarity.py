@@ -713,8 +713,11 @@ def emb_contamination(
         .select("vec_id", "bench_id")
         .distinct()
     )
+    # cand is bench-bounded (≤ |bench| × max_bucket pairs) — broadcast
+    # it so the verify pass over the train corpus stays a narrow
+    # broadcast join instead of shuffling every (vec_id, emb) row
     sims = (
-        cand.join(t, "vec_id")
+        F.broadcast(cand).join(t, "vec_id")
         .join(F.broadcast(b), "bench_id")
         .select(
             "vec_id",
@@ -749,18 +752,22 @@ def quantize_embeddings(docs_or_emb: DataFrame) -> DataFrame:
     float32, 8× than float64), with per-vector reconstruction error
     reported so a corpus job can gate on quality.
 
-    Per vector: scale = round(max|v| / 127, 9); q_i = floor(v_i /
-    scale + 0.5) (explicit floor(x+0.5) rounding — identical in every
-    engine, unlike bankers'-vs-half-up `round` edge cases); all-zero
-    vectors quantize to zeros with scale 0. Pure per-row array
-    arithmetic, zero shuffles. The quantized vector is emitted as a
-    comma-joined string (driver-comparator-stable, like the adjacency
-    list join). Output: (vec_id, scale, qvec, max_abs_err).
+    Per vector: scale = max|v| / 127 EXACTLY (quantizing with a
+    decimals-rounded scale underestimates it for small-magnitude
+    vectors and overflows the int8 range — e.g. max|v|≈1.9e-7 rounded
+    scale at 9dp gave q=190; the displayed `scale` column is rounded
+    to 9 significant-digit-safe decimals only for hashing, never used
+    in the math); q_i = floor(v_i / scale + 0.5) (explicit
+    floor(x+0.5) rounding — identical in every engine, unlike
+    bankers'-vs-half-up `round` edge cases), so q_max = floor(127.5)
+    = 127 by construction; all-zero vectors quantize to zeros with
+    scale 0. Pure per-row array arithmetic, zero shuffles. The
+    quantized vector is emitted as a comma-joined string
+    (driver-comparator-stable, like the adjacency list join).
+    Output: (vec_id, scale, qvec, max_abs_err).
     """
     e = docs_or_emb.select("vec_id", _as_double("embedding").alias("emb"))
-    scale = F.round(
-        F.array_max(F.transform(F.col("emb"), lambda x: F.abs(x))) / 127.0, 9
-    )
+    scale = F.array_max(F.transform(F.col("emb"), lambda x: F.abs(x))) / 127.0
     q = F.when(scale > 0, F.transform(
         F.col("emb"), lambda x: F.floor(x / scale + 0.5).cast("int")
     )).otherwise(F.transform(F.col("emb"), lambda x: F.lit(0)))
@@ -772,7 +779,7 @@ def quantize_embeddings(docs_or_emb: DataFrame) -> DataFrame:
     )).otherwise(F.round(F.array_max(F.transform(F.col("emb"), F.abs)), 6))
     return e.select(
         "vec_id",
-        scale.alias("scale"),
+        F.round(scale, 9).alias("scale"),  # display/hash only
         F.concat_ws(",", q.cast("array<string>")).alias("qvec"),
         err.alias("max_abs_err"),
     )

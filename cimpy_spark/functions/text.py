@@ -86,23 +86,29 @@ def lang_id(docs: DataFrame) -> DataFrame:
     )
 
 
-def shingle_array(n: int = 3, col: str = "text"):
-    """Distinct word n-grams of `col` as a per-row array expression —
-    THE single shingle construction shared by fingerprinting, MinHash
-    and Jaccard (one source of truth: a tokenization tweak here moves
-    all three together). Narrow; docs shorter than n words yield an
-    empty array."""
+def _gram_array(n: int, col: str = "text"):
+    """ALL word n-grams of `col` in order (duplicates kept) — THE
+    single n-gram construction: `shingle_array` is its distinct set,
+    `repetition_score` consumes the multiset. One body, so a
+    tokenization tweak moves every n-gram consumer together. Narrow;
+    docs shorter than n words yield an empty array."""
     w = _words(col)
     idx = F.when(
         F.size(w) >= n, F.sequence(F.lit(0), F.size(w) - n)
     ).otherwise(F.array().cast("array<int>"))
-    gram = F.transform(
+    return F.transform(
         idx,
         lambda i: F.concat_ws(
             " ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(n)]
         ),
     )
-    return F.array_distinct(gram)
+
+
+def shingle_array(n: int = 3, col: str = "text"):
+    """Distinct word n-grams of `col` — the shingle set shared by
+    fingerprinting, MinHash and Jaccard (the distinct view of
+    `_gram_array`, the one n-gram body)."""
+    return F.array_distinct(_gram_array(n, col))
 
 
 def has_shingles(n: int = 3):
@@ -177,18 +183,7 @@ def hash_split(
     growth, unlike any fraction-based random split), (b) is
     recomputable by any engine from the id alone, and (c) re-salts
     into an independent split. Output: (doc_id, bucket, split)."""
-    h = F.conv(
-        F.substring(
-            F.md5(
-                F.concat_ws("#", F.lit(salt), F.col("doc_id").cast("string"))
-            ),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("long")
-    bucket = (h % 100).cast("int")
+    bucket = _md5_bucket(salt, 100).cast("int")
     split = (
         F.when(bucket < val_pct, F.lit("val"))
         .when(bucket < val_pct + test_pct, F.lit("test"))
@@ -238,7 +233,13 @@ def contamination(train: DataFrame, bench: DataFrame, n: int = 5) -> DataFrame:
     raw grams. The corpus is read once and never shuffled (only hit
     rows reach the verify join and the aggregation). No per-row
     Python anywhere."""
-    bench_grams = (
+    from cimpy_spark.plans.checkpoints import checkpoint_df
+
+    # materialize ONCE: consumed by both the hash-set build and the
+    # collision re-verify join — uncached, the bench explode+distinct
+    # would recompute per consumer (doubling the bench pass at the
+    # millions-of-13-grams eval-suite scale this op targets)
+    bench_grams = checkpoint_df(
         bench.select(F.explode(shingle_array(n)).alias("gram")).distinct()
     )
     bench_hashes = bench_grams.select(
@@ -362,10 +363,12 @@ def mixture_sample(
     if weights is None:
         # default exercises all regimes: clamped-to-1, fractional, zero
         weights = {"src0": 0.8, "src1": 0.1, "src2": 0.06, "src3": 0.04}
-    toks = token_count(docs).select(
-        "doc_id", F.col("n_ws_tokens").alias("n_tokens")
+    # n_tokens inline in ONE projection — joining token_count(docs)
+    # back to docs on doc_id would shuffle the whole corpus twice for
+    # a value that is a narrow per-row expression
+    base = docs.select(
+        "doc_id", "source", F.size(_words()).alias("n_tokens")
     )
-    base = docs.select("doc_id", "source").join(toks, "doc_id")
     totals = base.groupBy("source").agg(
         F.sum("n_tokens").cast("long").alias("src_tokens")
     )
@@ -426,22 +429,6 @@ def pii_scrub(docs: DataFrame) -> DataFrame:
     for _, pat, repl in PII_PATTERNS:
         clean = F.regexp_replace(clean, pat, repl)
     return docs.select("doc_id", *counts, clean.alias("clean_text"))
-
-
-def _gram_array(n: int, col: str = "text"):
-    """ALL word n-grams of `col` in order (duplicates kept — the
-    repetition signal needs multiplicity, unlike `shingle_array`'s
-    distinct set)."""
-    w = _words(col)
-    idx = F.when(
-        F.size(w) >= n, F.sequence(F.lit(0), F.size(w) - n)
-    ).otherwise(F.array().cast("array<int>"))
-    return F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(n)]
-        ),
-    )
 
 
 def repetition_score(
@@ -599,12 +586,12 @@ def heavy_hitters_cms(
     """
     toks = docs.select(F.explode(_words()).alias("tok"))
     rows = F.array(*[F.lit(j) for j in range(d)])
-    keyed = toks.select(
-        "tok", F.explode(rows).alias("j")
-    ).select(
-        "tok",
-        "j",
-        (
+
+    # ONE bucket expression for both the sketch build and the point
+    # queries — two inline copies would let an edit silently
+    # desynchronize them (every estimate then wrong but plausible)
+    def bucket():
+        return (
             F.conv(
                 F.substring(
                     F.md5(F.concat_ws("#", F.col("j").cast("string"), "tok")),
@@ -615,7 +602,10 @@ def heavy_hitters_cms(
                 10,
             ).cast("long")
             % w
-        ).alias("bucket"),
+        ).alias("bucket")
+
+    keyed = toks.select("tok", F.explode(rows).alias("j")).select(
+        "tok", "j", bucket()
     )
     sketch = keyed.groupBy("j", "bucket").agg(
         F.count(F.lit(1)).alias("cnt")
@@ -628,23 +618,7 @@ def heavy_hitters_cms(
     )
     cand = exact.select(
         "tok", "exact_cnt", F.explode(rows).alias("j")
-    ).select(
-        "tok",
-        "exact_cnt",
-        "j",
-        (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat_ws("#", F.col("j").cast("string"), "tok")),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("long")
-            % w
-        ).alias("bucket"),
-    )
+    ).select("tok", "exact_cnt", "j", bucket())
     return (
         cand.join(F.broadcast(sketch), ["j", "bucket"])
         .groupBy("tok", "exact_cnt")

@@ -621,3 +621,19 @@ def test_heavy_hitters_cms_overestimates_only(spark, docs):
     )
     again = T.heavy_hitters_cms(docs, d=4, w=2048, k=10).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+
+
+def test_quantize_small_magnitude_vectors_stay_int8(spark):
+    """Regression (round-5 review finding): quantizing with a
+    decimals-rounded scale underestimated it for small-magnitude
+    vectors and emitted q=190 > 127. The scale used in the math must
+    be the exact max|v|/127, so every component lands in [-127, 127]
+    regardless of magnitude."""
+    tiny = spark.createDataFrame(
+        [(0, [1.8986e-7, 1e-8, -5e-8, 2e-8]), (1, [3e-12, -2.9e-12, 0.0, 1e-13])],
+        "vec_id long, embedding array<double>",
+    )
+    for r in SIM.quantize_embeddings(tiny).collect():
+        qs = [int(x) for x in r["qvec"].split(",")]
+        assert all(-127 <= q <= 127 for q in qs), (r["vec_id"], qs)
+        assert max(abs(q) for q in qs) == 127  # max component saturates
