@@ -637,3 +637,20 @@ def test_quantize_small_magnitude_vectors_stay_int8(spark):
         qs = [int(x) for x in r["qvec"].split(",")]
         assert all(-127 <= q <= 127 for q in qs), (r["vec_id"], qs)
         assert max(abs(q) for q in qs) == 127  # max component saturates
+
+
+def test_curation_ops_plan_shapes(spark, docs, emb):
+    """Plan regression for the round-5 curation ops (PLANS.md claims
+    made durable): repetition and quantization are ZERO-exchange
+    projections; packing is exactly ONE shard-window exchange;
+    mixture sampling shuffles only the tiny per-source aggregate (one
+    hash exchange) and reaches the corpus via a broadcast join, never
+    a corpus shuffle."""
+    for df in (T.repetition_score(docs), SIM.quantize_embeddings(emb)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+    pack = T.pack_sequences(docs)._jdf.queryExecution().executedPlan().toString()
+    assert pack.count("Exchange hashpartitioning") == 1, pack
+    mix = T.mixture_sample(docs)._jdf.queryExecution().executedPlan().toString()
+    assert mix.count("Exchange hashpartitioning") <= 1, mix
+    assert "BroadcastExchange" in mix, mix
