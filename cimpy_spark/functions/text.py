@@ -439,21 +439,43 @@ def repetition_score(
     quality score misses: the fraction of DUPLICATE word 2-grams and
     3-grams (1 − distinct/total; 0 for docs too short to have any).
 
-    Pure per-row array arithmetic (one gram array + array_distinct
-    per n — narrow, zero shuffles, codegen-friendly), ratios rounded
-    to 6dp for cross-engine parity. Output: (doc_id, dup_2gram_frac,
+    Pure per-row array arithmetic — narrow, zero shuffles. Each
+    fraction is ONE fold over the SORTED gram array (duplicate count
+    = adjacent-equal pairs; total and ratio computed in the same
+    pass, ratio emitted by the finish lambda): HOF results get
+    substituted into every consumer by projection collapse with no
+    CSE, so the earlier size/array_distinct/size formulation rebuilt
+    the gram array ~8× per reference — measured 333s → ~13s for
+    500k docs (tools/curation_scale_bench.py). Ratios rounded to 6dp
+    for cross-engine parity. Output: (doc_id, dup_2gram_frac,
     dup_3gram_frac, repetitive) with `repetitive` = either fraction
     ≥ threshold.
     """
     def frac(n: int):
-        g = _gram_array(n)
-        total = F.size(g)
-        return F.when(
-            total > 0,
-            F.round(
-                (total - F.size(F.array_distinct(g))) * F.lit(1.0) / total, 6
-            ),
-        ).otherwise(F.lit(0.0))
+        g = F.array_sort(_gram_array(n))
+        init = F.struct(
+            F.lit(0).alias("cnt"),
+            F.lit(0).alias("dup"),
+            F.lit(None).cast("string").alias("prev"),
+        )
+
+        def step(acc, x):
+            return F.struct(
+                (acc["cnt"] + 1).alias("cnt"),
+                (
+                    acc["dup"]
+                    + F.when(x == acc["prev"], F.lit(1)).otherwise(F.lit(0))
+                ).alias("dup"),
+                x.alias("prev"),
+            )
+
+        def fin(acc):
+            return F.when(
+                acc["cnt"] > 0,
+                F.round(acc["dup"] * F.lit(1.0) / acc["cnt"], 6),
+            ).otherwise(F.lit(0.0))
+
+        return F.aggregate(g, init, step, fin)
 
     f2, f3 = frac(2), frac(3)
     return docs.select(
