@@ -272,7 +272,7 @@ def test_signature_ops_are_pure_projections(spark, docs, emb):
     """Plan regression (PLANS.md): simhash and lsh_buckets must stay
     ZERO-exchange projections — a reintroduced explode/shuffle in the
     signature path is a scale regression even if results stay right."""
-    for df in (D.simhash(docs), SIM.lsh_buckets(emb)):
+    for df in (D.simhash(docs), SIM.lsh_buckets(emb), T.fingerprint(docs)):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, plan
         assert "Generate" not in plan, plan  # no explodes
