@@ -340,6 +340,10 @@ def _q_doc_heavy_hitters(spark, sf_dir):
     return T.heavy_hitters_cms(_docs(spark, sf_dir))
 
 
+def _q_doc_lm_quality(spark, sf_dir):
+    return T.lm_quality(_docs(spark, sf_dir))
+
+
 def _q_doc_repetition(spark, sf_dir):
     return T.repetition_score(_docs(spark, sf_dir))
 
@@ -741,6 +745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunking": _q_doc_chunking,
         "doc_vocab_sketch": _q_doc_vocab_sketch,
         "doc_heavy_hitters": _q_doc_heavy_hitters,
+        "doc_lm_quality": _q_doc_lm_quality,
         "emb_contamination": _q_emb_contamination,
         "emb_quantize": _q_emb_quantize,
         "doc_dedup_incremental": _q_doc_dedup_incremental,
@@ -760,7 +765,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_reachability": _q_reachability,
         "kg_assembly": _q_assembly,
         "kg_results_writeback": _q_results_writeback,
-        "kg_schema_cast": _q_schema_cast,
         # ---- gated prefix boundary (50) -----------------------------
         # -- rotation tail: r4-GREEN with the exercised code unchanged
         #    this round. Files touched in r5: functions/dedup.py
@@ -780,6 +784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    kg_incremental_edges, doc_dedup_corpus) lead the tail and
         #    rotate back first. Next round this tail rotates back into
         #    the prefix. -------------------------------------------
+        "kg_schema_cast": _q_schema_cast,
         "kg_profile_routing": _q_profile_routing,
         "kg_per_type_stats": _q_per_type_stats,
         "kg_enum_roundtrip": _q_enum_roundtrip,
@@ -925,6 +930,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunking": doc_oracles.chunking_sql(),
         "doc_vocab_sketch": doc_oracles.vocab_sketch_sql(),
         "doc_heavy_hitters": doc_oracles.heavy_hitters_cms_sql(),
+        "doc_lm_quality": doc_oracles.lm_quality_sql(),
         "emb_contamination": doc_oracles.emb_contamination_sql(),
         "emb_quantize": doc_oracles.quantize_sql(),
         "doc_quality": doc_oracles.quality_score_sql(),

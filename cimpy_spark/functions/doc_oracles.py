@@ -937,3 +937,33 @@ def heavy_hitters_cms_sql(d: int = 4, w: int = 512, k: int = 20) -> str:
     FROM cand c JOIN sketch s USING (j, bucket)
     GROUP BY c.tok, c.exact_cnt
     """
+
+
+def lm_quality_sql() -> str:
+    """Mirror of text.lm_quality: corpus-trained bigram model, per-doc
+    mean of 9dp-rounded ln P(w2|w1), mean rounded to 6dp."""
+    return f"""
+    WITH {NUMS}, {W_CTE},
+    bi AS (
+      SELECT doc_id, w.w[i] || ' ' || w.w[i+1] AS gram
+      FROM w JOIN nums ON nums.i <= len(w.w) - 1
+    ),
+    uni AS (SELECT unnest({WORDS}) AS word FROM documents),
+    c2 AS (SELECT gram, count(*) AS c2 FROM bi GROUP BY gram),
+    c1 AS (SELECT word AS w1, count(*) AS c1 FROM uni GROUP BY word),
+    scored AS (
+      SELECT b.doc_id, round(ln(c2.c2 * 1.0 / c1.c1), 9) AS lp
+      FROM bi b
+      JOIN c2 USING (gram)
+      JOIN c1 ON c1.w1 = string_split(b.gram, ' ')[1]
+    ),
+    agg AS (
+      SELECT doc_id, count(*) AS n_bigrams,
+             round(avg(lp), 6) AS avg_logprob
+      FROM scored GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           a.avg_logprob
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """

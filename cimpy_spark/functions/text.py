@@ -655,3 +655,57 @@ def heavy_hitters_cms(
         .agg(F.min("cnt").alias("est_cnt"))
         .select("tok", "exact_cnt", "est_cnt")
     )
+
+
+def lm_quality(docs: DataFrame) -> DataFrame:
+    """Perplexity-style language-model quality score — the
+    KenLM-filter analog of corpus curation (filter docs whose text is
+    improbable under a reference LM), here with the bigram model
+    trained ON the corpus itself (deterministic, self-contained; a
+    production run would swap in a held-out reference model — same
+    plumbing): score(doc) = mean over the doc's bigram OCCURRENCES of
+    ln P(w2|w1), with P = c(w1 w2) / c(w1) from corpus counts.
+
+    Cross-engine determinism: each ln is rounded to 9dp before the
+    mean and the mean to 6dp (the `ivf_topk` centroid precedent —
+    aggregation order cannot move a 6dp rounding except on
+    measure-zero boundaries). Scale shape: one bigram explode (≈ word
+    count) feeding two map-side-combinable count aggregates, then a
+    count join back on the bigram key — hot bigrams skew that join,
+    which is AQE-skew-join territory, not a broadcast (the bigram
+    table is corpus-vocabulary-sized). Output: (doc_id, n_bigrams,
+    avg_logprob) — avg_logprob null for docs with no bigram.
+    """
+    bi = docs.select(
+        "doc_id", F.explode(_gram_array(2)).alias("gram")
+    )
+    uni = docs.select(F.explode(_words()).alias("w"))
+    c2 = bi.groupBy("gram").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = (
+        uni.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+        .select(F.col("w").alias("w1"), "c1")
+    )
+    scored = (
+        bi.join(c2, "gram")
+        .withColumn("w1", F.split("gram", " ")[0])
+        .join(c1, "w1")
+        .select(
+            "doc_id",
+            F.round(F.log(F.col("c2") * F.lit(1.0) / F.col("c1")), 9).alias(
+                "lp"
+            ),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("lp"), 6).alias("avg_logprob"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+            "avg_logprob",
+        )
+    )

@@ -654,3 +654,27 @@ def test_curation_ops_plan_shapes(spark, docs, emb):
     mix = T.mixture_sample(docs)._jdf.queryExecution().executedPlan().toString()
     assert mix.count("Exchange hashpartitioning") <= 1, mix
     assert "BroadcastExchange" in mix, mix
+
+
+def test_lm_quality_scores_probable_text_higher(spark):
+    """A doc whose bigrams repeat corpus-typical patterns scores a
+    higher (less negative) mean log-prob than a doc of one-off
+    bigrams; single-word docs carry no bigram (null score); scores
+    are deterministic."""
+    d = spark.createDataFrame(
+        [
+            (1, "the table the table the table the table"),
+            # common first word 'the' with one-off continuations:
+            # P(zebra|the) = 1/9 etc. — improbable under the corpus LM
+            (2, "the zebra the apple the onion"),
+            (3, "word"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in T.lm_quality(d).collect()}
+    # doc 1's 'the table' dominates P(·|the) -> far higher log-prob
+    assert out[1]["avg_logprob"] > out[2]["avg_logprob"]
+    assert out[1]["n_bigrams"] == 7 and out[2]["n_bigrams"] == 5
+    assert out[3]["n_bigrams"] == 0 and out[3]["avg_logprob"] is None
+    again = {r["doc_id"]: r for r in T.lm_quality(d).collect()}
+    assert again == out
