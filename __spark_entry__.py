@@ -733,10 +733,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": A.event_sessions,
         "event_hourly_counts": A.event_hourly_counts,
         "event_type_rollup": A.event_type_rollup,
-        # -- new or changed in round 5 (streaming KG gate; size-gated
+        # -- new or changed in round 5: streaming KG gate; size-gated
         #    touched-broadcast + enforced widest-corpus contract in
         #    both ingests; hashed decontamination broadcast; NEW
-        #    curation ops: packing, mixture sampling, PII scrub) ------
+        #    curation ops (packing, mixture, PII scrub, repetition,
+        #    chunking, KMV + CMS sketches, LM quality, embedding
+        #    decontamination, int8 quantization) ---------------------
         "stream_kg_ingest": _q_stream_kg_ingest,
         "doc_pack_sequences": _q_doc_pack_sequences,
         "doc_mixture_sample": _q_doc_mixture_sample,
@@ -751,39 +753,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dedup_incremental": _q_doc_dedup_incremental,
         "emb_dedup_incremental": _q_emb_dedup_incremental,
         "doc_contamination": _q_doc_contamination,
-        # -- load-bearing pipeline queries, kept gated every round ----
+        # -- re-gated because their code was REFACTORED late in r5
+        #    (fingerprint -> zero-shuffle fold; hash_split ->
+        #    _md5_bucket helper; shingle_array -> distinct view of
+        #    _gram_array, consumed by minhash/jaccard/dedup_corpus):
+        #    semantics byte-identical, but "tail = unchanged code"
+        #    stays literally true this way -------------------------
+        "doc_fingerprint": _q_doc_fingerprint,
+        "doc_hash_split": _q_doc_hash_split,
+        "doc_minhash_candidates": _q_doc_minhash_candidates,
+        "doc_dedup_corpus": _q_doc_dedup_corpus,
+        # -- load-bearing pipeline core, kept gated every round ------
         "stream_extract_triples": _q_stream_extract,
         "stream_conv_state": _q_stream_conv_state,
         "kg_transcripts": _q_transcripts,
         "kg_extract_triples": _q_extract,
-        "kg_input_validation": _q_input_validation,
         "kg_entities": _q_entities,
         "kg_link_edges": _q_link_edges,
         "kg_link_quarantine": _q_link_quarantine,
         "kg_canonical_edges": _q_canonical_edges,
         "kg_nodes": _q_nodes,
+        # ---- gated prefix boundary (50) -----------------------------
+        # -- rotation tail: r4-GREEN and the exercised code is
+        #    UNCHANGED in r5 (checked per entry): the kg_* rows touch
+        #    only operator files untouched this round; doc_token_count/
+        #    doc_quality/doc_lang_id/doc_simhash/doc_source_quota use
+        #    _words/filter/window paths untouched; doc_dedup_exact is
+        #    md5-groupBy; emb_neardup_pairs/emb_dedup_corpus functions
+        #    are untouched. r4-green load-bearing entries displaced by
+        #    the new curation gates lead the tail and rotate back
+        #    first next round. ------------------------------------
+        "kg_input_validation": _q_input_validation,
         "kg_reachability": _q_reachability,
         "kg_assembly": _q_assembly,
         "kg_results_writeback": _q_results_writeback,
-        # ---- gated prefix boundary (50) -----------------------------
-        # -- rotation tail: r4-GREEN with the exercised code unchanged
-        #    this round. Files touched in r5: functions/dedup.py
-        #    (dedup_ingest/_touched_joins/_require_widest_corpus +
-        #    simhash_candidates DEFAULT — one-shot dedup_corpus,
-        #    exact_duplicates, minhash and the simhash fingerprint are
-        #    byte-identical), functions/similarity.py (emb_ingest,
-        #    kmeans_cells/kmeans_ivf_topk — neardup_pairs and
-        #    emb_dedup_corpus untouched), functions/text.py
-        #    (contamination only), streaming/ingest.py
-        #    (stream_dedup_ingest corpus sink only), plans/lineage.py
-        #    (new read-only helper). Every r5-changed codepath has a
-        #    gated-prefix row above; the r4-green load-bearing entries
-        #    displaced by the new curation gates (kg_enum_roundtrip,
-        #    kg_multiplicity_check, kg_multivalued_attrs,
-        #    kg_snapshot_meta, kg_default_suppression,
-        #    kg_incremental_edges, doc_dedup_corpus) lead the tail and
-        #    rotate back first. Next round this tail rotates back into
-        #    the prefix. -------------------------------------------
         "kg_schema_cast": _q_schema_cast,
         "kg_profile_routing": _q_profile_routing,
         "kg_per_type_stats": _q_per_type_stats,
@@ -793,14 +796,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_snapshot_meta": _q_snapshot_meta,
         "kg_default_suppression": _q_default_suppression,
         "kg_incremental_edges": _q_incremental_edges,
-        "doc_dedup_corpus": _q_doc_dedup_corpus,
         "doc_token_count": _q_doc_token_count,
         "doc_quality": _q_doc_quality,
         "doc_lang_id": _q_doc_lang_id,
-        "doc_fingerprint": _q_doc_fingerprint,
         "doc_simhash": _q_doc_simhash,
-        "doc_minhash_candidates": _q_doc_minhash_candidates,
-        "doc_hash_split": _q_doc_hash_split,
         "doc_source_quota": _q_doc_source_quota,
         "doc_dedup_exact": _q_doc_dedup_exact,
         "emb_neardup_pairs": _q_emb_neardup,
