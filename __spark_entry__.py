@@ -352,6 +352,30 @@ def _q_doc_chunking(spark, sf_dir):
     return T.chunk_documents(_docs(spark, sf_dir))
 
 
+def _q_doc_repetition_arrow(spark, sf_dir):
+    # Arrow-kernel twin of doc_repetition (functions/text_arrow.py):
+    # same inputs, same ORACLE — the gate verifies the mapInArrow
+    # kernel itself cross-engine (65s -> 2.6s per 500k docs, BENCH.md)
+    from cimpy_spark.functions.text_arrow import repetition_score_arrow
+
+    return repetition_score_arrow(_docs(spark, sf_dir))
+
+
+def _q_doc_contamination_arrow(spark, sf_dir):
+    # Arrow-kernel twin of doc_contamination — same organic bench
+    # side, same oracle (57s -> 3.0s per 500k docs, BENCH.md)
+    from pyspark.sql import functions as F
+
+    from cimpy_spark.functions.text_arrow import contamination_arrow
+
+    bench = _organic_docs(spark, sf_dir).filter(
+        (F.col("doc_id") >= 2_000_000) & (F.col("doc_id") < 3_000_000)
+    )
+    return contamination_arrow(
+        _docs(spark, sf_dir).select("doc_id", "text"), bench
+    )
+
+
 def _q_emb_contamination(spark, sf_dir):
     # train = raw embeddings; benchmark = the organic amplitude-
     # modulated copies (cos ≈ 0.98 'paraphrase' stand-ins) — the
@@ -753,6 +777,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dedup_incremental": _q_doc_dedup_incremental,
         "emb_dedup_incremental": _q_emb_dedup_incremental,
         "doc_contamination": _q_doc_contamination,
+        # Arrow-kernel twins (added late in r5): gated against the
+        # SAME oracles as their SQL siblings, so the kernels get
+        # their own cross-engine rows
+        "doc_repetition_arrow": _q_doc_repetition_arrow,
+        "doc_contamination_arrow": _q_doc_contamination_arrow,
         # -- re-gated because their code was REFACTORED late in r5
         #    (fingerprint -> zero-shuffle fold; hash_split ->
         #    _md5_bucket helper; shingle_array -> distinct view of
@@ -768,8 +797,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_conv_state": _q_stream_conv_state,
         "kg_transcripts": _q_transcripts,
         "kg_extract_triples": _q_extract,
-        "kg_entities": _q_entities,
-        "kg_link_edges": _q_link_edges,
         "kg_link_quarantine": _q_link_quarantine,
         "kg_canonical_edges": _q_canonical_edges,
         "kg_nodes": _q_nodes,
@@ -782,7 +809,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    md5-groupBy; emb_neardup_pairs/emb_dedup_corpus functions
         #    are untouched. r4-green load-bearing entries displaced by
         #    the new curation gates lead the tail and rotate back
-        #    first next round. ------------------------------------
+        #    first next round. kg_entities/kg_link_edges were
+        #    displaced from the load-bearing prefix by the two Arrow
+        #    gates: r4-GREEN and link.py is untouched this round, so
+        #    the rotation contract holds; they rotate back first. ---
+        "kg_entities": _q_entities,
+        "kg_link_edges": _q_link_edges,
         "kg_input_validation": _q_input_validation,
         "kg_reachability": _q_reachability,
         "kg_assembly": _q_assembly,
@@ -922,6 +954,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_hash_split": doc_oracles.hash_split_sql(),
         "doc_source_quota": doc_oracles.source_quota_sql(),
         "doc_contamination": doc_oracles.contamination_sql(),
+        "doc_repetition_arrow": doc_oracles.repetition_sql(),
+        "doc_contamination_arrow": doc_oracles.contamination_sql(),
         "doc_pack_sequences": doc_oracles.pack_sequences_sql(),
         "doc_mixture_sample": doc_oracles.mixture_sample_sql(),
         "doc_pii_scrub": doc_oracles.pii_scrub_sql(),

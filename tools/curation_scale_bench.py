@@ -83,6 +83,18 @@ def main() -> None:
     timed("contamination", lambda: force(T.contamination(
         docs, docs.limit(500), n=5
     )))
+    # Arrow-kernel variants of the two heaviest ops (text_arrow.py) —
+    # same outputs bit-for-bit (tests/test_text_arrow.py), measured
+    # here against their SQL twins on the identical corpus
+    from cimpy_spark.functions import text_arrow as TA
+
+    timed(
+        "repetition_score_arrow",
+        lambda: force(TA.repetition_score_arrow(docs)),
+    )
+    timed("contamination_arrow", lambda: force(TA.contamination_arrow(
+        docs, docs.limit(500), n=5
+    )))
 
     print(json.dumps({
         "metric": "curation_ops_at_100x",
