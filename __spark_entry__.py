@@ -24,6 +24,7 @@ from cimpy_spark.fixtures.events_transcripts import (  # noqa: E402
 )
 from cimpy_spark import analytics as A  # noqa: E402
 from cimpy_spark import pipeline as P  # noqa: E402
+from cimpy_spark.functions import conversations  # noqa: E402
 from cimpy_spark.functions import doc_oracles  # noqa: E402
 from cimpy_spark.functions import dedup as D  # noqa: E402
 from cimpy_spark.functions import similarity as SIM  # noqa: E402
@@ -350,6 +351,34 @@ def _q_doc_repetition(spark, sf_dir):
 
 def _q_doc_chunking(spark, sf_dir):
     return T.chunk_documents(_docs(spark, sf_dir))
+
+
+def _q_conv_profile(spark, sf_dir):
+    # conversation-level "data card" aggregate over the input_hint
+    # transcript shape (functions/conversations.py)
+    from cimpy_spark.functions.conversations import conv_profile
+
+    return conv_profile(transcripts_from_events(spark, sf_dir))
+
+
+def _q_conv_alternation(spark, sf_dir):
+    from cimpy_spark.functions.conversations import conv_alternation
+
+    return conv_alternation(transcripts_from_events(spark, sf_dir))
+
+
+def _q_conv_dedup_exact(spark, sf_dir):
+    # planted re-keyed conversation copies (the fixture has no natural
+    # conv dups — every text embeds its event_id), oracle derives the
+    # identical planted corpus
+    from cimpy_spark.functions.conversations import (
+        conv_dedup_exact,
+        plant_conv_duplicates,
+    )
+
+    return conv_dedup_exact(
+        plant_conv_duplicates(transcripts_from_events(spark, sf_dir))
+    )
 
 
 def _q_doc_repetition_arrow(spark, sf_dir):
@@ -782,6 +811,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # their own cross-engine rows
         "doc_repetition_arrow": _q_doc_repetition_arrow,
         "doc_contamination_arrow": _q_doc_contamination_arrow,
+        # conversation-level curation over the input_hint transcript
+        # shape (added late in r5): profile, chat-shape validation,
+        # whole-conversation dedup with planted re-keyed copies
+        "conv_profile": _q_conv_profile,
+        "conv_alternation": _q_conv_alternation,
+        "conv_dedup_exact": _q_conv_dedup_exact,
         # -- re-gated because their code was REFACTORED late in r5
         #    (fingerprint -> zero-shuffle fold; hash_split ->
         #    _md5_bucket helper; shingle_array -> distinct view of
@@ -797,9 +832,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_conv_state": _q_stream_conv_state,
         "kg_transcripts": _q_transcripts,
         "kg_extract_triples": _q_extract,
-        "kg_link_quarantine": _q_link_quarantine,
-        "kg_canonical_edges": _q_canonical_edges,
-        "kg_nodes": _q_nodes,
         # ---- gated prefix boundary (50) -----------------------------
         # -- rotation tail: r4-GREEN and the exercised code is
         #    UNCHANGED in r5 (checked per entry): the kg_* rows touch
@@ -812,9 +844,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    first next round. kg_entities/kg_link_edges were
         #    displaced from the load-bearing prefix by the two Arrow
         #    gates: r4-GREEN and link.py is untouched this round, so
-        #    the rotation contract holds; they rotate back first. ---
+        #    the rotation contract holds; they rotate back first.
+        #    Same for kg_link_quarantine/kg_canonical_edges/kg_nodes,
+        #    displaced by the conv_* gates (link.py and
+        #    canonicalize.py untouched this round, all r4-green). ---
         "kg_entities": _q_entities,
         "kg_link_edges": _q_link_edges,
+        "kg_link_quarantine": _q_link_quarantine,
+        "kg_canonical_edges": _q_canonical_edges,
+        "kg_nodes": _q_nodes,
         "kg_input_validation": _q_input_validation,
         "kg_reachability": _q_reachability,
         "kg_assembly": _q_assembly,
@@ -956,6 +994,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_contamination": doc_oracles.contamination_sql(),
         "doc_repetition_arrow": doc_oracles.repetition_sql(),
         "doc_contamination_arrow": doc_oracles.contamination_sql(),
+        "conv_profile": conversations.conv_profile_sql(),
+        "conv_alternation": conversations.conv_alternation_sql(),
+        "conv_dedup_exact": conversations.conv_dedup_exact_sql(),
         "doc_pack_sequences": doc_oracles.pack_sequences_sql(),
         "doc_mixture_sample": doc_oracles.mixture_sample_sql(),
         "doc_pii_scrub": doc_oracles.pii_scrub_sql(),
