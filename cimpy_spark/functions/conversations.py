@@ -126,6 +126,140 @@ def plant_conv_duplicates(transcripts: DataFrame, mod: int = 10) -> DataFrame:
     return transcripts.unionByName(dup)
 
 
+def conv_pairs(transcripts: DataFrame) -> DataFrame:
+    """SFT (prompt, response) pair mining: every assistant turn paired
+    with the NEAREST PRECEDING user turn in its conversation — the
+    instruction-tuning extraction a transcript corpus exists to feed.
+    Assistant turns with no prior user turn (conversation openers,
+    system-led segments) are dropped; intervening tool/system turns
+    are skipped over, matching how a chat template folds tool traffic
+    into the assistant's context.
+
+    One window over (conv_id, turn_idx) — `last(..., ignorenulls)`
+    over rows UNBOUNDED PRECEDING..1 PRECEDING — so a single shuffle
+    on the pipeline's own key; the filter to assistant rows happens
+    after the window but BEFORE any further shuffle, so downstream
+    consumers see only the pair rows. Output: (conv_id, turn_idx,
+    prompt_turn_idx, prompt, response, prompt_ws_tokens,
+    response_ws_tokens)."""
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    user_only = lambda c: F.when(F.col("role") == "user", F.col(c))  # noqa: E731
+    ws = lambda c: F.size(F.split(F.trim(F.col(c)), r"\s+")).cast("bigint")  # noqa: E731
+    return (
+        transcripts.select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            F.last(user_only("turn_idx"), ignorenulls=True)
+            .over(w)
+            .alias("prompt_turn_idx"),
+            F.last(user_only("text"), ignorenulls=True).over(w).alias("prompt"),
+            F.col("text").alias("response"),
+        )
+        .filter(
+            (F.col("role") == "assistant") & F.col("prompt_turn_idx").isNotNull()
+        )
+        .select(
+            "conv_id",
+            "turn_idx",
+            "prompt_turn_idx",
+            "prompt",
+            "response",
+            ws("prompt").alias("prompt_ws_tokens"),
+            ws("response").alias("response_ws_tokens"),
+        )
+    )
+
+
+def conv_tool_stats(transcripts: DataFrame) -> DataFrame:
+    """Per-tool usage profile over the corpus: call count, distinct
+    conversations touched, and mean whitespace-token size of the tool
+    turns — the agent-trace analytics that size tool-result truncation
+    and flag runaway tools before training.
+
+    Filter (tool IS NOT NULL, pushed to the scan) then one hash
+    aggregate keyed on `tool` — tool cardinality is tiny, so the
+    shuffle is |tools| rows; `n_convs` uses exact count-distinct,
+    which Spark executes as a two-phase partial-distinct expand (fine
+    at any scale for a small group-key domain). Output: (tool,
+    n_calls, n_convs, avg_call_ws_tokens)."""
+    return (
+        transcripts.filter(F.col("tool").isNotNull())
+        .groupBy("tool")
+        .agg(
+            F.count(F.lit(1)).alias("n_calls"),
+            F.countDistinct("conv_id").alias("n_convs"),
+            F.round(F.avg(_toks()), 6).alias("avg_call_ws_tokens"),
+        )
+    )
+
+
+def conv_tool_transitions(transcripts: DataFrame) -> DataFrame:
+    """Tool-sequence bigrams: for each conversation's tool calls in
+    turn order, count (prev_tool -> tool) transitions corpus-wide,
+    with '<start>' marking each conversation's first call — the
+    Markov-chain view of agent behavior (which tools chain, which
+    loop) that drives trace sampling and loop-cap curation.
+
+    One window (lag over tool turns within conv_id) + one aggregate
+    on the tiny (prev_tool, tool) domain. The window partitions on
+    conv_id — the pipeline's key — and the bigram aggregate's
+    cardinality is |tools|² at most. Output: (prev_tool, tool, n)."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return (
+        transcripts.filter(F.col("tool").isNotNull())
+        .select(
+            "conv_id",
+            F.coalesce(F.lag("tool").over(w), F.lit("<start>")).alias(
+                "prev_tool"
+            ),
+            "tool",
+        )
+        .groupBy("prev_tool", "tool")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def conv_latency(transcripts: DataFrame) -> DataFrame:
+    """Per-conversation timing profile from the input_hint `ts`
+    column: inter-turn gap statistics plus the assistant-response
+    latency (gap into each assistant turn) — the wall-clock shape of
+    a conversation, used to drop stalled/replayed logs and to weight
+    live traffic against batch backfills.
+
+    Millisecond epochs (`unix_millis` / DuckDB `epoch_ms`) keep the
+    arithmetic integral until the final rounded averages, so the two
+    engines agree bit-for-bit. One window (lag ts over turn_idx) + one
+    aggregate, both keyed on conv_id. Output: (conv_id, n_gaps,
+    avg_gap_ms, max_gap_ms, n_assistant_gaps,
+    avg_assistant_latency_ms)."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    # parquet ts arrives as TIMESTAMP_NTZ; epoch via timestamp cast
+    # (session tz UTC == DuckDB's NTZ epoch_ms())
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    gap = (ms - F.lag(ms).over(w)).alias("gap_ms")
+    return (
+        transcripts.select("conv_id", "role", gap)
+        .groupBy("conv_id")
+        .agg(
+            F.count("gap_ms").alias("n_gaps"),
+            F.round(F.avg("gap_ms"), 6).alias("avg_gap_ms"),
+            F.max("gap_ms").alias("max_gap_ms"),
+            F.count(
+                F.when(F.col("role") == "assistant", F.col("gap_ms"))
+            ).alias("n_assistant_gaps"),
+            F.round(
+                F.avg(F.when(F.col("role") == "assistant", F.col("gap_ms"))),
+                6,
+            ).alias("avg_assistant_latency_ms"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracles (run over the shared transcripts derivation)
 # --------------------------------------------------------------------------
@@ -200,4 +334,246 @@ def conv_dedup_exact_sql(mod: int = 10) -> str:
              min(conv_id) OVER (PARTITION BY fp) AS keeper_conv_id
       FROM canon
     )
+    """
+
+
+def conv_pairs_sql() -> str:
+    duck_ws = lambda c: f"CAST(len(string_split_regex(trim({c}), '\\s+')) AS BIGINT)"  # noqa: E731
+    return f"""
+    WITH {_T_CTE},
+    ctx AS (
+      SELECT conv_id, turn_idx, role,
+             last_value(CASE WHEN role = 'user' THEN turn_idx END IGNORE NULLS)
+               OVER (PARTITION BY conv_id ORDER BY turn_idx
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prompt_turn_idx,
+             last_value(CASE WHEN role = 'user' THEN text END IGNORE NULLS)
+               OVER (PARTITION BY conv_id ORDER BY turn_idx
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prompt,
+             text AS response
+      FROM transcripts
+    )
+    SELECT conv_id, turn_idx, prompt_turn_idx, prompt, response,
+           {duck_ws('prompt')} AS prompt_ws_tokens,
+           {duck_ws('response')} AS response_ws_tokens
+    FROM ctx
+    WHERE role = 'assistant' AND prompt_turn_idx IS NOT NULL
+    """
+
+
+def conv_tool_stats_sql() -> str:
+    return f"""
+    WITH {_T_CTE}
+    SELECT tool,
+           CAST(count(*) AS BIGINT) AS n_calls,
+           CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+           round(avg({_DUCK_TOKS}), 6) AS avg_call_ws_tokens
+    FROM transcripts
+    WHERE tool IS NOT NULL
+    GROUP BY tool
+    """
+
+
+def conv_tool_transitions_sql() -> str:
+    return f"""
+    WITH {_T_CTE},
+    calls AS (
+      SELECT conv_id,
+             COALESCE(lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx),
+                      '<start>') AS prev_tool,
+             tool
+      FROM transcripts
+      WHERE tool IS NOT NULL
+    )
+    SELECT prev_tool, tool, CAST(count(*) AS BIGINT) AS n
+    FROM calls
+    GROUP BY prev_tool, tool
+    """
+
+
+def conv_latency_sql() -> str:
+    return f"""
+    WITH {_T_CTE},
+    gaps AS (
+      SELECT conv_id, role,
+             epoch_ms(ts) - lag(epoch_ms(ts))
+               OVER (PARTITION BY conv_id ORDER BY turn_idx) AS gap_ms
+      FROM transcripts
+    )
+    SELECT conv_id,
+           CAST(count(gap_ms) AS BIGINT) AS n_gaps,
+           round(avg(gap_ms), 6) AS avg_gap_ms,
+           max(gap_ms) AS max_gap_ms,
+           CAST(count(CASE WHEN role = 'assistant' THEN gap_ms END) AS BIGINT)
+             AS n_assistant_gaps,
+           round(avg(CASE WHEN role = 'assistant' THEN gap_ms END), 6)
+             AS avg_assistant_latency_ms
+    FROM gaps
+    GROUP BY conv_id
+    """
+
+
+# --------------------------------------------------------------------------
+# Whole-conversation NEAR-dedup (turn-hash shingling)
+# --------------------------------------------------------------------------
+
+_PREFIX_CODE = {"c": 0, "d": 1, "e": 2}
+
+
+def conv_hash_docs(transcripts: DataFrame) -> DataFrame:
+    """Project each conversation to a (doc_id, text) "document" whose
+    words are the conversation's per-turn md5(role:text) hashes in
+    turn order. Shingling those words makes near-dup detection operate
+    on TURN SEQUENCES: a re-logged conversation that lost or gained a
+    few turns still shares almost all its turn-hash 3-grams, while
+    per-turn text dedup can never see conversation-level overlap.
+
+    At 10^12 turns this is the scale move: each conversation collapses
+    to |turns| fixed-width tokens BEFORE the dedup machinery runs, so
+    the LSH/verify stages shuffle conversation-count rows, not raw
+    text. doc_id = 3*k + prefix_code (c→0, d→1, e→2) keeps the id
+    numeric, reversible, and ordered so min-id election prefers the
+    original 'c' conversation."""
+    code = (
+        F.when(F.substring("conv_id", 1, 1) == "c", 0)
+        .when(F.substring("conv_id", 1, 1) == "d", 1)
+        .otherwise(2)
+    )
+    k = F.substring(F.col("conv_id"), 2, 1000000).cast("bigint")
+    hashes = F.transform(
+        F.array_sort(F.collect_list(F.struct("turn_idx", "role", "text"))),
+        lambda s: F.md5(F.concat_ws(":", s["role"], s["text"])),
+    )
+    return (
+        transcripts.groupBy("conv_id")
+        .agg(F.concat_ws(" ", hashes).alias("text"))
+        .select((3 * k + code).alias("doc_id"), "text")
+    )
+
+
+def _conv_id_back(col: str) -> F.Column:
+    c = F.col(col)
+    prefix = (
+        F.when(c % 3 == 0, "c").when(c % 3 == 1, "d").otherwise("e")
+    )
+    return F.concat(prefix, (c / 3).cast("bigint").cast("string"))
+
+
+def conv_neardup(transcripts: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """Whole-conversation near-duplicate dedup: turn-hash documents
+    (`conv_hash_docs`) through the SAME MinHash-LSH → Jaccard-verify →
+    connected-components → min-id election pipeline as document dedup
+    (functions/dedup.py:dedup_corpus) — one reusable engine, two
+    granularities. A conversation re-logged minus its last turn is a
+    textbook catch (J=(n-3)/(n-2) on turn-hash 3-grams); a 40%-head
+    truncation falls well below 0.8 and is correctly kept.
+
+    Output: (conv_id, canonical_conv_id, is_dup) — ids mapped back
+    from the numeric doc space (original 'c' conversations win the
+    min-id election over planted 'd'/'e' re-logs by construction)."""
+    from cimpy_spark.functions.dedup import dedup_corpus
+
+    out = dedup_corpus(conv_hash_docs(transcripts), threshold=threshold)
+    return out.select(
+        _conv_id_back("doc_id").alias("conv_id"),
+        _conv_id_back("canonical_doc_id").alias("canonical_conv_id"),
+        (~F.col("is_kept")).alias("is_dup"),
+    )
+
+
+def plant_conv_near_duplicates(
+    transcripts: DataFrame, mod: int = 10
+) -> DataFrame:
+    """Planted NEAR-duplicate corpus for the conv_neardup gate:
+
+    - conversations with id ≡ 3 (mod `mod`) re-logged as ``d<k>``
+      MINUS their final turn (the retry/resume truncation mode —
+      turn-hash Jaccard ≈ (n-3)/(n-2), well above 0.8);
+    - conversations with id ≡ 7 (mod `mod`) re-logged as ``e<k>``
+      keeping only the first 40% of turns (turn-hash Jaccard ≈ 0.4 —
+      a hard negative the verify stage must REJECT).
+
+    The DuckDB oracle derives the identical corpus
+    (`planted_near_cte_sql`)."""
+    w = Window.partitionBy("conv_id")
+    k = F.substring(F.col("conv_id"), 2, 1000000).cast("int")
+    t = transcripts.withColumn("_n", F.count(F.lit(1)).over(w))
+    rekey = lambda p: F.concat(  # noqa: E731
+        F.lit(p), F.substring(F.col("conv_id"), 2, 1000000)
+    )
+    trunc_last = (
+        t.filter((k % mod == 3) & (F.col("turn_idx") < F.col("_n") - 1))
+        .withColumn("conv_id", rekey("d"))
+        .drop("_n")
+    )
+    head40 = (
+        t.filter((k % mod == 7) & (F.col("turn_idx") * 5 < F.col("_n") * 2))
+        .withColumn("conv_id", rekey("e"))
+        .drop("_n")
+    )
+    return transcripts.unionByName(trunc_last).unionByName(head40)
+
+
+def planted_near_cte_sql(mod: int = 10) -> str:
+    return f"""
+    sized AS (
+      SELECT conv_id, turn_idx, role, text,
+             count(*) OVER (PARTITION BY conv_id) AS _n
+      FROM transcripts
+    ),
+    plnear AS (
+      SELECT conv_id, turn_idx, role, text FROM transcripts
+      UNION ALL
+      SELECT 'd' || substr(conv_id, 2), turn_idx, role, text
+      FROM sized
+      WHERE CAST(substr(conv_id, 2) AS INT) % {mod} = 3
+        AND turn_idx < _n - 1
+      UNION ALL
+      SELECT 'e' || substr(conv_id, 2), turn_idx, role, text
+      FROM sized
+      WHERE CAST(substr(conv_id, 2) AS INT) % {mod} = 7
+        AND turn_idx * 5 < _n * 2
+    )
+    """
+
+
+def conv_neardup_sql(threshold: float = 0.8, mod: int = 10) -> str:
+    """DuckDB mirror of conv_neardup over the planted-near corpus:
+    turn-hash convdocs → the shared jac_ctes chain (nums_max=4000
+    bounds shingle positions at 4k TURNS per conversation — the word
+    cap of the doc-level chain does not apply because words here are
+    per-turn hashes) → transitive closure → min-id election."""
+    from cimpy_spark.functions.doc_oracles import jac_ctes
+
+    back = (
+        lambda c: f"(CASE {c} % 3 WHEN 0 THEN 'c' WHEN 1 THEN 'd' "
+        f"ELSE 'e' END) || CAST({c} // 3 AS STRING)"
+    )
+    return f"""
+    WITH RECURSIVE {_T_CTE},
+    {planted_near_cte_sql(mod)},
+    convdocs AS (
+      SELECT (CASE substr(conv_id, 1, 1) WHEN 'c' THEN 0
+              WHEN 'd' THEN 1 ELSE 2 END)
+             + 3 * CAST(substr(conv_id, 2) AS BIGINT) AS doc_id,
+             string_agg(md5(role || ':' || text), ' ' ORDER BY turn_idx)
+               AS text
+      FROM plnear GROUP BY conv_id
+    ),
+    {jac_ctes("convdocs", nums_max=4000)},
+    dup AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= {threshold}),
+    sym AS (SELECT doc_a AS a, doc_b AS b FROM dup
+            UNION SELECT doc_b, doc_a FROM dup),
+    reach(a, b) AS (
+      SELECT doc_id, doc_id FROM convdocs
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN sym e ON r.b = e.a
+    ),
+    cmapd AS (SELECT a AS doc_id, min(b) AS canonical_doc_id
+              FROM reach GROUP BY a)
+    SELECT {back('doc_id')} AS conv_id,
+           {back('canonical_doc_id')} AS canonical_conv_id,
+           doc_id <> canonical_doc_id AS is_dup
+    FROM cmapd
     """

@@ -114,10 +114,15 @@ from cimpy_spark.fixtures.organic import (  # noqa: E402
 )
 
 
-def sig_ctes(src: str = "documents") -> str:
-    """MinHash signature/band/candidate CTE chain over `src`."""
+def sig_ctes(src: str = "documents", nums_max: int = 500) -> str:
+    """MinHash signature/band/candidate CTE chain over `src`.
+
+    `nums_max` bounds the shingle-position series (default matches the
+    historical 500-word documents cap; conversation-level callers pass
+    a larger bound because their "words" are per-turn hashes)."""
+    nums = f"nums AS (SELECT unnest(generate_series(1, {nums_max})) AS i)"
     return f"""
-{NUMS}, {_w_cte(src)}, {SH3_CTE},
+{nums}, {_w_cte(src)}, {SH3_CTE},
 seeds AS (SELECT unnest(generate_series(0, 11)) AS seed),
 sig AS (
   SELECT doc_id, seed,
@@ -149,10 +154,10 @@ def minhash_candidates_sql() -> str:
     return f"WITH {SIG_CTES} SELECT doc_a, doc_b FROM cand"
 
 
-def jac_ctes(src: str = "documents") -> str:
+def jac_ctes(src: str = "documents", nums_max: int = 500) -> str:
     """Candidate-pair exact-Jaccard CTE chain over `src`."""
     return f"""
-{sig_ctes(src)},
+{sig_ctes(src, nums_max)},
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
   SELECT c.doc_a, c.doc_b, count(*) AS n_inter
