@@ -407,6 +407,12 @@ def _q_conv_latency(spark, sf_dir):
     return conv_latency(transcripts_from_events(spark, sf_dir))
 
 
+def _q_pagerank(spark, sf_dir):
+    # fixed-point PageRank over the canonical graph (bit-exact int64
+    # arithmetic; oracle = the same recurrence unrolled as CTEs)
+    return P.pagerank(_graph(spark, sf_dir).canon_edges)
+
+
 def _q_conv_neardup(spark, sf_dir):
     # whole-conversation NEAR-dup: turn-hash shingles through the
     # shared MinHash->Jaccard->CC dedup engine; planted truncation
@@ -861,6 +867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # SFT pair mining, tool analytics, latency profiling — all
         # new code, gated on arrival
         "conv_neardup": _q_conv_neardup,
+        "kg_pagerank": _q_pagerank,
         "conv_pairs": _q_conv_pairs,
         "conv_tool_stats": _q_conv_tool_stats,
         "conv_tool_transitions": _q_conv_tool_transitions,
@@ -1059,6 +1066,7 @@ def oracle_sql() -> dict[str, str]:
         "conv_alternation": conversations.conv_alternation_sql(),
         "conv_dedup_exact": conversations.conv_dedup_exact_sql(),
         "conv_neardup": conversations.conv_neardup_sql(),
+        "kg_pagerank": oracles.pagerank_sql(),
         "conv_pairs": conversations.conv_pairs_sql(),
         "conv_tool_stats": conversations.conv_tool_stats_sql(),
         "conv_tool_transitions": conversations.conv_tool_transitions_sql(),

@@ -563,3 +563,67 @@ def type_dispatch_sql() -> str:
         _with(T_CTE, ENTITIES_CTE)
         + "\nSELECT type, count(*) AS n_entities FROM entities GROUP BY type"
     )
+
+
+def pagerank_sql(iters: int = 5, scale: int = 10**12) -> str:
+    """Unrolled fixed-point PageRank recurrence (mirror of
+    pipeline.pagerank): one (contrib, dang, rank) CTE triple per
+    iteration over the canonical edge set. Integer-only arithmetic
+    (// floor division on non-negative int64) makes the comparison
+    bit-exact — the reason the operator is fixed-point at all."""
+    head = f"""
+    , pr_edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM canon_edges)
+    , pr_nodes AS MATERIALIZED (
+        -- explicit DISTINCT, not bare UNION: under WITH RECURSIVE,
+        -- DuckDB 1.0.0 compiles a non-self-referencing CTE's UNION
+        -- as UNION ALL (verified minimal repro), silently doubling
+        -- every node that is both a src and a dst
+        SELECT DISTINCT id FROM (
+          SELECT src AS id FROM pr_edges
+          UNION ALL SELECT dst FROM pr_edges
+        )
+      )
+    , pr_n AS MATERIALIZED (SELECT count(*) AS n FROM pr_nodes)
+    , pr_deg AS MATERIALIZED (SELECT src AS id, count(*) AS deg FROM pr_edges GROUP BY src)
+    , pr_r0 AS MATERIALIZED (
+        SELECT id, CAST({scale} // n AS BIGINT) AS rank
+        FROM pr_nodes CROSS JOIN pr_n
+      )
+    """
+    steps = []
+    for i in range(1, iters + 1):
+        prev = f"pr_r{i - 1}"
+        steps.append(f"""
+    , pr_c{i} AS MATERIALIZED (
+        SELECT e.dst AS id, sum(r.rank // d.deg) AS contrib
+        FROM {prev} r
+        JOIN pr_deg d ON d.id = r.id
+        JOIN pr_edges e ON e.src = r.id
+        GROUP BY e.dst
+      )
+    , pr_d{i} AS MATERIALIZED (
+        SELECT COALESCE(sum(r.rank), 0) AS dang
+        FROM {prev} r LEFT JOIN pr_deg d ON d.id = r.id
+        WHERE d.id IS NULL
+      )
+    , pr_r{i} AS MATERIALIZED (
+        SELECT nd.id,
+               CAST(({3 * scale} // (20 * n.n))
+                    + (17 * (COALESCE(c.contrib, 0) + (dg.dang // n.n))) // 20
+                 AS BIGINT) AS rank
+        FROM pr_nodes nd
+        CROSS JOIN pr_n n
+        CROSS JOIN pr_d{i} dg
+        LEFT JOIN pr_c{i} c ON c.id = nd.id
+      )
+    """)
+    return (
+        PIPELINE_CTES
+        + head
+        + "".join(steps)
+        + f"""
+    SELECT id AS entity_id, rank AS rank_fp,
+           rank / {float(scale)} AS rank_frac
+    FROM pr_r{iters}
+    """
+    )

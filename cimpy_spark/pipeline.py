@@ -372,3 +372,96 @@ def type_dispatch(entities: DataFrame) -> DataFrame:
     """Per-type entity counts (reference's isinstance dispatch chain,
     cimpy/CIM2DPsim.py:92-423, becomes groupBy(type))."""
     return entities.groupBy("type").agg(F.count(F.lit(1)).alias("n_entities"))
+
+
+def pagerank(
+    canon_edges: DataFrame,
+    iters: int = 5,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Fixed-point PageRank over the canonical graph — the classic
+    entity-importance ranking a KG consumer runs after construction
+    (which entities anchor the graph; what to keep when downsampling
+    for training). Edges are DISTINCT (src, dst) pairs (predicates
+    collapsed); damping 0.85, `iters` synchronous iterations, dangling
+    mass redistributed uniformly.
+
+    ALL arithmetic is int64 fixed-point at `scale` (rank mass starts
+    at scale//n; per-edge contribution rank div deg; damping as
+    (17*x) div 20), so the Spark result and the DuckDB oracle
+    (fixtures/oracles.py:pagerank_sql, the same recurrence unrolled as
+    CTEs) agree BIT-FOR-BIT — no float summation-order drift, the
+    failure mode that makes iterative float algorithms un-oracle-able.
+    Floor division loses ≤1 unit per term (≤1e-12 relative), far
+    below any ranking-relevant difference.
+
+    Scale shape: per iteration, one groupBy(dst) over the edge list
+    (contributions) + one broadcast of the 1-row dangling-mass
+    aggregate — the same partitioning every iteration, so a cluster
+    run co-partitions edges once and reuses the exchange;
+    localCheckpoint every iteration truncates the growing plan the
+    same way the CC loop does. Output: (entity_id, rank_fp, rank) —
+    rank_fp is the exact int64 fixed-point mass, rank the derived
+    double (identical in both engines because it is computed from
+    identical integers).
+    """
+    from cimpy_spark.plans.checkpoints import checkpoint_df
+
+    # materialize the distinct edge list ONCE: every iteration joins
+    # against it, and without the checkpoint each of the `iters` jobs
+    # would re-run the whole upstream pipeline (extract→link→CC) that
+    # produced canon_edges
+    edges = checkpoint_df(canon_edges.select("src", "dst").distinct())
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n1 = nodes.agg(F.count(F.lit(1)).alias("n"))
+    # n rides along as a column (1-row broadcast cross join) so every
+    # expression below stays a plain column expression
+    ranks = checkpoint_df(
+        nodes.crossJoin(F.broadcast(n1)).select(
+            "id", "n", F.expr(f"CAST({scale} AS BIGINT) div n").alias("rank")
+        )
+    )
+    base = f"CAST({3 * scale} AS BIGINT) div (20 * n)"
+    for _ in range(iters):
+        r_deg = ranks.join(
+            deg.withColumnRenamed("src", "id"), "id", "left"
+        )
+        contribs = (
+            r_deg.filter(F.col("deg").isNotNull())
+            .join(edges, r_deg["id"] == edges["src"])
+            .select(
+                F.col("dst").alias("id"),
+                F.expr("rank div deg").alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        dang = r_deg.filter(F.col("deg").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0)).cast("bigint").alias("dang")
+        )
+        ranks = checkpoint_df(
+            ranks.select("id", "n")
+            .join(contribs, "id", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "id",
+                "n",
+                (
+                    F.expr(base)
+                    + F.expr(
+                        "(17 * (coalesce(contrib, CAST(0 AS BIGINT))"
+                        " + (dang div n))) div 20"
+                    )
+                ).cast("bigint").alias("rank"),
+            )
+        )
+    return ranks.select(
+        F.col("id").alias("entity_id"),
+        F.col("rank").alias("rank_fp"),
+        (F.col("rank") / F.lit(float(scale))).alias("rank_frac"),
+    )

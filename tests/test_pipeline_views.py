@@ -112,3 +112,56 @@ def test_reachability_cycle_terminates(spark):
     }
     # every vertex reaches every vertex (including itself via the cycle)
     assert rows == {(s, d) for s in "abc" for d in "abc"}
+
+
+def test_pagerank_fixed_point_hand_check(spark):
+    """One iteration on a 3-node graph, every value hand-derived:
+    a->b, a->c, b->a; c dangles. SCALE=1e12, n=3, r0=333333333333.
+    contrib(b)=contrib(c)=r0//2=166666666666; contrib(a)=r0;
+    dang=r0; dang//n=111111111111; base=3e12//(20*3)=50000000000.
+    a = base + (17*(333333333333+111111111111))//20 = 427777777777
+    b = c = base + (17*(166666666666+111111111111))//20 = 286111111110
+    """
+    e = _edges(
+        spark,
+        [("a", "p", "b"), ("a", "q", "c"), ("b", "p", "a")],
+    )
+    rows = {
+        r["entity_id"]: r["rank_fp"]
+        for r in P.pagerank(e, iters=1).collect()
+    }
+    assert rows == {
+        "a": 427777777777,
+        "b": 286111111110,
+        "c": 286111111110,
+    }
+    # duplicate predicates collapse: adding a second a->b edge under
+    # another pred must change nothing
+    e2 = _edges(
+        spark,
+        [("a", "p", "b"), ("a", "z", "b"), ("a", "q", "c"), ("b", "p", "a")],
+    )
+    rows2 = {
+        r["entity_id"]: r["rank_fp"]
+        for r in P.pagerank(e2, iters=1).collect()
+    }
+    assert rows2 == rows
+
+
+def test_pagerank_mass_conservation(spark):
+    """Across iterations the total fixed-point mass stays within
+    floor-loss distance of SCALE (each of the n node updates loses
+    <1 unit at each of 3 divisions, plus the per-edge contribution
+    floors) — a cheap invariant that catches sign/joint errors."""
+    e = _edges(
+        spark,
+        [
+            ("a", "p", "b"), ("b", "p", "c"), ("c", "p", "d"),
+            ("d", "p", "a"), ("a", "p", "c"), ("e", "p", "a"),
+        ],
+    )
+    out = P.pagerank(e, iters=4).collect()
+    total = sum(r["rank_fp"] for r in out)
+    assert 10**12 * 0.999 < total <= 10**12
+    # dangling-free strongly-connected-ish graph: every rank positive
+    assert all(r["rank_fp"] > 0 for r in out)
