@@ -345,6 +345,18 @@ def _q_doc_lm_quality(spark, sf_dir):
     return T.lm_quality(_docs(spark, sf_dir))
 
 
+def _q_doc_gopher_rules(spark, sf_dir):
+    # min_mean_len raised from Gopher's published 3.0: this corpus's
+    # mean word length spans 3.7-5.3, so 4.5 exercises BOTH branches
+    # of the rule (267/500 pass at sf0.01) instead of gating a
+    # vacuously-true flag
+    return T.gopher_rules(_docs(spark, sf_dir), min_mean_len=4.5)
+
+
+def _q_doc_bm25(spark, sf_dir):
+    return T.bm25_score(_docs(spark, sf_dir))
+
+
 def _q_doc_repetition(spark, sf_dir):
     return T.repetition_score(_docs(spark, sf_dir))
 
@@ -842,16 +854,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pack_sequences": _q_doc_pack_sequences,
         "doc_mixture_sample": _q_doc_mixture_sample,
         "doc_pii_scrub": _q_doc_pii_scrub,
-        "doc_repetition": _q_doc_repetition,
         "doc_chunking": _q_doc_chunking,
         "doc_vocab_sketch": _q_doc_vocab_sketch,
         "doc_heavy_hitters": _q_doc_heavy_hitters,
         "doc_lm_quality": _q_doc_lm_quality,
+        "doc_gopher_rules": _q_doc_gopher_rules,
+        "doc_bm25": _q_doc_bm25,
         "emb_contamination": _q_emb_contamination,
         "emb_quantize": _q_emb_quantize,
         "doc_dedup_incremental": _q_doc_dedup_incremental,
         "emb_dedup_incremental": _q_emb_dedup_incremental,
-        "doc_contamination": _q_doc_contamination,
         # Arrow-kernel twins (added late in r5): gated against the
         # SAME oracles as their SQL siblings, so the kernels get
         # their own cross-engine rows
@@ -873,16 +885,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_tool_transitions": _q_conv_tool_transitions,
         "conv_latency": _q_conv_latency,
         # -- re-gated because their code was REFACTORED late in r5
-        #    (fingerprint -> zero-shuffle fold; hash_split ->
-        #    _md5_bucket helper; shingle_array -> distinct view of
-        #    _gram_array, consumed by minhash/jaccard/dedup_corpus):
-        #    semantics byte-identical, but "tail = unchanged code"
-        #    stays literally true this way -------------------------
+        #    (fingerprint -> zero-shuffle fold; shingle_array ->
+        #    distinct view of _gram_array). These two are the DIRECT
+        #    gates on the refactored bodies; the other two refactor
+        #    consumers (hash_split, minhash_candidates) are covered
+        #    indirectly and lead the tail — see the tail comment. ---
         "doc_fingerprint": _q_doc_fingerprint,
-        "doc_hash_split": _q_doc_hash_split,
-        "doc_minhash_candidates": _q_doc_minhash_candidates,
         "doc_dedup_corpus": _q_doc_dedup_corpus,
         # ---- gated prefix boundary (50) -----------------------------
+        # -- r5-changed code whose every changed line is ALSO under a
+        #    gated prefix row, displaced to make room for the two new
+        #    curation gates (gopher_rules, bm25 — new code outranks a
+        #    second row over the same lines):
+        #    * doc_hash_split: the refactor extracted _md5_bucket,
+        #      which gated doc_pack_sequences AND doc_mixture_sample
+        #      both execute; hash_split itself is otherwise untouched.
+        #    * doc_minhash_candidates: the shingle_array refactor is
+        #      executed by gated doc_dedup_corpus (signature fold AND
+        #      jaccard verify) and doc_fingerprint.
+        #    * doc_repetition / doc_contamination: their Arrow twins
+        #      are gated against the SAME oracle SQL, and
+        #      test_text_arrow.py pins arrow==SQL bit-equivalence
+        #      (+hypothesis fuzz), so the SQL bodies stay covered by
+        #      the twin row + the pinned equivalence. ----------------
+        "doc_hash_split": _q_doc_hash_split,
+        "doc_minhash_candidates": _q_doc_minhash_candidates,
+        "doc_repetition": _q_doc_repetition,
+        "doc_contamination": _q_doc_contamination,
         # -- load-bearing pipeline core, displaced from the prefix by
         #    the four second-wave conv_* gates (new code outranks
         #    re-gating): all four are r4-GREEN and their exercised
@@ -1079,6 +1108,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_vocab_sketch": doc_oracles.vocab_sketch_sql(),
         "doc_heavy_hitters": doc_oracles.heavy_hitters_cms_sql(),
         "doc_lm_quality": doc_oracles.lm_quality_sql(),
+        # min_mean_len=4.5 in lockstep with _q_doc_gopher_rules
+        "doc_gopher_rules": doc_oracles.gopher_rules_sql(min_mean_len=4.5),
+        "doc_bm25": doc_oracles.bm25_sql(),
         "emb_contamination": doc_oracles.emb_contamination_sql(),
         "emb_quantize": doc_oracles.quantize_sql(),
         "doc_quality": doc_oracles.quality_score_sql(),

@@ -972,3 +972,98 @@ def lm_quality_sql() -> str:
            a.avg_logprob
     FROM documents d LEFT JOIN agg a USING (doc_id)
     """
+
+
+def gopher_rules_sql(
+    min_words: int = 20,
+    max_words: int = 10_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    min_stop_hits: int = 2,
+    min_distinct_ratio: float = 0.5,
+) -> str:
+    """Mirror of text.gopher_rules: per-rule pass/fail flags plus the
+    composed keep. Same 6dp rounding of the two ratios BEFORE the
+    threshold comparisons, so a boundary doc flips identically in
+    both engines."""
+    return f"""
+    SELECT doc_id,
+           CAST(n AS INT) AS n_words,
+           mean_word_len,
+           CAST(stop_hits AS INT) AS stop_hits,
+           distinct_ratio,
+           (n >= {min_words} AND n <= {max_words}) AS rule_word_count,
+           (mean_word_len >= {min_mean_len!r} AND mean_word_len <= {max_mean_len!r})
+             AS rule_word_len,
+           stop_hits >= {min_stop_hits} AS rule_stopwords,
+           distinct_ratio >= {min_distinct_ratio!r} AS rule_diversity,
+           ((n >= {min_words} AND n <= {max_words})
+            AND (mean_word_len >= {min_mean_len!r}
+                 AND mean_word_len <= {max_mean_len!r})
+            AND stop_hits >= {min_stop_hits}
+            AND distinct_ratio >= {min_distinct_ratio!r}) AS keep
+    FROM (
+      SELECT doc_id,
+             len(w) AS n,
+             round(list_sum(list_transform(w, x -> length(x))) * 1.0
+                   / len(w), 6) AS mean_word_len,
+             len(list_filter(w, x -> x IN {EN_STOP})) AS stop_hits,
+             round(len(list_distinct(w)) * 1.0 / len(w), 6) AS distinct_ratio
+      FROM (SELECT doc_id, {WORDS} AS w FROM documents)
+    )
+    """
+
+
+BM25_TERMS = ("spark", "merge", "vector")
+
+
+def bm25_sql(
+    terms: tuple = BM25_TERMS, k1: float = 1.2, b: float = 0.75
+) -> str:
+    """Mirror of text.bm25_score. Float constants are emitted via
+    repr() so DuckDB's correctly-rounded literal parse lands on the
+    EXACT double Python computed (k1+1, 1-b); idf and each term
+    contribution rounded to 9dp, total to 6dp, fixed order — no
+    float aggregation anywhere after the integer corpus stats."""
+    df_cols = ",\n           ".join(
+        f"CAST(sum(CASE WHEN list_contains(w, '{t}') THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS df_{i}"
+        for i, t in enumerate(terms)
+    )
+    tf_cols = ",\n           ".join(
+        f"len(list_filter(w, x -> x = '{t}')) AS tf_{i}"
+        for i, t in enumerate(terms)
+    )
+
+    def contrib(i: int) -> str:
+        idf = (
+            f"round(ln(1.0 + (n_docs - df_{i} + 0.5) / (df_{i} + 0.5)), 9)"
+        )
+        return (
+            f"round({idf} * (tf_{i} * {k1 + 1!r}) / (tf_{i} + {k1!r}"
+            f" * ({1 - b!r} + {b!r} * dl / avgdl)), 9)"
+        )
+
+    total = "\n             + ".join(contrib(i) for i in range(len(terms)))
+    tf_out = ",\n           ".join(
+        f"CAST(tf_{i} AS INT) AS tf_{t}" for i, t in enumerate(terms)
+    )
+    return f"""
+    WITH w AS (SELECT doc_id, {WORDS} AS w FROM documents),
+    stats AS (
+      SELECT count(*) AS n_docs,
+             avg(len(w)) AS avgdl,
+           {df_cols}
+      FROM w
+    ),
+    base AS (
+      SELECT doc_id, len(w) AS dl,
+           {tf_cols}
+      FROM w
+    )
+    SELECT doc_id,
+           CAST(dl AS INT) AS dl,
+           {tf_out},
+           round({total}, 6) AS bm25
+    FROM base, stats
+    """

@@ -709,3 +709,132 @@ def lm_quality(docs: DataFrame) -> DataFrame:
             "avg_logprob",
         )
     )
+
+
+def gopher_rules(
+    docs: DataFrame,
+    min_words: int = 20,
+    max_words: int = 10_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    min_stop_hits: int = 2,
+    min_distinct_ratio: float = 0.5,
+) -> DataFrame:
+    """Gopher-style rule-based quality gate (the Rae et al. 2021
+    heuristic battery, adapted to this corpus's word-salad shape —
+    the sentence-punctuation rules are vacuous here): per-document
+    named pass/fail flags plus the composed `keep`, so curation can
+    report WHY a document dropped, not just that it did (the flag
+    columns are the per-rule removal-rate report a data card needs).
+
+    Rules: word count in [min_words, max_words]; mean word length in
+    [min_mean_len, max_mean_len]; ≥ min_stop_hits English stopwords
+    (gibberish screen); distinct-word ratio ≥ min_distinct_ratio
+    (repetition screen — the cheap cousin of repetition_score).
+
+    Single narrow projection: every measure folds over the one
+    in-row word array (no explode, no shuffle, no UDF) — at 100 TB
+    this runs at scan speed and the filter composes with predicate
+    pushdown on any downstream join. Ratios rounded to 6dp for
+    cross-engine hashing."""
+    w = _words()
+    n = F.size(w)
+    sum_len = F.aggregate(
+        w, F.lit(0), lambda acc, x: acc + F.length(x)
+    )
+    mean_len = F.round(sum_len * F.lit(1.0) / n, 6)
+    stop_hits = F.size(F.filter(w, lambda x: x.isin(EN_STOPWORDS)))
+    distinct_ratio = F.round(
+        F.size(F.array_distinct(w)) * F.lit(1.0) / n, 6
+    )
+    r_words = (n >= min_words) & (n <= max_words)
+    r_len = (mean_len >= min_mean_len) & (mean_len <= max_mean_len)
+    r_stop = stop_hits >= min_stop_hits
+    r_div = distinct_ratio >= min_distinct_ratio
+    return docs.select(
+        "doc_id",
+        n.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        stop_hits.alias("stop_hits"),
+        distinct_ratio.alias("distinct_ratio"),
+        r_words.alias("rule_word_count"),
+        r_len.alias("rule_word_len"),
+        r_stop.alias("rule_stopwords"),
+        r_div.alias("rule_diversity"),
+        (r_words & r_len & r_stop & r_div).alias("keep"),
+    )
+
+
+BM25_QUERY_TERMS = ("spark", "merge", "vector")
+
+
+def bm25_score(
+    docs: DataFrame,
+    terms: tuple[str, ...] = BM25_QUERY_TERMS,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document to a fixed query-term
+    set — the retrieval-side scoring a curation pipeline uses to mine
+    topic-targeted subsets (and the classic lexical baseline next to
+    the embedding ANN path in functions/similarity.py).
+
+    Determinism across engines: the corpus statistics (N, avgdl, one
+    df per term) are ONE aggregate row cross-joined back (a broadcast
+    at cluster scale), per-term tf comes from the in-row word array,
+    and the score is a FIXED-ORDER sum of per-term contributions
+    (each idf and contribution rounded to 9dp, the total to 6dp) —
+    no groupBy touches floats, so aggregation order cannot move the
+    hash. idf = ln(1 + (N - df + 0.5)/(df + 0.5)) ≥ 0.
+
+    Scale shape: one map-side-combinable stats aggregate (scan 1) +
+    one scan emitting scores (scan 2, or a cached/columnar re-read);
+    nothing shuffles doc rows."""
+    w = _words()
+    dl = F.size(w)
+    stats_aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size(_words())).alias("avgdl"),
+    ] + [
+        F.sum(
+            F.when(F.array_contains(_words(), t), 1).otherwise(0)
+        ).alias(f"df_{i}")
+        for i, t in enumerate(terms)
+    ]
+    stats = docs.agg(*stats_aggs)
+    def _tf(term: str):
+        # closure, NOT a default arg: a two-parameter lambda in
+        # F.filter means (element, index) — a `lit_t=...` default
+        # would silently bind to the array-index Column
+        return F.size(F.filter(_words(), lambda x: x == F.lit(term)))
+
+    tf_cols = [_tf(t).alias(f"tf_{i}") for i, t in enumerate(terms)]
+    base = docs.select("doc_id", dl.alias("dl"), *tf_cols).crossJoin(
+        F.broadcast(stats)
+    )
+    idf = lambda i: F.round(  # noqa: E731
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"df_{i}") + F.lit(0.5))
+            / (F.col(f"df_{i}") + F.lit(0.5))
+        ),
+        9,
+    )
+    contrib = lambda i: F.round(  # noqa: E731
+        idf(i)
+        * (F.col(f"tf_{i}") * (k1 + 1))
+        / (
+            F.col(f"tf_{i}")
+            + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+        ),
+        9,
+    )
+    total = contrib(0)
+    for i in range(1, len(terms)):
+        total = total + contrib(i)
+    return base.select(
+        "doc_id",
+        "dl",
+        *[F.col(f"tf_{i}").alias(f"tf_{t}") for i, t in enumerate(terms)],
+        F.round(total, 6).alias("bm25"),
+    )

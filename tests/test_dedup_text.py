@@ -678,3 +678,62 @@ def test_lm_quality_scores_probable_text_higher(spark):
     assert out[3]["n_bigrams"] == 0 and out[3]["avg_logprob"] is None
     again = {r["doc_id"]: r for r in T.lm_quality(d).collect()}
     assert again == out
+
+
+def test_gopher_rules_flags_compose_and_split(spark, docs):
+    out = T.gopher_rules(docs, min_mean_len=4.5).cache()
+    # keep is exactly the AND of the four rule flags
+    bad = out.filter(
+        F.col("keep")
+        != (
+            F.col("rule_word_count")
+            & F.col("rule_word_len")
+            & F.col("rule_stopwords")
+            & F.col("rule_diversity")
+        )
+    )
+    assert bad.count() == 0
+    # the gate parameterization must exercise both branches of at
+    # least word-count, word-len and diversity on the real corpus
+    for flag in ("rule_word_count", "rule_word_len", "rule_diversity"):
+        n_true = out.filter(F.col(flag)).count()
+        assert 0 < n_true < out.count(), flag
+    out.unpersist()
+
+
+def test_gopher_rules_short_and_repetitive_docs_fail(spark):
+    d = spark.createDataFrame(
+        [
+            (1, "too short"),
+            (2, " ".join(["the word is of and to in repeated"] * 10)),
+            (3, "the of and to " + " ".join(f"word{i:02d}" for i in range(28))),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in T.gopher_rules(d).collect()}
+    assert not rows[1]["rule_word_count"] and not rows[1]["keep"]
+    # 80 words, 8 distinct -> distinct_ratio 0.1 fails diversity
+    assert not rows[2]["rule_diversity"] and not rows[2]["keep"]
+    assert rows[3]["keep"]
+
+
+def test_bm25_tf_and_idf_ordering(spark):
+    filler = "alpha beta gamma delta epsilon zeta eta theta"
+    d = spark.createDataFrame(
+        [
+            (1, f"spark {filler}"),
+            (2, f"spark spark spark {filler}"),
+            (3, f"{filler} {filler}"),
+            (4, f"vector {filler}"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in T.bm25_score(d).collect()}
+    # no query term -> zero score
+    assert rows[3]["bm25"] == 0.0
+    # higher tf of the same term -> strictly higher score
+    assert rows[2]["bm25"] > rows[1]["bm25"] > 0.0
+    assert rows[2]["tf_spark"] == 3 and rows[1]["tf_spark"] == 1
+    # 'vector' (df=1) is rarer than 'spark' (df=2): with equal tf and
+    # equal dl the rarer term must contribute more
+    assert rows[4]["bm25"] > rows[1]["bm25"]

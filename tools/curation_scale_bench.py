@@ -80,6 +80,8 @@ def main() -> None:
     timed("vocab_sketch", lambda: force(T.vocab_sketch(docs)))
     timed("heavy_hitters_cms", lambda: force(T.heavy_hitters_cms(docs)))
     timed("hash_split", lambda: force(T.hash_split(docs)))
+    timed("gopher_rules", lambda: force(T.gopher_rules(docs, min_mean_len=4.5)))
+    timed("bm25_score", lambda: force(T.bm25_score(docs)))
     timed("contamination", lambda: force(T.contamination(
         docs, docs.limit(500), n=5
     )))
