@@ -345,6 +345,22 @@ def _q_doc_lm_quality(spark, sf_dir):
     return T.lm_quality(_docs(spark, sf_dir))
 
 
+def _q_doc_dup_spans(spark, sf_dir):
+    # organic corpus: planted verbatim copies and truncations give
+    # real duplicated substrings with non-trivial span boundaries
+    return T.dup_spans(_organic_docs(spark, sf_dir))
+
+
+def _q_doc_dup_span_stats(spark, sf_dir):
+    return T.dup_span_stats(_organic_docs(spark, sf_dir))
+
+
+def _q_doc_dup_spans_arrow(spark, sf_dir):
+    from cimpy_spark.functions.text_arrow import dup_spans_arrow
+
+    return dup_spans_arrow(_organic_docs(spark, sf_dir))
+
+
 def _q_doc_gopher_rules(spark, sf_dir):
     # min_mean_len raised from Gopher's published 3.0: this corpus's
     # mean word length spans 3.7-5.3, so 4.5 exercises BOTH branches
@@ -912,6 +928,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash_candidates": _q_doc_minhash_candidates,
         "doc_repetition": _q_doc_repetition,
         "doc_contamination": _q_doc_contamination,
+        # -- NEW after this round's 50 slots were spoken for: first
+        #    driver gate rotates in next round; until then the SAME
+        #    sorted-column value compare the driver runs is pinned in
+        #    pytest (test_dedup_text.py::test_dup_spans_parity) ------
+        "doc_dup_spans": _q_doc_dup_spans,
+        "doc_dup_span_stats": _q_doc_dup_span_stats,
+        "doc_dup_spans_arrow": _q_doc_dup_spans_arrow,
         # -- load-bearing pipeline core, displaced from the prefix by
         #    the four second-wave conv_* gates (new code outranks
         #    re-gating): all four are r4-GREEN and their exercised
@@ -1111,6 +1134,9 @@ def oracle_sql() -> dict[str, str]:
         # min_mean_len=4.5 in lockstep with _q_doc_gopher_rules
         "doc_gopher_rules": doc_oracles.gopher_rules_sql(min_mean_len=4.5),
         "doc_bm25": doc_oracles.bm25_sql(),
+        "doc_dup_spans": doc_oracles.dup_spans_sql(),
+        "doc_dup_span_stats": doc_oracles.dup_span_stats_sql(),
+        "doc_dup_spans_arrow": doc_oracles.dup_spans_sql(),
         "emb_contamination": doc_oracles.emb_contamination_sql(),
         "emb_quantize": doc_oracles.quantize_sql(),
         "doc_quality": doc_oracles.quality_score_sql(),

@@ -1067,3 +1067,58 @@ def bm25_sql(
            round({total}, 6) AS bm25
     FROM base, stats
     """
+
+
+def _dup_span_ctes(n: int = 10, min_count: int = 2) -> str:
+    """Shared CTE chain for the exact-substring-dedup oracles, over
+    the ORGANIC corpus (planted verbatim copies and truncations give
+    real duplicated substrings with non-trivial span boundaries)."""
+    gram = " || ' ' || ".join(f"w.w[i+{j}]" for j in range(n))
+    return f"""{ORGANIC_DOCS_CTE.strip()}, {NUMS}, {_w_cte("orgdocs")},
+    g AS (
+      SELECT doc_id, CAST(nums.i - 1 AS INT) AS pos, md5({gram}) AS h
+      FROM w JOIN nums ON nums.i <= len(w.w) - {n - 1}
+    ),
+    dupk AS (SELECT h FROM g GROUP BY h HAVING count(*) >= {min_count}),
+    p AS (SELECT g.doc_id, g.pos FROM g JOIN dupk USING (h)),
+    isl AS (
+      SELECT doc_id, pos,
+             sum(CASE WHEN prev IS NULL OR pos - prev > {n}
+                 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM (SELECT doc_id, pos,
+                   lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+            FROM p)
+    ),
+    spans AS (
+      SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+             CAST(max(pos) + {n - 1} AS INT) AS span_end,
+             CAST(count(*) AS INT) AS n_grams
+      FROM isl GROUP BY doc_id, island
+    )"""
+
+
+def dup_spans_sql(n: int = 10, min_count: int = 2) -> str:
+    """Mirror of text.dup_spans over the organic corpus."""
+    return f"""
+    WITH {_dup_span_ctes(n, min_count)}
+    SELECT doc_id, span_start, span_end, n_grams FROM spans
+    """
+
+
+def dup_span_stats_sql(n: int = 10, min_count: int = 2) -> str:
+    """Mirror of text.dup_span_stats over the organic corpus."""
+    return f"""
+    WITH {_dup_span_ctes(n, min_count)},
+    per_doc AS (
+      SELECT doc_id,
+             CAST(sum(span_end - span_start + 1) AS INT) AS n_dup_words
+      FROM spans GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len({WORDS}) AS INT) AS n_words,
+           CAST(coalesce(p.n_dup_words, 0) AS INT) AS n_dup_words,
+           round(coalesce(p.n_dup_words, 0) * 1.0
+                 / len({WORDS}), 6) AS dup_frac
+    FROM orgdocs d LEFT JOIN per_doc p USING (doc_id)
+    """

@@ -235,3 +235,102 @@ def contamination_arrow(train: DataFrame, bench: DataFrame, n: int = 5) -> DataF
         gen,
         schema="doc_id bigint, n_hit_grams bigint, contaminated boolean",
     )
+
+
+# Multipliers for the two positional-polynomial gram-hash streams
+# (odd -> invertible mod 2^64, so consecutive-word structure cannot
+# cancel; two independent streams make the pair 128-bit-equivalent).
+_GRAM_P1 = np.uint64(0x9E3779B97F4A7C15)
+_GRAM_P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def gram_keys_arrow(docs: DataFrame, n: int = 10) -> DataFrame:
+    """(doc_id, pos, h1, h2) hashed word-n-gram positions — the Arrow
+    front end of `text.dup_spans`: the SQL path's gram construction
+    (an interpreted concat_ws HOF per position) dominates its cost,
+    and no gram STRING is ever needed downstream, only a
+    collision-resistant identity. Here each DISTINCT word in a batch
+    is md5-hashed once into two 64-bit streams (Python loop over the
+    dictionary only — thousands of words, not millions of positions)
+    and every gram key is a positional polynomial of the word hashes
+    (vectorized uint64 ops, wrap-around multiply). Content-based, so
+    identical grams collide to identical keys across batches,
+    partitions and corpora — the cross-engine requirement is only
+    equal-gram <-> equal-key, which the shared relational tail turns
+    into the same spans the oracle derives from md5 gram strings.
+
+    Narrow plan: project -> MapInArrow, zero exchanges; one output
+    row per word position (the same stream the SQL path explodes),
+    int64 keys instead of gram strings."""
+    import hashlib
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            doc_ids = batch.column("doc_id").cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            flat, parents = _flat_words(batch)
+            empty = pa.RecordBatch.from_arrays(
+                [
+                    pa.array([], type=pa.int64()),
+                    pa.array([], type=pa.int32()),
+                    pa.array([], type=pa.int64()),
+                    pa.array([], type=pa.int64()),
+                ],
+                names=["doc_id", "pos", "h1", "h2"],
+            )
+            if len(flat) < n:
+                yield empty
+                continue
+            d = pc.dictionary_encode(flat)
+            codes = d.indices.to_numpy(zero_copy_only=False)
+            wh = np.empty((len(d.dictionary), 2), dtype=np.uint64)
+            for i, w in enumerate(d.dictionary.to_pylist()):
+                dg = hashlib.md5(w.encode()).digest()
+                wh[i, 0] = int.from_bytes(dg[:8], "little")
+                wh[i, 1] = int.from_bytes(dg[8:16], "little")
+            valid = parents[: 1 - n] == parents[n - 1 :]
+            if not valid.any():
+                yield empty
+                continue
+            p = parents[: 1 - n][valid]
+            # word index within its doc = global index - doc start
+            uniq, first = np.unique(parents, return_index=True)
+            starts = np.zeros(int(parents.max()) + 1, dtype=np.int64)
+            starts[uniq] = first
+            pos = (
+                np.flatnonzero(valid) - starts[p]
+            ).astype(np.int32)
+            h1 = np.zeros(len(p), dtype=np.uint64)
+            h2 = np.zeros(len(p), dtype=np.uint64)
+            for j in range(n):
+                cj = codes[j : len(codes) - (n - 1) + j][valid]
+                h1 = h1 * _GRAM_P1 + wh[cj, 0]
+                h2 = h2 * _GRAM_P2 + wh[cj, 1]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(doc_ids[p], type=pa.int64()),
+                    pa.array(pos, type=pa.int32()),
+                    pa.array(h1.view(np.int64), type=pa.int64()),
+                    pa.array(h2.view(np.int64), type=pa.int64()),
+                ],
+                names=["doc_id", "pos", "h1", "h2"],
+            )
+
+    return docs.select("doc_id", "text").mapInArrow(
+        gen, schema="doc_id bigint, pos int, h1 bigint, h2 bigint"
+    )
+
+
+def dup_spans_arrow(
+    docs: DataFrame, n: int = 10, min_count: int = 2
+) -> DataFrame:
+    """Arrow-kernel `text.dup_spans` — identical spans (equivalence
+    pinned in tests/test_text_arrow.py): `gram_keys_arrow` front end
+    + the SAME `spans_from_gram_keys` relational tail, so the two
+    paths can only differ in the (internal) hash family."""
+    from cimpy_spark.functions.text import spans_from_gram_keys
+
+    return spans_from_gram_keys(
+        gram_keys_arrow(docs, n=n), n=n, min_count=min_count
+    )

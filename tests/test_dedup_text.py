@@ -737,3 +737,72 @@ def test_bm25_tf_and_idf_ordering(spark):
     # 'vector' (df=1) is rarer than 'spark' (df=2): with equal tf and
     # equal dl the rarer term must contribute more
     assert rows[4]["bm25"] > rows[1]["bm25"]
+
+
+def _span_docs(spark):
+    common = " ".join(f"c{i}" for i in range(15))
+    return spark.createDataFrame(
+        [
+            (1, " ".join(f"a{i}" for i in range(10)) + " " + common),
+            (2, common + " " + " ".join(f"b{i}" for i in range(10))),
+            (3, " ".join(f"u{i}" for i in range(25))),
+            (4, " ".join([f"d{i}" for i in range(5)] * 2) + " x y z"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_dup_spans_cross_doc_and_within_doc(spark):
+    d = _span_docs(spark)
+    rows = {
+        (r["doc_id"], r["span_start"], r["span_end"]): r["n_grams"]
+        for r in T.dup_spans(d, n=5).collect()
+    }
+    # shared 15-word run: words 10..24 in doc 1, 0..14 in doc 2 —
+    # exactly the 11 five-grams fully inside the run, merged maximal
+    assert rows == {
+        (1, 10, 24): 11,
+        (2, 0, 14): 11,
+        # doc 4: the repeated 5-word phrase duplicates the grams at
+        # positions 0 and 5 (gap 5 <= n merges them into one span)
+        (4, 0, 9): 2,
+    }
+
+
+def test_dup_span_stats_zero_for_clean_docs(spark):
+    d = _span_docs(spark)
+    rows = {r["doc_id"]: r for r in T.dup_span_stats(d, n=5).collect()}
+    assert rows[3]["n_dup_words"] == 0 and rows[3]["dup_frac"] == 0.0
+    assert rows[1]["n_dup_words"] == 15
+    assert rows[1]["dup_frac"] == round(15 / 25, 6)
+    assert set(rows) == {1, 2, 3, 4}
+
+
+def test_dup_spans_parity_vs_duckdb(spark):
+    """The driver-style sorted-column value compare the tail entries
+    rely on until their r6 gate row (doc_dup_spans is past this
+    round's 50-slot prefix)."""
+    import duckdb
+
+    from cimpy_spark.functions import doc_oracles as O
+    from cimpy_spark.fixtures.organic import organic_documents
+
+    docs = organic_documents(
+        spark.read.parquet(f"{SF_TINY}/documents.parquet")
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_TINY}/documents.parquet')"
+    )
+    for sdf, sql in (
+        (T.dup_spans(docs), O.dup_spans_sql()),
+        (T.dup_span_stats(docs), O.dup_span_stats_sql()),
+    ):
+        sp = sdf.toPandas()
+        du = con.execute(sql).df()
+        cols = sorted(sp.columns)
+        sp = sp[cols].sort_values(cols).reset_index(drop=True)
+        du = du[cols].sort_values(cols).reset_index(drop=True)
+        assert list(sp.dtypes) == list(du.dtypes)
+        assert sp.equals(du)

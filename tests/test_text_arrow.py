@@ -16,6 +16,7 @@ from hypothesis import strategies as st
 from cimpy_spark.functions import text as T
 from cimpy_spark.functions.text_arrow import (
     contamination_arrow,
+    dup_spans_arrow,
     repetition_score_arrow,
 )
 
@@ -151,3 +152,47 @@ def test_arrow_fuzz_matches_sql(spark, rows, bench_mod):
     _assert_same(
         T.contamination(docs, bench, n=2), contamination_arrow(docs, bench, n=2)
     )
+
+
+def test_dup_spans_arrow_matches_sql(spark):
+    """The hashed-gram front ends differ (xxhash64 pair vs md5-seeded
+    positional polynomial) but equal grams must map to equal keys in
+    both, so the shared relational tail must emit IDENTICAL spans —
+    on the organic corpus (real planted duplicates) plus the
+    adversarial split/trim edge cases."""
+    from cimpy_spark.fixtures.organic import organic_documents
+
+    docs = organic_documents(_docs(spark))
+    a = T.dup_spans(docs).orderBy("doc_id", "span_start").collect()
+    b = dup_spans_arrow(docs).orderBy("doc_id", "span_start").collect()
+    assert a == b
+    assert len(a) > 0
+
+
+def test_dup_spans_arrow_within_doc_positions(spark):
+    """gram_keys_arrow computes word positions batch-locally (global
+    index minus doc start); a doc later in the batch must still get
+    0-based in-doc positions."""
+    d = spark.createDataFrame(
+        [
+            (1, "filler words here nothing repeats in this document"),
+            (2, " ".join(["p q r s t u"] * 2)),
+        ],
+        "doc_id long, text string",
+    ).coalesce(1)
+    rows = dup_spans_arrow(d, n=6).collect()
+    assert [(r["doc_id"], r["span_start"], r["span_end"]) for r in rows] == [
+        (2, 0, 11)
+    ]
+
+
+def test_gram_keys_arrow_narrow(spark):
+    """The Arrow front end must stay scan-local: project → MapInArrow,
+    no Exchange (the spans tail then adds exactly its two window
+    shuffles)."""
+    from cimpy_spark.functions.text_arrow import gram_keys_arrow
+
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet")
+    plan = gram_keys_arrow(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "MapInArrow" in plan

@@ -81,6 +81,7 @@ def main() -> None:
     timed("heavy_hitters_cms", lambda: force(T.heavy_hitters_cms(docs)))
     timed("hash_split", lambda: force(T.hash_split(docs)))
     timed("gopher_rules", lambda: force(T.gopher_rules(docs, min_mean_len=4.5)))
+    timed("dup_spans", lambda: force(T.dup_spans(docs)))
     timed("bm25_score", lambda: force(T.bm25_score(docs)))
     timed("contamination", lambda: force(T.contamination(
         docs, docs.limit(500), n=5
@@ -94,6 +95,7 @@ def main() -> None:
         "repetition_score_arrow",
         lambda: force(TA.repetition_score_arrow(docs)),
     )
+    timed("dup_spans_arrow", lambda: force(TA.dup_spans_arrow(docs)))
     timed("contamination_arrow", lambda: force(TA.contamination_arrow(
         docs, docs.limit(500), n=5
     )))
