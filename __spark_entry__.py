@@ -355,6 +355,10 @@ def _q_doc_dup_span_stats(spark, sf_dir):
     return T.dup_span_stats(_organic_docs(spark, sf_dir))
 
 
+def _q_doc_length_quantiles(spark, sf_dir):
+    return T.length_quantiles(_docs(spark, sf_dir))
+
+
 def _q_doc_dup_spans_arrow(spark, sf_dir):
     from cimpy_spark.functions.text_arrow import dup_spans_arrow
 
@@ -691,6 +695,36 @@ def _q_stream_kg_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STREAM_DEDUP_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _q_stream_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup maintenance end-to-end, oracle-gated (the
+    training-data mirror of `stream_kg_ingest`): stage the ORGANIC
+    corpus as 12 files (3 micro-batches at 4 files/trigger), drain
+    them through `stream_dedup_ingest` (foreachBatch → the committed
+    batch-incremental `dedup_ingest`), then read the committed dedup
+    state back via one more `dedup_ingest` call over the committed
+    corpus (every doc_id already seen → a pure state read, the
+    documented re-send-skip path). The result must hash-match the
+    SAME closed-form `dedup_corpus_sql` as a one-shot
+    `dedup_corpus` over all input. Memoized by applicationId — the
+    drain commits durable state once per session."""
+    from cimpy_spark.streaming.ingest import read_corpus, stream_dedup_ingest
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _STREAM_DEDUP_CACHE:
+        d = _scratch_dir("cimpy_stream_dedup_")
+        _organic_docs(spark, sf_dir).repartition(12, "doc_id").write.mode(
+            "overwrite"
+        ).parquet(f"{d}/in")
+        stream_dedup_ingest(spark, f"{d}/in", f"{d}/corpus", f"{d}/state")
+        _STREAM_DEDUP_CACHE[key] = D.dedup_ingest(
+            spark, read_corpus(spark, f"{d}/corpus"), f"{d}/state"
+        )
+    return _STREAM_DEDUP_CACHE[key]
+
+
 _INCR_CACHE: dict[tuple[str, str], dict] = {}
 
 
@@ -935,6 +969,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dup_spans": _q_doc_dup_spans,
         "doc_dup_span_stats": _q_doc_dup_span_stats,
         "doc_dup_spans_arrow": _q_doc_dup_spans_arrow,
+        "doc_length_quantiles": _q_doc_length_quantiles,
+        "stream_dedup_corpus": _q_stream_dedup_corpus,
         # -- load-bearing pipeline core, displaced from the prefix by
         #    the four second-wave conv_* gates (new code outranks
         #    re-gating): all four are r4-GREEN and their exercised
@@ -1137,6 +1173,10 @@ def oracle_sql() -> dict[str, str]:
         "doc_dup_spans": doc_oracles.dup_spans_sql(),
         "doc_dup_span_stats": doc_oracles.dup_span_stats_sql(),
         "doc_dup_spans_arrow": doc_oracles.dup_spans_sql(),
+        "doc_length_quantiles": doc_oracles.length_quantiles_sql(),
+        # the streamed drain must leave the same committed dedup state
+        # as one batch run over all input — same closed form
+        "stream_dedup_corpus": doc_oracles.dedup_corpus_sql(),
         "emb_contamination": doc_oracles.emb_contamination_sql(),
         "emb_quantize": doc_oracles.quantize_sql(),
         "doc_quality": doc_oracles.quality_score_sql(),

@@ -1122,3 +1122,30 @@ def dup_span_stats_sql(n: int = 10, min_count: int = 2) -> str:
                  / len({WORDS}), 6) AS dup_frac
     FROM orgdocs d LEFT JOIN per_doc p USING (doc_id)
     """
+
+
+def length_quantiles_sql(pcts: tuple = (25, 50, 75, 90)) -> str:
+    """Mirror of text.length_quantiles: exact discrete per-source
+    quantiles by integer rank selection ((p*n+99)//100, no float
+    interpolation)."""
+    q_cols = ",\n           ".join(
+        f"CAST(max(CASE WHEN rn = (n_docs * {p} + 99) // 100"
+        f" THEN n_words END) AS INT) AS p{p}"
+        for p in pcts
+    )
+    return f"""
+    WITH lens AS (
+      SELECT source, doc_id, CAST(len({WORDS}) AS INT) AS n_words
+      FROM documents
+    ),
+    ranked AS (
+      SELECT source, n_words,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_words, doc_id) AS rn,
+             count(*) OVER (PARTITION BY source) AS n_docs
+      FROM lens
+    )
+    SELECT source, CAST(max(n_docs) AS INT) AS n_docs,
+           {q_cols}
+    FROM ranked GROUP BY source
+    """

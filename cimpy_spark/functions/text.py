@@ -943,3 +943,51 @@ def dup_span_stats(docs: DataFrame, n: int = 10, min_count: int = 2) -> DataFram
             ).alias("dup_frac"),
         )
     )
+
+
+QUANTILE_PCTS = (25, 50, 75, 90)
+
+
+def length_quantiles(docs: DataFrame, pcts: tuple = QUANTILE_PCTS) -> DataFrame:
+    """Per-source document-length quantiles — the distribution row of
+    a data card (and the basis for per-source truncation budgets).
+    EXACT discrete quantiles by integer selection: the p-th quantile
+    is the word count at 1-based sorted rank ceil(p/100 * n), computed
+    as (n*p + 99) div 100 in pure integer arithmetic — no float
+    interpolation (Spark's percentile() and DuckDB's quantile_cont
+    interpolate in doubles, which is both approximate-in-spirit and a
+    cross-engine hashing hazard). One window + one aggregate per
+    source; ties broken by doc_id for a deterministic pick, which
+    cannot change the VALUE (equal ranks hold equal word counts).
+
+    Scale: the window partitions by source (the natural key of the
+    report); a single pathological source serializes into one
+    partition — at that point switch to the KMV-style sampled
+    estimate, this is the exact small-dimension report."""
+    from pyspark.sql import Window
+
+    lens = docs.select(
+        "source", "doc_id", F.size(_words()).alias("n_words")
+    )
+    w = Window.partitionBy("source").orderBy("n_words", "doc_id")
+    cnt = Window.partitionBy("source")
+    ranked = lens.select(
+        "source",
+        "n_words",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(cnt).alias("n_docs"),
+    )
+    def rank_of(p: int):
+        # 1-based rank ceil(p/100 * n) in pure integer arithmetic
+        # (no float division anywhere): ceil(p*n/100) == (p*n+99) div
+        # 100 — `div` is integer division in both Spark and DuckDB
+        # (spelled // there), exact at any corpus size
+        return F.expr(f"(n_docs * {p} + 99) div 100")
+
+    aggs = [F.max("n_docs").cast("int").alias("n_docs")] + [
+        F.max(F.when(F.col("rn") == rank_of(p), F.col("n_words"))).alias(
+            f"p{p}"
+        )
+        for p in pcts
+    ]
+    return ranked.groupBy("source").agg(*aggs)

@@ -806,3 +806,37 @@ def test_dup_spans_parity_vs_duckdb(spark):
         du = du[cols].sort_values(cols).reset_index(drop=True)
         assert list(sp.dtypes) == list(du.dtypes)
         assert sp.equals(du)
+
+
+def test_length_quantiles_integer_rank_selection(spark):
+    # source A lengths {1,2,3,4}: ranks ceil(.25*4)=1, ceil(.5*4)=2,
+    # ceil(.75*4)=3, ceil(.9*4)=4 -> values 1,2,3,4
+    d = spark.createDataFrame(
+        [(i, "w " * i, "A") for i in (1, 2, 3, 4)]
+        + [(10, "x", "B")],
+        "doc_id long, text string, source string",
+    )
+    rows = {r["source"]: r for r in T.length_quantiles(d).collect()}
+    a = rows["A"]
+    assert (a["n_docs"], a["p25"], a["p50"], a["p75"], a["p90"]) == (4, 1, 2, 3, 4)
+    b = rows["B"]
+    assert (b["n_docs"], b["p25"], b["p90"]) == (1, 1, 1)
+
+
+def test_length_quantiles_parity_vs_duckdb(spark, docs):
+    import duckdb
+
+    from cimpy_spark.functions import doc_oracles as O
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_TINY}/documents.parquet')"
+    )
+    sp = T.length_quantiles(docs).toPandas()
+    du = con.execute(O.length_quantiles_sql()).df()
+    cols = sorted(sp.columns)
+    sp = sp[cols].sort_values(cols).reset_index(drop=True)
+    du = du[cols].sort_values(cols).reset_index(drop=True)
+    assert list(sp.dtypes) == list(du.dtypes)
+    assert sp.equals(du)
