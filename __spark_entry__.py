@@ -359,6 +359,10 @@ def _q_doc_length_quantiles(spark, sf_dir):
     return T.length_quantiles(_docs(spark, sf_dir))
 
 
+def _q_doc_temperature_mixture(spark, sf_dir):
+    return T.temperature_mixture(_docs(spark, sf_dir))
+
+
 def _q_doc_dup_spans_arrow(spark, sf_dir):
     from cimpy_spark.functions.text_arrow import dup_spans_arrow
 
@@ -971,6 +975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dup_spans_arrow": _q_doc_dup_spans_arrow,
         "doc_length_quantiles": _q_doc_length_quantiles,
         "stream_dedup_corpus": _q_stream_dedup_corpus,
+        "doc_temperature_mixture": _q_doc_temperature_mixture,
         # -- load-bearing pipeline core, displaced from the prefix by
         #    the four second-wave conv_* gates (new code outranks
         #    re-gating): all four are r4-GREEN and their exercised
@@ -1177,6 +1182,7 @@ def oracle_sql() -> dict[str, str]:
         # the streamed drain must leave the same committed dedup state
         # as one batch run over all input — same closed form
         "stream_dedup_corpus": doc_oracles.dedup_corpus_sql(),
+        "doc_temperature_mixture": doc_oracles.temperature_mixture_sql(),
         "emb_contamination": doc_oracles.emb_contamination_sql(),
         "emb_quantize": doc_oracles.quantize_sql(),
         "doc_quality": doc_oracles.quality_score_sql(),

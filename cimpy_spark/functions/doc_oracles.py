@@ -1149,3 +1149,46 @@ def length_quantiles_sql(pcts: tuple = (25, 50, 75, 90)) -> str:
            {q_cols}
     FROM ranked GROUP BY source
     """
+
+
+def temperature_mixture_sql(
+    alpha: float = 0.3, budget_tokens: int = 2_000, salt: str = "temp0"
+) -> str:
+    """Mirror of text.temperature_mixture: alpha-temperature source
+    shares as FIXED-POINT bigints (round(pow*1e6) -> exact integer
+    sum; pow's last-ulp engine differences are absorbed by the
+    rounding, and no double is ever summed), then the same 6dp rate
+    + md5-bucket threshold as mixture_sample."""
+    return f"""
+    WITH base AS (
+      SELECT doc_id, source, CAST(len({WORDS}) AS INT) AS n_tokens
+      FROM documents
+    ),
+    tot AS (
+      SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+      FROM base GROUP BY source
+    ),
+    shares AS (
+      SELECT source, src_tokens,
+             CAST(round(pow(src_tokens, CAST({float(alpha)!r} AS DOUBLE))
+                        * 1000000) AS BIGINT) AS share_fp
+      FROM tot
+    ),
+    wt AS (
+      SELECT source, src_tokens, share_fp,
+             sum(share_fp) OVER () AS total_fp
+      FROM shares
+    ),
+    r AS (
+      SELECT b.doc_id, b.source, b.n_tokens,
+             round(least(CAST(1.0 AS DOUBLE),
+                         wt.share_fp
+                         * CAST({float(budget_tokens)!r} AS DOUBLE)
+                         / wt.total_fp / wt.src_tokens), 6) AS rate
+      FROM base b JOIN wt USING (source)
+    )
+    SELECT doc_id, source, n_tokens, rate,
+           ({_md5_bucket_sql(salt, 1_000_000)}
+            < CAST(round(rate * 1000000) AS BIGINT)) AS sampled
+    FROM r
+    """

@@ -405,6 +405,73 @@ def mixture_sample(
     )
 
 
+def temperature_mixture(
+    docs: DataFrame,
+    alpha: float = 0.3,
+    budget_tokens: int = 2_000,
+    salt: str = "temp0",
+) -> DataFrame:
+    """Temperature-based mixture sampling — the multilingual/
+    multi-domain alpha-sampling of mT5/XLM-R: source shares are
+    derived FROM the corpus itself as tokens_s^alpha / sum_s
+    tokens_s^alpha (alpha<1 up-weights small sources, alpha=1 is
+    proportional, alpha=0 uniform), instead of `mixture_sample`'s
+    hand-given weight table. Keep rates apply as the same
+    deterministic md5-bucket threshold.
+
+    Cross-engine determinism: pow() can differ in the last ulp
+    between engines, so the share numerator is FIXED-POINT —
+    round(pow(tokens_s, alpha), 6) scaled to a bigint at 1e6 — and
+    the denominator is an exact integer SUM of those (float
+    aggregation order can move a double sum; bigint addition cannot;
+    same discipline as pipeline.pagerank). The rate then divides two
+    integers in a fixed expression order, rounded to 6dp.
+
+    Scale shape identical to mixture_sample: one |sources|-row
+    map-side-combinable aggregate, broadcast back, corpus never
+    shuffles. Output: (doc_id, source, n_tokens, rate, sampled)."""
+    from pyspark.sql import Window
+
+    base = docs.select(
+        "doc_id", "source", F.size(_words()).alias("n_tokens")
+    )
+    totals = base.groupBy("source").agg(
+        F.sum("n_tokens").cast("long").alias("src_tokens")
+    )
+    # round AFTER the 1e6 scale, then cast: `cast(long)` truncates in
+    # Spark but CAST(.. AS BIGINT) rounds in DuckDB, so the cast must
+    # only ever see an already-integral double
+    fp = F.round(F.pow("src_tokens", F.lit(float(alpha))) * 1_000_000).cast(
+        "long"
+    )
+    shares = totals.select(
+        "source", "src_tokens", fp.alias("share_fp")
+    ).withColumn(
+        "total_fp", F.sum("share_fp").over(Window.partitionBy())
+    )
+    rate = F.round(
+        F.least(
+            F.lit(1.0),
+            F.col("share_fp")
+            * F.lit(float(budget_tokens))
+            / F.col("total_fp")
+            / F.col("src_tokens"),
+        ),
+        6,
+    )
+    bucket = _md5_bucket(salt, 1_000_000)
+    return (
+        base.join(F.broadcast(shares), "source")
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            rate.alias("rate"),
+            (bucket < F.round(rate * 1_000_000).cast("long")).alias("sampled"),
+        )
+    )
+
+
 # PII scrubbing patterns — dialect-safe (Java regex == RE2 here):
 # applied in THIS order, since an email/IP can be a URL substring.
 PII_PATTERNS = [

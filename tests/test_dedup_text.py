@@ -840,3 +840,51 @@ def test_length_quantiles_parity_vs_duckdb(spark, docs):
     du = du[cols].sort_values(cols).reset_index(drop=True)
     assert list(sp.dtypes) == list(du.dtypes)
     assert sp.equals(du)
+
+
+def test_temperature_mixture_flattens_toward_small_sources(spark):
+    # big: 10 docs x 40 words; small: 2 docs x 10 words
+    d = spark.createDataFrame(
+        [(i, "w " * 40, "big") for i in range(10)]
+        + [(100 + i, "w " * 10, "small") for i in range(2)],
+        "doc_id long, text string, source string",
+    )
+    r = {
+        row["source"]: row["rate"]
+        for row in T.temperature_mixture(d, alpha=0.3, budget_tokens=100)
+        .select("source", "rate")
+        .distinct()
+        .collect()
+    }
+    # alpha<1 up-weights the small source: its keep RATE must exceed
+    # the big source's (and both stay in (0, 1])
+    assert 0 < r["big"] < r["small"] <= 1.0
+    # alpha=1 is proportional sampling: equal rates for every source
+    # (each source's target = its own share of the budget)
+    r1 = {
+        row["source"]: row["rate"]
+        for row in T.temperature_mixture(d, alpha=1.0, budget_tokens=100)
+        .select("source", "rate")
+        .distinct()
+        .collect()
+    }
+    assert abs(r1["big"] - r1["small"]) < 1e-9
+
+
+def test_temperature_mixture_parity_vs_duckdb(spark, docs):
+    import duckdb
+
+    from cimpy_spark.functions import doc_oracles as O
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_TINY}/documents.parquet')"
+    )
+    sp = T.temperature_mixture(docs).toPandas()
+    du = con.execute(O.temperature_mixture_sql()).df()
+    cols = sorted(sp.columns)
+    sp = sp[cols].sort_values(cols).reset_index(drop=True)
+    du = du[cols].sort_values(cols).reset_index(drop=True)
+    assert list(sp.dtypes) == list(du.dtypes)
+    assert sp.equals(du)
