@@ -449,6 +449,10 @@ def _q_pagerank(spark, sf_dir):
     return P.pagerank(_graph(spark, sf_dir).canon_edges)
 
 
+def _q_triangle_stats(spark, sf_dir):
+    return P.triangle_stats(_graph(spark, sf_dir).canon_edges)
+
+
 def _q_conv_neardup(spark, sf_dir):
     # whole-conversation NEAR-dup: turn-hash shingles through the
     # shared MinHash->Jaccard->CC dedup engine; planted truncation
@@ -976,6 +980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_length_quantiles": _q_doc_length_quantiles,
         "stream_dedup_corpus": _q_stream_dedup_corpus,
         "doc_temperature_mixture": _q_doc_temperature_mixture,
+        "kg_triangles": _q_triangle_stats,
         # -- load-bearing pipeline core, displaced from the prefix by
         #    the four second-wave conv_* gates (new code outranks
         #    re-gating): all four are r4-GREEN and their exercised
@@ -1183,6 +1188,7 @@ def oracle_sql() -> dict[str, str]:
         # as one batch run over all input — same closed form
         "stream_dedup_corpus": doc_oracles.dedup_corpus_sql(),
         "doc_temperature_mixture": doc_oracles.temperature_mixture_sql(),
+        "kg_triangles": oracles.triangle_stats_sql(),
         "emb_contamination": doc_oracles.emb_contamination_sql(),
         "emb_quantize": doc_oracles.quantize_sql(),
         "doc_quality": doc_oracles.quality_score_sql(),

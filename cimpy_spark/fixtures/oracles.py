@@ -627,3 +627,42 @@ def pagerank_sql(iters: int = 5, scale: int = 10**12) -> str:
     FROM pr_r{iters}
     """
     )
+
+
+def triangle_stats_sql() -> str:
+    """Mirror of pipeline.triangle_stats: same triangle set counted by
+    plain id-ordering (a<b<c three-way join) instead of the engine's
+    degree ordering. MATERIALIZED: und/tri are each referenced
+    multiple times and plain DuckDB CTEs inline per reference (the
+    khop lesson — O(3^k) re-evaluation otherwise)."""
+    return PIPELINE_CTES + """
+    , und AS MATERIALIZED (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM canon_edges WHERE src <> dst
+    )
+    , degt AS MATERIALIZED (
+      SELECT v, count(*) AS deg FROM (
+        SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und
+      ) GROUP BY v
+    )
+    , tri AS MATERIALIZED (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM und e1
+      JOIN und e2 ON e2.a = e1.b
+      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    , per_node AS (
+      SELECT v, count(*) AS n_triangles FROM (
+        SELECT x AS v FROM tri
+        UNION ALL SELECT y AS v FROM tri
+        UNION ALL SELECT z AS v FROM tri
+      ) GROUP BY v
+    )
+    SELECT d.v AS entity_id, d.deg AS degree,
+           coalesce(p.n_triangles, 0) AS n_triangles,
+           CASE WHEN d.deg >= 2
+                THEN round(coalesce(p.n_triangles, 0) * 2.0
+                           / (d.deg * (d.deg - 1)), 6)
+                ELSE 0.0 END AS clustering
+    FROM degt d LEFT JOIN per_node p ON p.v = d.v
+    """

@@ -165,3 +165,38 @@ def test_pagerank_mass_conservation(spark):
     assert 10**12 * 0.999 < total <= 10**12
     # dangling-free strongly-connected-ish graph: every rank positive
     assert all(r["rank_fp"] > 0 for r in out)
+
+
+def test_triangle_stats_k4_plus_tail(spark):
+    """K4 (every node: 3 triangles, clustering 1.0) with a pendant
+    path: the path node has degree 2 but closes no triangle
+    (clustering 0.0), the pendant has degree 1 (defined 0.0)."""
+    k4 = [
+        ("a", "p", "b"), ("a", "p", "c"), ("a", "p", "d"),
+        ("b", "p", "c"), ("b", "p", "d"), ("c", "p", "d"),
+    ]
+    tail = [("d", "p", "e"), ("e", "p", "f")]
+    out = {
+        r["entity_id"]: r
+        for r in P.triangle_stats(_edges(spark, k4 + tail)).collect()
+    }
+    for v in "abc":
+        assert (out[v]["degree"], out[v]["n_triangles"]) == (3, 3)
+        assert out[v]["clustering"] == 1.0
+    assert (out["d"]["degree"], out["d"]["n_triangles"]) == (4, 3)
+    assert out["d"]["clustering"] == 0.5
+    assert (out["e"]["degree"], out["e"]["n_triangles"], out["e"]["clustering"]) == (2, 0, 0.0)
+    assert (out["f"]["degree"], out["f"]["n_triangles"], out["f"]["clustering"]) == (1, 0, 0.0)
+
+
+def test_triangle_stats_direction_and_pred_invariant(spark):
+    """Triangles live on the UNDIRECTED simple graph: reversed edges,
+    duplicate predicates and self-loops change nothing."""
+    base = [("a", "p", "b"), ("b", "p", "c"), ("c", "p", "a")]
+    noisy = base + [
+        ("b", "q", "a"), ("a", "z", "b"), ("c", "p", "c"),
+    ]
+    clean = {tuple(r) for r in P.triangle_stats(_edges(spark, base)).collect()}
+    noised = {tuple(r) for r in P.triangle_stats(_edges(spark, noisy)).collect()}
+    assert clean == noised
+    assert all(r[2] == 1 for r in clean)  # one triangle each
