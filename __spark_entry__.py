@@ -449,6 +449,12 @@ def _q_pagerank(spark, sf_dir):
     return P.pagerank(_graph(spark, sf_dir).canon_edges)
 
 
+def _q_emb_knn_graph(spark, sf_dir):
+    # organic corpus, 3 LSH tables: the planted cos≈0.98 copies must
+    # surface as rank-1 neighbors (pytest-pinned)
+    return SIM.knn_graph(_organic_emb(spark, sf_dir))
+
+
 def _q_triangle_stats(spark, sf_dir):
     return P.triangle_stats(_graph(spark, sf_dir).canon_edges)
 
@@ -981,6 +987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup_corpus": _q_stream_dedup_corpus,
         "doc_temperature_mixture": _q_doc_temperature_mixture,
         "kg_triangles": _q_triangle_stats,
+        "emb_knn_graph": _q_emb_knn_graph,
         # -- load-bearing pipeline core, displaced from the prefix by
         #    the four second-wave conv_* gates (new code outranks
         #    re-gating): all four are r4-GREEN and their exercised
@@ -1189,6 +1196,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_dedup_corpus": doc_oracles.dedup_corpus_sql(),
         "doc_temperature_mixture": doc_oracles.temperature_mixture_sql(),
         "kg_triangles": oracles.triangle_stats_sql(),
+        "emb_knn_graph": doc_oracles.knn_graph_sql(),
         "emb_contamination": doc_oracles.emb_contamination_sql(),
         "emb_quantize": doc_oracles.quantize_sql(),
         "doc_quality": doc_oracles.quality_score_sql(),

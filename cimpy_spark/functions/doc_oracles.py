@@ -1192,3 +1192,32 @@ def temperature_mixture_sql(
             < CAST(round(rate * 1000000) AS BIGINT)) AS sampled
     FROM r
     """
+
+
+def knn_graph_sql(
+    k: int = 5,
+    max_bucket: int = NEARDUP_MAX_BUCKET,
+    n_tables: int = 3,
+) -> str:
+    """Mirror of similarity.knn_graph over the organic corpus: the
+    near-dup candidate sims (no threshold), mirrored symmetric, one
+    per-vector rank window."""
+    return (
+        "WITH "
+        + _neardup_ctes(-1.0, max_bucket, n_tables)
+        + f""",
+    sym AS (
+      SELECT vec_a AS vec_id, vec_b AS neighbor_id, sim FROM sims
+      UNION ALL
+      SELECT vec_b AS vec_id, vec_a AS neighbor_id, sim FROM sims
+    ),
+    ranked AS (
+      SELECT vec_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM sym
+    )
+    SELECT vec_id, neighbor_id, CAST(rank AS INT) AS rank, sim
+    FROM ranked WHERE rank <= {k}
+    """
+    )

@@ -783,3 +783,57 @@ def quantize_embeddings(docs_or_emb: DataFrame) -> DataFrame:
         F.concat_ws(",", q.cast("array<string>")).alias("qvec"),
         err.alias("max_abs_err"),
     )
+
+
+def knn_graph(
+    embeddings: DataFrame,
+    k: int = 5,
+    max_bucket: int = MAX_BUCKET,
+    n_tables: int = 3,
+) -> DataFrame:
+    """Approximate k-NN graph over the whole corpus — the SemDeDup /
+    embedding-clustering primitive (per-vector nearest neighbors, not
+    just above-threshold pairs): every vector's top-k by cosine among
+    the vectors sharing any of its `n_tables` LSH buckets.
+
+    Pure composition of the gated near-dup machinery:
+    `neardup_pairs(threshold=-1.0)` keeps EVERY capped-bucket
+    candidate similarity (cosine ≥ −1 always holds), the pair set is
+    mirrored into both directions (cosine is symmetric — computed
+    once per unordered pair), and one per-vector window ranks by
+    (sim desc, neighbor_id) on the 6dp-rounded sim so ordering is
+    engine-stable. Vectors whose buckets all exceed `max_bucket` (or
+    with no co-bucketed vector) emit no rows — the same degenerate-
+    region discipline as near-dup, reported by `oversize_buckets`.
+
+    Scale: candidates are bounded by n_tables × buckets ×
+    max_bucket²; the window partitions per vector (max k·tables·cap
+    rows each). Output: (vec_id, neighbor_id, rank, sim)."""
+    from pyspark.sql import Window
+
+    sims = neardup_pairs(
+        embeddings, threshold=-1.0, max_bucket=max_bucket, n_tables=n_tables
+    )
+    sym = sims.select(
+        F.col("vec_a").alias("vec_id"),
+        F.col("vec_b").alias("neighbor_id"),
+        "sim",
+    ).unionByName(
+        sims.select(
+            F.col("vec_b").alias("vec_id"),
+            F.col("vec_a").alias("neighbor_id"),
+            "sim",
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        sym.select(
+            "vec_id",
+            "neighbor_id",
+            F.row_number().over(w).alias("rank"),
+            "sim",
+        )
+        .filter(F.col("rank") <= k)
+    )

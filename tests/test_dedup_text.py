@@ -888,3 +888,31 @@ def test_temperature_mixture_parity_vs_duckdb(spark, docs):
     du = du[cols].sort_values(cols).reset_index(drop=True)
     assert list(sp.dtypes) == list(du.dtypes)
     assert sp.equals(du)
+
+
+def test_knn_graph_planted_copy_is_rank_one(spark, emb):
+    """The organic amplitude-modulated copy (vec_id + 1e6, cos ≈ .98)
+    must surface as its source's rank-1 neighbor whenever the pair is
+    co-bucketed (3 tables recall most); ranks are consecutive from 1
+    and sims non-increasing within a vector."""
+    from cimpy_spark.fixtures.organic import organic_embeddings
+
+    g = SIM.knn_graph(organic_embeddings(emb)).cache()
+    rows = g.collect()
+    by_vec = {}
+    for r in rows:
+        by_vec.setdefault(r["vec_id"], []).append(r)
+    for vid, rs in by_vec.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        sims = [r["sim"] for r in rs]
+        assert sims == sorted(sims, reverse=True)
+    # planted pairs found at rank 1 (source side), for most sources
+    planted = [
+        (r["vec_id"], r["neighbor_id"])
+        for r in rows
+        if r["rank"] == 1 and r["neighbor_id"] == r["vec_id"] + 1_000_000
+    ]
+    n_planted_sources = len([v for v in by_vec if v + 1_000_000 in by_vec])
+    assert len(planted) >= 0.8 * n_planted_sources > 0
+    g.unpersist()
