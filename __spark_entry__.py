@@ -449,6 +449,14 @@ def _q_pagerank(spark, sf_dir):
     return P.pagerank(_graph(spark, sf_dir).canon_edges)
 
 
+def _q_doc_domain_flags(spark, sf_dir):
+    from cimpy_spark.fixtures.organic import pii_documents
+
+    # planted-PII corpus: the raw fixture text has no URLs; the
+    # deterministic appendage plants https://ex.org/... on ~1/7 docs
+    return T.domain_flags(pii_documents(_docs(spark, sf_dir)))
+
+
 def _q_emb_knn_graph(spark, sf_dir):
     # organic corpus, 3 LSH tables: the planted cos≈0.98 copies must
     # surface as rank-1 neighbors (pytest-pinned)
@@ -988,6 +996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_temperature_mixture": _q_doc_temperature_mixture,
         "kg_triangles": _q_triangle_stats,
         "emb_knn_graph": _q_emb_knn_graph,
+        "doc_domain_flags": _q_doc_domain_flags,
         # -- load-bearing pipeline core, displaced from the prefix by
         #    the four second-wave conv_* gates (new code outranks
         #    re-gating): all four are r4-GREEN and their exercised
@@ -1197,6 +1206,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_temperature_mixture": doc_oracles.temperature_mixture_sql(),
         "kg_triangles": oracles.triangle_stats_sql(),
         "emb_knn_graph": doc_oracles.knn_graph_sql(),
+        "doc_domain_flags": doc_oracles.domain_flags_sql(),
         "emb_contamination": doc_oracles.emb_contamination_sql(),
         "emb_quantize": doc_oracles.quantize_sql(),
         "doc_quality": doc_oracles.quality_score_sql(),

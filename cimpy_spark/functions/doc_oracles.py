@@ -1221,3 +1221,34 @@ def knn_graph_sql(
     FROM ranked WHERE rank <= {k}
     """
     )
+
+
+def domain_flags_sql(
+    blocklist: tuple = ("ex.org", "spam.example", "tracker.bad"),
+) -> str:
+    """Mirror of text.domain_flags over the planted-PII corpus (the
+    raw fixture text carries no URLs; PII_DOCS_CTE plants
+    https://ex.org/... on doc_id %% 7 == 2 in both engines)."""
+    blist = ", ".join(f"'{b}'" for b in blocklist)
+    return f"""
+    WITH {PII_DOCS_CTE.strip()},
+    d AS (
+      SELECT doc_id,
+             regexp_extract_all(text, 'https?://[A-Za-z0-9./_-]+') AS urls
+      FROM piidocs
+    ),
+    dom AS (
+      SELECT doc_id, urls,
+             list_transform(urls,
+               x -> regexp_extract(x, 'https?://([A-Za-z0-9.-]+)', 1)) AS domains
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(len(urls) AS INT) AS n_urls,
+           coalesce(array_to_string(list_sort(domains), ','), '')
+             AS domains,  -- DuckDB joins an empty list to NULL; Spark to ''
+           CAST(len(list_filter(domains, x -> x IN ({blist}))) AS INT)
+             AS n_blocked,
+           len(list_filter(domains, x -> x IN ({blist}))) > 0 AS blocked
+    FROM dom
+    """

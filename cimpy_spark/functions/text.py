@@ -907,6 +907,41 @@ def bm25_score(
     )
 
 
+DOMAIN_BLOCKLIST = ("ex.org", "spam.example", "tracker.bad")
+
+
+def domain_flags(
+    docs: DataFrame, blocklist: tuple = DOMAIN_BLOCKLIST
+) -> DataFrame:
+    """Per-document URL-domain extraction + blocklist flagging — the
+    domain-filter step of web-corpus curation (UT1/adult/spam domain
+    lists): which documents cite which hosts, and whether any host is
+    on the blocklist. Output: (doc_id, n_urls, domains sorted-csv,
+    n_blocked, blocked).
+
+    Pure zero-shuffle projection: URLs via the same pattern the PII
+    scrubber redacts, host = the authority prefix of each, blocklist
+    membership as an in-row filter. A config-sized blocklist (up to
+    ~1e5 hosts) belongs inline like this; a TABLE-scale list (UT1 is
+    millions) becomes explode(domains) -> broadcast semi-join ->
+    count, trading the projection for one narrow join — same
+    downstream columns."""
+    url_re = PII_PATTERNS[0][1]
+    urls = F.regexp_extract_all(F.col("text"), F.lit(url_re), F.lit(0))
+    domains = F.transform(
+        urls,
+        lambda u: F.regexp_extract(u, "https?://([A-Za-z0-9.-]+)", 1),
+    )
+    n_blocked = F.size(F.filter(domains, lambda d: d.isin(list(blocklist))))
+    return docs.select(
+        "doc_id",
+        F.size(urls).alias("n_urls"),
+        F.concat_ws(",", F.array_sort(domains)).alias("domains"),
+        n_blocked.alias("n_blocked"),
+        (n_blocked > 0).alias("blocked"),
+    )
+
+
 def dup_spans(docs: DataFrame, n: int = 10, min_count: int = 2) -> DataFrame:
     """Maximal duplicated-substring spans at word granularity — the
     exact-substring deduplication of Lee et al. 2021 ("Deduplicating

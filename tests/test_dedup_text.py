@@ -916,3 +916,40 @@ def test_knn_graph_planted_copy_is_rank_one(spark, emb):
     n_planted_sources = len([v for v in by_vec if v + 1_000_000 in by_vec])
     assert len(planted) >= 0.8 * n_planted_sources > 0
     g.unpersist()
+
+
+def test_domain_flags_blocklist_and_multi_url(spark):
+    d = spark.createDataFrame(
+        [
+            (1, "see https://ex.org/a and http://ok.example/b here"),
+            (2, "clean text no links"),
+            (3, "https://tracker.bad/x https://ex.org/y"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in T.domain_flags(d).collect()}
+    assert rows[1]["n_urls"] == 2
+    assert rows[1]["domains"] == "ex.org,ok.example"
+    assert rows[1]["n_blocked"] == 1 and rows[1]["blocked"]
+    assert rows[2]["n_urls"] == 0 and rows[2]["domains"] == "" and not rows[2]["blocked"]
+    assert rows[3]["n_blocked"] == 2 and rows[3]["blocked"]
+
+
+def test_domain_flags_parity_vs_duckdb(spark, docs):
+    import duckdb
+
+    from cimpy_spark.functions import doc_oracles as O
+    from cimpy_spark.fixtures.organic import pii_documents
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_TINY}/documents.parquet')"
+    )
+    sp = T.domain_flags(pii_documents(docs)).toPandas()
+    du = con.execute(O.domain_flags_sql()).df()
+    cols = sorted(sp.columns)
+    sp = sp[cols].sort_values(cols).reset_index(drop=True)
+    du = du[cols].sort_values(cols).reset_index(drop=True)
+    assert list(sp.dtypes) == list(du.dtypes)
+    assert sp.equals(du)
