@@ -449,6 +449,22 @@ def _q_pagerank(spark, sf_dir):
     return P.pagerank(_graph(spark, sf_dir).canon_edges)
 
 
+def _q_doc_corpus_card(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    # organic corpus (non-zero dup budget) with source recovered from
+    # the base id — organic ids are base + k*1e6, same join as the
+    # oracle's orgsrc CTE
+    raw = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("base_id"), "source"
+    )
+    org = _organic_docs(spark, sf_dir)
+    withsrc = org.join(
+        F.broadcast(raw), F.pmod(org.doc_id, 1_000_000) == raw.base_id
+    ).select("doc_id", "text", "source")
+    return T.corpus_card(withsrc)
+
+
 def _q_doc_domain_flags(spark, sf_dir):
     from cimpy_spark.fixtures.organic import pii_documents
 
@@ -997,6 +1013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triangles": _q_triangle_stats,
         "emb_knn_graph": _q_emb_knn_graph,
         "doc_domain_flags": _q_doc_domain_flags,
+        "doc_corpus_card": _q_doc_corpus_card,
         # -- load-bearing pipeline core, displaced from the prefix by
         #    the four second-wave conv_* gates (new code outranks
         #    re-gating): all four are r4-GREEN and their exercised
@@ -1207,6 +1224,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_triangles": oracles.triangle_stats_sql(),
         "emb_knn_graph": doc_oracles.knn_graph_sql(),
         "doc_domain_flags": doc_oracles.domain_flags_sql(),
+        "doc_corpus_card": doc_oracles.corpus_card_sql(),
         "emb_contamination": doc_oracles.emb_contamination_sql(),
         "emb_quantize": doc_oracles.quantize_sql(),
         "doc_quality": doc_oracles.quality_score_sql(),

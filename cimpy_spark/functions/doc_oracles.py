@@ -1252,3 +1252,43 @@ def domain_flags_sql(
            len(list_filter(domains, x -> x IN ({blist}))) > 0 AS blocked
     FROM dom
     """
+
+
+def corpus_card_sql() -> str:
+    """Mirror of text.corpus_card over the ORGANIC corpus (planted
+    exact copies give a non-zero duplicate budget), with each doc's
+    source recovered from its base id (organic ids are
+    base + k*1e6): fixed-point mean quality, exact-dup count +
+    fraction."""
+    return f"""
+    WITH {ORGANIC_DOCS_CTE.strip()},
+    orgsrc AS (
+      SELECT o.doc_id, o.text, d.source
+      FROM orgdocs o JOIN documents d ON o.doc_id % 1000000 = d.doc_id
+    ),
+    q AS ({quality_score_sql().replace("FROM documents", "FROM orgsrc")}),
+    stats AS (
+      SELECT count(*) AS n_docs,
+             count(DISTINCT source) AS n_sources,
+             CAST(sum(len({WORDS})) AS BIGINT) AS total_ws_tokens
+      FROM orgsrc
+    ),
+    qsum AS (
+      SELECT CAST(sum(CAST(round(quality * 1000000) AS BIGINT)) AS BIGINT)
+               AS q_fp_sum
+      FROM q
+    ),
+    dup AS (
+      SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n_dup_docs FROM (
+        SELECT count(*) AS c FROM orgsrc GROUP BY md5(text)
+        HAVING count(*) >= 2
+      )
+    )
+    SELECT CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_sources AS BIGINT) AS n_sources,
+           total_ws_tokens,
+           round(q_fp_sum / 1000000.0 / n_docs, 6) AS mean_quality,
+           n_dup_docs,
+           round(n_dup_docs * 1.0 / n_docs, 6) AS pct_exact_dup
+    FROM stats, qsum, dup
+    """

@@ -1093,3 +1093,55 @@ def length_quantiles(docs: DataFrame, pcts: tuple = QUANTILE_PCTS) -> DataFrame:
         for p in pcts
     ]
     return ranked.groupBy("source").agg(*aggs)
+
+
+def corpus_card(docs: DataFrame) -> DataFrame:
+    """One-row corpus data card — the headline summary a curation run
+    publishes (the "datasheet" numbers): document/source counts,
+    token total, mean quality, exact-duplicate budget.
+
+    Float discipline: mean_quality is aggregated in FIXED POINT
+    (each doc's 6dp quality → bigint micro-units → exact integer
+    sum → one final division, rounded 6dp), because a double sum's
+    value depends on partition order — the same trick as
+    temperature_mixture's shares and pagerank's mass. Exact-dup
+    budget = docs whose md5(text) is shared (the dedup_exact
+    grouping), as count + 6dp fraction.
+
+    Two map-side-combinable aggregates (corpus stats + dup groups)
+    joined as 1-row frames — no corpus shuffle beyond the md5
+    groupBy the exact-dedup semantics require."""
+    q = quality_score(docs).select(
+        "doc_id",
+        F.round(F.col("quality") * 1_000_000).cast("long").alias("q_fp"),
+    )
+    stats = docs.select(
+        "doc_id", "source", F.size(_words()).alias("n_tok")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_tok").cast("long").alias("total_ws_tokens"),
+    )
+    qsum = q.agg(F.sum("q_fp").cast("long").alias("q_fp_sum"))
+    dup_docs = (
+        docs.groupBy(F.md5("text").alias("h"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_dup_docs"))
+    )
+    return (
+        stats.crossJoin(qsum)
+        .crossJoin(dup_docs)
+        .select(
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_sources").cast("long").alias("n_sources"),
+            "total_ws_tokens",
+            F.round(
+                F.col("q_fp_sum") / F.lit(1_000_000.0) / F.col("n_docs"), 6
+            ).alias("mean_quality"),
+            "n_dup_docs",
+            F.round(F.col("n_dup_docs") * F.lit(1.0) / F.col("n_docs"), 6).alias(
+                "pct_exact_dup"
+            ),
+        )
+    )

@@ -953,3 +953,24 @@ def test_domain_flags_parity_vs_duckdb(spark, docs):
     du = du[cols].sort_values(cols).reset_index(drop=True)
     assert list(sp.dtypes) == list(du.dtypes)
     assert sp.equals(du)
+
+
+def test_corpus_card_values(spark):
+    d = spark.createDataFrame(
+        [
+            (1, "the a of and to in words here", "A"),
+            (2, "the a of and to in words here", "A"),   # exact dup of 1
+            (3, "completely different unique text body", "B"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    row = T.corpus_card(d).collect()[0]
+    assert row["n_docs"] == 3 and row["n_sources"] == 2
+    assert row["total_ws_tokens"] == 8 + 8 + 5
+    assert row["n_dup_docs"] == 2  # both members of the dup group
+    assert row["pct_exact_dup"] == round(2 / 3, 6)
+    # fixed-point mean equals the rounded mean of per-doc qualities
+    qs = [r["quality"] for r in T.quality_score(d).collect()]
+    assert row["mean_quality"] == round(
+        sum(round(q * 1e6) for q in qs) / 1e6 / 3, 6
+    )
