@@ -1014,6 +1014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_knn_graph": _q_emb_knn_graph,
         "doc_domain_flags": _q_doc_domain_flags,
         "doc_corpus_card": _q_doc_corpus_card,
+        "event_attribution": A.event_attribution,
         # -- load-bearing pipeline core, displaced from the prefix by
         #    the four second-wave conv_* gates (new code outranks
         #    re-gating): all four are r4-GREEN and their exercised

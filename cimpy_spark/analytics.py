@@ -214,7 +214,109 @@ def event_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str = "ts",
+    right_cols: tuple = ("event_id", "ts"),
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Generic AS-OF join — for every left row, the LATEST right row
+    with right.ts <= left.ts per key (attribution, point-in-time
+    feature lookup; the operator the brief names as a classic
+    "Spark lacks it" custom op; DuckDB grew a native ASOF JOIN, which
+    the oracle uses as an INDEPENDENT construction).
+
+    Spark-first shape — the union-and-carry trick, no UDF and no
+    range-join explosion: tag right rows 0 and left rows 1, union on
+    (key, ts, tag), and one window per key ordered by (ts, tag,
+    right event_id) carries the last non-null right payload forward
+    (`last(..., ignorenulls)` over UNBOUNDED PRECEDING..CURRENT).
+    A right row at exactly left.ts sorts BEFORE the left row (tag
+    0 < 1), so ties are inclusive like ASOF's <=; equal right ts per
+    key resolve to the max right id deterministically. ONE shuffle on
+    the key, window-sorted — the same cost as sessionization, vs the
+    naive per-left-row subquery (a correlated range scan).
+
+    Output: all left columns + prefix+c for each requested right
+    column (null when no right row precedes)."""
+    rtag = right.select(
+        key,
+        ts,
+        F.lit(0).alias("_tag"),
+        F.struct(*right_cols).alias("_payload"),
+    )
+    ltag = left.withColumn("_tag", F.lit(1)).withColumn(
+        "_payload", F.lit(None).cast(rtag.schema["_payload"].dataType)
+    )
+    u = ltag.select(
+        *left.columns, "_tag", "_payload"
+    ).unionByName(
+        rtag.select(
+            *[
+                F.lit(None).cast(left.schema[c].dataType).alias(c)
+                if c not in (key, ts)
+                else F.col(c)
+                for c in left.columns
+            ],
+            "_tag",
+            "_payload",
+        )
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy(ts, "_tag", F.col("_payload").getField(right_cols[0]))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.withColumn("_m", F.last("_payload", ignorenulls=True).over(w))
+    return carried.filter(F.col("_tag") == 1).select(
+        *left.columns,
+        *[
+            F.col("_m").getField(c).alias(f"{prefix}{c}")
+            for c in right_cols
+        ],
+    )
+
+
+def event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click-to-view attribution via `asof_join`: every click joined
+    to the user's most recent preceding (or simultaneous) view; gap
+    in whole seconds via floor-epoch on both sides (matching
+    unix_timestamp semantics in both engines)."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(clicks, views, key="user_id", ts="ts")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("click_epoch"),
+        F.round("value", 4).alias("value"),
+        F.col("asof_event_id").alias("view_event_id"),
+        (F.unix_timestamp("ts") - F.unix_timestamp("asof_ts")).alias("gap_s"),
+    )
+
+
 ANALYTICS_ORACLES = {
+    "event_attribution": """
+        WITH c AS (SELECT event_id, user_id, ts, value FROM events
+                   WHERE event_type = 'click'),
+        v AS (SELECT event_id, ts, user_id FROM events
+              WHERE event_type = 'view')
+        SELECT c.event_id, c.user_id,
+               CAST(floor(epoch(c.ts)) AS BIGINT) AS click_epoch,
+               round(c.value, 4) AS value,
+               v.event_id AS view_event_id,
+               CAST(floor(epoch(c.ts)) AS BIGINT)
+                 - CAST(floor(epoch(v.ts)) AS BIGINT) AS gap_s
+        FROM c ASOF LEFT JOIN v
+          ON c.user_id = v.user_id AND v.ts <= c.ts
+    """,
     "event_type_rollup": """
         SELECT event_type, hour_of_day,
                count(*) AS n,

@@ -974,3 +974,31 @@ def test_corpus_card_values(spark):
     assert row["mean_quality"] == round(
         sum(round(q * 1e6) for q in qs) / 1e6 / 3, 6
     )
+
+
+def test_asof_join_semantics(spark):
+    """Inclusive <= tie, latest-preceding pick, null when nothing
+    precedes — pinned on a hand-built timeline."""
+    from cimpy_spark.analytics import asof_join
+
+    left = spark.createDataFrame(
+        [
+            (100, 1, "2024-01-01 00:00:10"),
+            (101, 1, "2024-01-01 00:00:20"),
+            (102, 2, "2024-01-01 00:00:05"),
+        ],
+        "event_id long, user_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [
+            (200, 1, "2024-01-01 00:00:10"),  # == left 100 ts (inclusive)
+            (201, 1, "2024-01-01 00:00:15"),  # latest before left 101
+            (202, 2, "2024-01-01 00:00:30"),  # AFTER left 102 -> no match
+        ],
+        "event_id long, user_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        r["event_id"]: r["asof_event_id"]
+        for r in asof_join(left, right, key="user_id").collect()
+    }
+    assert out == {100: 200, 101: 201, 102: None}
