@@ -1015,6 +1015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_domain_flags": _q_doc_domain_flags,
         "doc_corpus_card": _q_doc_corpus_card,
         "event_attribution": A.event_attribution,
+        "purchase_click_window": A.purchase_click_window,
         # -- load-bearing pipeline core, displaced from the prefix by
         #    the four second-wave conv_* gates (new code outranks
         #    re-gating): all four are r4-GREEN and their exercised

@@ -302,7 +302,93 @@ def event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    key: str,
+    ts: str = "ts",
+    start: str = "start_s",
+    end: str = "end_s",
+    bin_seconds: int = 600,
+) -> DataFrame:
+    """Generic interval-containment join — every (point, interval)
+    pair of the same key with start <= point.ts <= end (epoch-second
+    columns), the range sibling of `asof_join`.
+
+    Spark-first shape — bin bucketing instead of a theta join: each
+    interval explodes to the time bins it covers (bounded fan-out:
+    len/bin + 1 rows), each point maps to its ONE bin, and the match
+    becomes an EQUI-join on (key, bin) + the exact range filter. A
+    point lies in exactly one bin, so no dedup pass is needed. Pick
+    bin_seconds ~ the typical interval length: shorter bins explode
+    intervals wider, longer bins put unrelated rows in one bucket —
+    either extreme degrades toward the naive key-only join Catalyst
+    would otherwise run (BroadcastNestedLoop or a full per-key
+    cross). The DuckDB oracle runs the plain inequality join — an
+    independent construction."""
+    ib = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                (F.col(start) / bin_seconds).cast("long"),
+                (F.col(end) / bin_seconds).cast("long"),
+            )
+        ),
+    )
+    pb = points.withColumn("_bin", (F.col(ts) / bin_seconds).cast("long"))
+    return (
+        pb.join(ib, [key, "_bin"])
+        .filter((F.col(ts) >= F.col(start)) & (F.col(ts) <= F.col(end)))
+        .drop("_bin")
+    )
+
+
+def purchase_click_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clicks in the 10 minutes up to each purchase (inclusive both
+    ends) via `range_join` — the attribution-window query; purchases
+    with no clicks report 0 through the left join back."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        (F.unix_timestamp("ts") - 600).alias("start_s"),
+        F.unix_timestamp("ts").alias("end_s"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.unix_timestamp("ts").alias("click_s")
+    )
+    matched = range_join(
+        clicks, purchases, key="user_id", ts="click_s"
+    )
+    counts = matched.groupBy("purchase_id").agg(
+        F.count(F.lit(1)).alias("n_clicks")
+    )
+    return purchases.join(counts, "purchase_id", "left").select(
+        "purchase_id",
+        "user_id",
+        "end_s",
+        F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+    )
+
+
 ANALYTICS_ORACLES = {
+    "purchase_click_window": """
+        WITH p AS (SELECT event_id AS purchase_id, user_id,
+                          CAST(floor(epoch(ts)) AS BIGINT) - 600 AS start_s,
+                          CAST(floor(epoch(ts)) AS BIGINT) AS end_s
+                   FROM events WHERE event_type = 'purchase'),
+        c AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS click_s
+              FROM events WHERE event_type = 'click'),
+        m AS (
+          SELECT p.purchase_id, count(*) AS n_clicks
+          FROM p JOIN c ON c.user_id = p.user_id
+                       AND c.click_s >= p.start_s AND c.click_s <= p.end_s
+          GROUP BY p.purchase_id
+        )
+        SELECT p.purchase_id, p.user_id, p.end_s,
+               coalesce(m.n_clicks, 0) AS n_clicks
+        FROM p LEFT JOIN m USING (purchase_id)
+    """,
     "event_attribution": """
         WITH c AS (SELECT event_id, user_id, ts, value FROM events
                    WHERE event_type = 'click'),

@@ -1002,3 +1002,27 @@ def test_asof_join_semantics(spark):
         for r in asof_join(left, right, key="user_id").collect()
     }
     assert out == {100: 200, 101: 201, 102: None}
+
+
+def test_range_join_bins_and_boundaries(spark):
+    """Inclusive endpoints, intervals spanning multiple bins, and
+    no-match points — the bin bucketing must be invisible."""
+    from cimpy_spark.analytics import range_join
+
+    points = spark.createDataFrame(
+        [(1, 1000), (1, 1600), (1, 2200), (1, 999), (2, 1500)],
+        "user_id long, click_s long",
+    )
+    # interval [1000, 2200] spans 3 bins at bin_seconds=600
+    iv = spark.createDataFrame(
+        [(10, 1, 1000, 2200)],
+        "iv_id long, user_id long, start_s long, end_s long",
+    )
+    for bins in (600, 100, 10_000):
+        got = sorted(
+            r["click_s"]
+            for r in range_join(
+                points, iv, key="user_id", ts="click_s", bin_seconds=bins
+            ).collect()
+        )
+        assert got == [1000, 1600, 2200], bins  # both endpoints in; 999 and user 2 out
