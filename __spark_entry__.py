@@ -473,6 +473,15 @@ def _q_doc_domain_flags(spark, sf_dir):
     return T.domain_flags(pii_documents(_docs(spark, sf_dir)))
 
 
+def _q_doc_line_dedup(spark, sf_dir):
+    from cimpy_spark.fixtures.organic import lined_documents
+
+    # multi-line corpus: 6-word wrapped lines + planted per-source
+    # copyright footer (the boilerplate) + planted unique marker line
+    # (the negative a correct pass must keep)
+    return T.line_dedup(lined_documents(_docs(spark, sf_dir)))
+
+
 def _q_emb_knn_graph(spark, sf_dir):
     # organic corpus, 3 LSH tables: the planted cos≈0.98 copies must
     # surface as rank-1 neighbors (pytest-pinned)
@@ -1014,6 +1023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_knn_graph": _q_emb_knn_graph,
         "doc_domain_flags": _q_doc_domain_flags,
         "doc_corpus_card": _q_doc_corpus_card,
+        "doc_line_dedup": _q_doc_line_dedup,
         "event_attribution": A.event_attribution,
         "purchase_click_window": A.purchase_click_window,
         # -- load-bearing pipeline core, displaced from the prefix by
@@ -1227,6 +1237,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_knn_graph": doc_oracles.knn_graph_sql(),
         "doc_domain_flags": doc_oracles.domain_flags_sql(),
         "doc_corpus_card": doc_oracles.corpus_card_sql(),
+        "doc_line_dedup": doc_oracles.line_dedup_sql(),
         "emb_contamination": doc_oracles.emb_contamination_sql(),
         "emb_quantize": doc_oracles.quantize_sql(),
         "doc_quality": doc_oracles.quality_score_sql(),

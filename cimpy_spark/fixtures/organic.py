@@ -216,3 +216,45 @@ def pii_documents(docs: DataFrame) -> DataFrame:
         .otherwise(F.col("text"))
     )
     return docs.select("doc_id", text.alias("text"))
+
+
+def lined_documents(docs: DataFrame) -> DataFrame:
+    """Multi-line corpus for the boilerplate-line-removal gate: the
+    synthetic fixture text is a single line, so this derives a
+    deterministic multi-line layout — same derivation as
+    doc_oracles.LINED_DOCS_CTE, computed independently by both
+    engines. The operator under test receives the corpus as a plain
+    input frame and never sees how it was made.
+
+    Layout per document:
+    - the word stream re-wrapped into lines of 6 words;
+    - a per-source footer line ``copyright <source> all rights
+      reserved`` appended on doc_id % 3 != 0 — the planted
+      BOILERPLATE (appears in ~2/3 of every source's docs, so any
+      min_docs >= 2 flags it);
+    - a globally unique line ``unique marker <doc_id>`` on
+      doc_id % 97 == 5 — the planted NEGATIVE a correct operator must
+      keep."""
+    d = F.col("doc_id")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    n_chunks = ((F.size(w) + F.lit(5)) / F.lit(6)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(w, i * 6 + 1, 6), " "),
+    )
+    text = F.concat(
+        F.array_join(chunks, "\n"),
+        F.when(
+            d % 3 != 0,
+            F.concat(
+                F.lit("\ncopyright "),
+                F.col("source"),
+                F.lit(" all rights reserved"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 97 == 5,
+            F.concat(F.lit("\nunique marker "), d.cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", text.alias("text"))

@@ -1292,3 +1292,70 @@ def corpus_card_sql() -> str:
            round(n_dup_docs * 1.0 / n_docs, 6) AS pct_exact_dup
     FROM stats, qsum, dup
     """
+
+
+# multi-line corpus derivation (mirror of fixtures.organic.
+# lined_documents): word stream re-wrapped to 6-word lines, planted
+# per-source copyright footer on doc_id % 3 != 0 (the boilerplate),
+# planted globally-unique marker line on doc_id % 97 = 5 (the
+# negative), derived independently by both engines
+LINED_DOCS_CTE = f"""
+lw AS (
+  SELECT doc_id, source, {WORDS} AS wl FROM documents
+),
+lchunks AS (
+  SELECT doc_id, source, nums.i,
+         array_to_string(wl[(nums.i-1)*6+1:(nums.i-1)*6+6], ' ') AS chunk
+  FROM lw JOIN nums ON nums.i <= (len(wl)+5)//6
+),
+lbody AS (
+  SELECT doc_id, source, string_agg(chunk, chr(10) ORDER BY i) AS body
+  FROM lchunks GROUP BY doc_id, source
+),
+lineddocs AS (
+  SELECT doc_id,
+         body
+         || CASE WHEN doc_id % 3 <> 0
+                 THEN chr(10) || 'copyright ' || source || ' all rights reserved'
+                 ELSE '' END
+         || CASE WHEN doc_id % 97 = 5
+                 THEN chr(10) || 'unique marker ' || doc_id
+                 ELSE '' END AS text
+  FROM lbody
+)
+"""
+
+
+def line_dedup_sql(min_docs: int = 2) -> str:
+    """Mirror of text.line_dedup over the lined corpus: lines keyed
+    by md5 of the normalized line (trim+lower), boilerplate = keys in
+    >= min_docs distinct docs, remainder reassembled in line order."""
+    return f"""
+    WITH {NUMS},
+    {LINED_DOCS_CTE.strip()},
+    sl AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM lineddocs),
+    l AS (
+      SELECT doc_id, nums.i AS pos, ls[nums.i] AS line,
+             md5(trim(lower(ls[nums.i]))) AS k
+      FROM sl JOIN nums ON nums.i <= len(ls)
+    ),
+    boiler AS (
+      SELECT k FROM (SELECT DISTINCT k, doc_id FROM l)
+      GROUP BY k HAVING count(*) >= {min_docs}
+    ),
+    kept AS (
+      SELECT doc_id, pos, line FROM l
+      WHERE k NOT IN (SELECT k FROM boiler)
+    ),
+    agg AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(line, chr(10) ORDER BY pos) AS clean_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT sl.doc_id,
+           CAST(len(ls) AS INT) AS n_lines,
+           CAST(coalesce(n_kept, 0) AS INT) AS n_kept,
+           CAST(len(ls) - coalesce(n_kept, 0) AS INT) AS n_boiler,
+           coalesce(clean_text, '') AS clean_text
+    FROM sl LEFT JOIN agg ON sl.doc_id = agg.doc_id
+    """

@@ -1145,3 +1145,70 @@ def corpus_card(docs: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+def line_dedup(docs: DataFrame, min_docs: int = 2) -> DataFrame:
+    """Boilerplate line removal — the CCNet / RefinedWeb / Dolma
+    paragraph-dedup pass: a LINE (newline-delimited) that occurs in
+    >= min_docs distinct documents is boilerplate (nav headers,
+    cookie banners, copyright footers, licence blocks) and is cut
+    from every document; the per-document remainder is reassembled in
+    original line order. Counting distinct DOCUMENTS (RefinedWeb
+    semantics), not occurrences, so within-doc repetition alone never
+    flags a line — that signal belongs to repetition_score/dup_spans.
+    Output: (doc_id, n_lines, n_kept, n_boiler, clean_text).
+
+    Scale shape: lines are keyed by xxhash64 of the normalized
+    (trim+lower) line BEFORE any shuffle — no long strings move. The
+    boilerplate key set is computed as distinct (key, doc_id) →
+    map-side-combinable count — never a collect_set, so a footer in
+    1e9 docs is one counter, not a 1e9-element buffer. The line
+    stream then anti-joins that key set (duplicated-line keys only —
+    orders of magnitude smaller than the corpus; AQE broadcasts it
+    when it fits, shuffles when it doesn't) and ONE groupBy per doc
+    reassembles kept lines via sorted (pos, line) structs. Two
+    corpus-scale shuffles total (key count + doc reassembly), same
+    cardinality discipline as dup_spans. Hash collisions across
+    distinct normalized lines are 2^-64-scale and could only merge
+    two lines' doc counts (over-removal), never corrupt text. The
+    DuckDB oracle keys lines by md5 instead — equal lines, equal
+    removal set, either way."""
+    lines = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), "\n")).alias("pos", "line")
+    ).select(
+        "doc_id",
+        "pos",
+        "line",
+        F.xxhash64(F.trim(F.lower(F.col("line")))).alias("k"),
+    )
+    boiler = (
+        lines.select("k", "doc_id")
+        .distinct()
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("k")
+    )
+    kept = lines.join(boiler, "k", "left_anti")
+    clean = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+    )
+    base = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), "\n")).cast("int").alias("n_lines")
+    )
+    return base.join(clean, "doc_id", "left").select(
+        "doc_id",
+        "n_lines",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
+        .cast("int")
+        .alias("n_boiler"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )

@@ -1026,3 +1026,85 @@ def test_range_join_bins_and_boundaries(spark):
             ).collect()
         )
         assert got == [1000, 1600, 2200], bins  # both endpoints in; 999 and user 2 out
+
+def test_line_dedup_removes_cross_doc_footers_keeps_unique(spark):
+    d = spark.createDataFrame(
+        [
+            (1, "alpha beta\ncopyright A\ngamma"),
+            (2, "delta\ncopyright A"),
+            (3, "epsilon zeta\nCOPYRIGHT a  \nonly here line 3"),
+            (4, "solo doc untouched"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in T.line_dedup(d, min_docs=2).collect()}
+    # 'copyright A' normalizes (trim+lower) equal across docs 1-3
+    assert out[1]["clean_text"] == "alpha beta\ngamma"
+    assert out[1]["n_lines"] == 3 and out[1]["n_boiler"] == 1
+    assert out[2]["clean_text"] == "delta"
+    assert out[3]["clean_text"] == "epsilon zeta\nonly here line 3"
+    assert out[4]["clean_text"] == "solo doc untouched"
+    assert out[4]["n_boiler"] == 0
+
+
+def test_line_dedup_doc_count_not_occurrences(spark):
+    # a line repeated WITHIN one doc only is not boilerplate
+    # (doc-count semantics); a fully-boilerplate doc empties out
+    d = spark.createDataFrame(
+        [
+            (1, "same line\nsame line\nbody one"),
+            (2, "shared footer"),
+            (3, "shared footer"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in T.line_dedup(d, min_docs=2).collect()}
+    assert out[1]["clean_text"] == "same line\nsame line\nbody one"
+    assert out[2]["clean_text"] == "" and out[2]["n_kept"] == 0
+    assert out[3]["n_boiler"] == 1
+
+
+def test_line_dedup_min_docs_threshold(spark):
+    d = spark.createDataFrame(
+        [(i, "common\nbody %d" % i) for i in range(1, 4)],
+        "doc_id long, text string",
+    )
+    # min_docs=4 > corpus occurrences → nothing removed
+    kept_all = T.line_dedup(d, min_docs=4)
+    assert kept_all.filter(F.col("n_boiler") > 0).count() == 0
+    assert T.line_dedup(d, min_docs=3).filter(
+        F.col("n_boiler") == 1
+    ).count() == 3
+
+
+def test_line_dedup_parity_vs_duckdb(spark):
+    import duckdb
+
+    from cimpy_spark.functions import doc_oracles as O
+    from cimpy_spark.fixtures.organic import lined_documents
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_TINY}/documents.parquet')"
+    )
+    sp = T.line_dedup(
+        lined_documents(spark.read.parquet(f"{SF_TINY}/documents.parquet"))
+    ).toPandas()
+    du = con.execute(O.line_dedup_sql()).df()
+    cols = sorted(sp.columns)
+    sp = sp[cols].sort_values(cols).reset_index(drop=True)
+    du = du[cols].sort_values(cols).reset_index(drop=True)
+    assert list(sp.dtypes) == list(du.dtypes)
+    assert sp.equals(du)
+    # planted semantics hold on the fixture corpus too: every %3!=0
+    # doc lost at least its footer; every %97==5 doc kept its marker
+    full = T.line_dedup(
+        lined_documents(spark.read.parquet(f"{SF_TINY}/documents.parquet"))
+    )
+    assert full.filter(
+        (F.col("doc_id") % 3 != 0) & (F.col("n_boiler") == 0)
+    ).count() == 0
+    assert full.filter(F.col("doc_id") % 97 == 5).filter(
+        ~F.col("clean_text").contains("unique marker")
+    ).count() == 0
