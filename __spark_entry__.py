@@ -482,6 +482,15 @@ def _q_doc_line_dedup(spark, sf_dir):
     return T.line_dedup(lined_documents(_docs(spark, sf_dir)))
 
 
+def _q_doc_setsim_join(spark, sf_dir):
+    # organic corpus: planted exact copies (J=1), trunc90 (J≈0.88 —
+    # kept) and trunc60 (J≈0.57 — excluded) exercise both sides of
+    # the exact num/den=4/5 threshold; oracle = brute-force all-pairs
+    from cimpy_spark.functions import dedup as D
+
+    return D.setsim_join(_organic_docs(spark, sf_dir))
+
+
 def _q_emb_knn_graph(spark, sf_dir):
     # organic corpus, 3 LSH tables: the planted cos≈0.98 copies must
     # surface as rank-1 neighbors (pytest-pinned)
@@ -1024,6 +1033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_domain_flags": _q_doc_domain_flags,
         "doc_corpus_card": _q_doc_corpus_card,
         "doc_line_dedup": _q_doc_line_dedup,
+        "doc_setsim_join": _q_doc_setsim_join,
         "event_attribution": A.event_attribution,
         "purchase_click_window": A.purchase_click_window,
         # -- load-bearing pipeline core, displaced from the prefix by
@@ -1238,6 +1248,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_domain_flags": doc_oracles.domain_flags_sql(),
         "doc_corpus_card": doc_oracles.corpus_card_sql(),
         "doc_line_dedup": doc_oracles.line_dedup_sql(),
+        "doc_setsim_join": doc_oracles.setsim_join_sql(),
         "emb_contamination": doc_oracles.emb_contamination_sql(),
         "emb_quantize": doc_oracles.quantize_sql(),
         "doc_quality": doc_oracles.quality_score_sql(),

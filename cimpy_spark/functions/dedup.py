@@ -688,3 +688,112 @@ def dedup_ingest(
         )
         .withColumn("is_kept", F.col("doc_id") == F.col("canonical_doc_id"))
     )
+
+
+def setsim_join(
+    docs: DataFrame, num: int = 4, den: int = 5, n: int = 3
+) -> DataFrame:
+    """EXACT set-similarity self-join with prefix filtering — the
+    AllPairs / PPJoin family (Bayardo et al. WWW'07, Xiao et al.
+    WWW'08): all pairs whose word-n-gram shingle-set Jaccard is
+    >= num/den, with no false negatives — the deterministic
+    complement to the probabilistic MinHash path (minhash misses
+    ~(1-recall) of true pairs by design; audits and eval-set
+    decontamination want the exact answer).
+
+    Prefix filter: order the vocabulary by (document frequency,
+    token) — rarest first — sort each doc's shingles by that order,
+    and keep only the first |s| - ceil(t·|s|) + 1 as its PREFIX. Two
+    sets with Jaccard >= t must share a prefix token (their overlap
+    o >= ceil(t·max(|A|,|B|)) can't hide in either (ceil(t·|s|)-1)-
+    sized suffix), so joining on prefix tokens alone is complete.
+    The threshold is a RATIONAL num/den and every prefix length /
+    filter uses integer arithmetic (ceil(t·n) = (num·n + den-1) div
+    den; the verify keeps den·inter >= num·(na+nb-inter)) — no float
+    boundary can disagree between engines or with the math.
+
+    Scale shape: one vocabulary-sized df aggregate + join back (AQE
+    broadcasts a small vocab, shuffles a big one); per-doc ordering
+    is an IN-ROW array_sort (no global sort — a global rank window
+    would serialize the vocabulary through one task); the candidate
+    self-join touches only prefix tokens, which are each doc's
+    RAREST — the frequent-token buckets that blow up a naive
+    inverted-index join never enter it; the AllPairs length filter
+    (num·max(na,nb) <= den·min(na,nb)) prunes before the distinct;
+    verify is O(candidates) with the pair's two shingle arrays
+    intersected IN-ROW (array_intersect — no second explode, no
+    per-pair shuffle fan-out). Output: (doc_a, doc_b, n_inter,
+    jaccard 6dp). The DuckDB oracle is the INDEPENDENT brute-force
+    all-pairs join over the same shingle sets."""
+    sh = docs.filter(has_shingles(n)).select(
+        "doc_id", F.explode(shingle_array(n)).alias("tok")
+    )
+    sh = checkpoint_df(sh)
+    dfreq = sh.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (
+        sh.join(dfreq, "tok")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "tok"))).alias("arr"))
+    )
+    nsz = F.size("arr")
+    ceil_tn = F.floor((F.lit(num) * nsz + F.lit(den - 1)) / F.lit(den))
+    plen = (nsz - ceil_tn + 1).cast("int")
+    prefix = ordered.select(
+        "doc_id",
+        nsz.alias("n"),
+        F.explode(
+            F.slice(F.transform("arr", lambda s: s["tok"]), F.lit(1), plen)
+        ).alias("tok"),
+    )
+    a = prefix.select(
+        F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "tok"
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "tok"
+    )
+    cand = (
+        a.join(b, "tok")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            F.lit(num) * F.greatest("na", "nb")
+            <= F.lit(den) * F.least("na", "nb")
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sets = docs.filter(has_shingles(n)).select(
+        "doc_id", shingle_array(n).alias("s")
+    )
+    inter = F.size(F.array_intersect("sa", "sb"))
+    return (
+        cand.join(
+            sets.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            sets.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.alias("inter"),
+            F.size("sa").alias("na"),
+            F.size("sb").alias("nb"),
+        )
+        .filter(
+            F.lit(den) * F.col("inter")
+            >= F.lit(num) * (F.col("na") + F.col("nb") - F.col("inter"))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("inter").cast("int").alias("n_inter"),
+            F.round(
+                F.col("inter")
+                * F.lit(1.0)
+                / (F.col("na") + F.col("nb") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

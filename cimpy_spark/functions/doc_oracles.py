@@ -1359,3 +1359,29 @@ def line_dedup_sql(min_docs: int = 2) -> str:
            coalesce(clean_text, '') AS clean_text
     FROM sl LEFT JOIN agg ON sl.doc_id = agg.doc_id
     """
+
+
+def setsim_join_sql(num: int = 4, den: int = 5) -> str:
+    """INDEPENDENT oracle for dedup.setsim_join over the organic
+    corpus: brute-force all-pairs shingle join (no prefix filter at
+    all — a different algorithm computing the same exact answer),
+    integer threshold comparison, same 6dp jaccard."""
+    return f"""
+    WITH {NUMS},
+    {ORGANIC_DOCS_CTE.strip()},
+    {_w_cte("orgdocs").strip()},
+    {SH3_CTE.strip()},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM sh a JOIN sh b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, CAST(c AS INT) AS n_inter,
+           round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE {den} * c >= {num} * (sa.n + sb.n - c)
+    """

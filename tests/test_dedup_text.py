@@ -1108,3 +1108,79 @@ def test_line_dedup_parity_vs_duckdb(spark):
     assert full.filter(F.col("doc_id") % 97 == 5).filter(
         ~F.col("clean_text").contains("unique marker")
     ).count() == 0
+
+
+def test_setsim_join_exact_boundary_and_planted(spark):
+    # J exactly at the 4/5 threshold is KEPT (>=, exact integer
+    # comparison); just below is excluded; identical docs give J=1
+    d = spark.createDataFrame(
+        [
+            (1, "w1 w2 w3 w4 w5 w6 w7"),   # 5 shingles
+            (2, "w1 w2 w3 w4 w5 w6"),      # 4-shingle prefix subset: J=4/5
+            (3, "w1 w2 w3 w4 w5"),         # 3 of 5: J=3/5 < 4/5
+            (4, "w1 w2 w3 w4 w5 w6 w7"),   # exact copy of 1
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["doc_a"], r["doc_b"]): r for r in D.setsim_join(d).collect()
+    }
+    assert (1, 2) in rows and rows[(1, 2)]["jaccard"] == 0.8
+    assert (1, 4) in rows and rows[(1, 4)]["jaccard"] == 1.0
+    assert (2, 4) in rows  # same sets as (1,2)
+    assert not any(3 in k for k in rows)
+
+
+def test_setsim_join_no_false_negatives_vs_bruteforce(spark, docs):
+    # prefix filtering must lose NOTHING vs the quadratic join on a
+    # real corpus slice (the completeness theorem, checked empirically)
+    from cimpy_spark.fixtures.organic import organic_documents
+
+    corpus = organic_documents(docs.limit(80))
+    fast = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in D.setsim_join(corpus).collect()
+    }
+    sh = corpus.filter(T.has_shingles(3)).select(
+        "doc_id", F.explode(T.shingle_array(3)).alias("s")
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    brute = (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .filter(F.lit(5) * F.col("c") >= F.lit(4) * (F.col("na") + F.col("nb") - F.col("c")))
+        .select(
+            "doc_a", "doc_b",
+            F.round(F.col("c") * F.lit(1.0) / (F.col("na") + F.col("nb") - F.col("c")), 6).alias("j"),
+        )
+    )
+    slow = {(r["doc_a"], r["doc_b"], r["j"]) for r in brute.collect()}
+    assert fast == slow and len(fast) > 0
+
+
+def test_setsim_join_parity_vs_duckdb(spark):
+    import duckdb
+
+    from cimpy_spark.functions import doc_oracles as O
+    from cimpy_spark.fixtures.organic import organic_documents
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_TINY}/documents.parquet')"
+    )
+    sp = D.setsim_join(
+        organic_documents(spark.read.parquet(f"{SF_TINY}/documents.parquet"))
+    ).toPandas()
+    du = con.execute(O.setsim_join_sql()).df()
+    cols = sorted(sp.columns)
+    sp = sp[cols].sort_values(cols).reset_index(drop=True)
+    du = du[cols].sort_values(cols).reset_index(drop=True)
+    assert list(sp.dtypes) == list(du.dtypes)
+    assert sp.equals(du)
