@@ -482,6 +482,13 @@ def _q_doc_line_dedup(spark, sf_dir):
     return T.line_dedup(lined_documents(_docs(spark, sf_dir)))
 
 
+def _q_kg_cooccurrence(spark, sf_dir):
+    # conv-level entity co-occurrence with PMI weights over the
+    # canonical map — the induced-edge layer beside the declared refs
+    g = _graph(spark, sf_dir)
+    return P.cooccurrence_pmi(g.triples, g.cmap)
+
+
 def _q_doc_setsim_join(spark, sf_dir):
     # organic corpus: planted exact copies (J=1), trunc90 (J≈0.88 —
     # kept) and trunc60 (J≈0.57 — excluded) exercise both sides of
@@ -1034,6 +1041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_corpus_card": _q_doc_corpus_card,
         "doc_line_dedup": _q_doc_line_dedup,
         "doc_setsim_join": _q_doc_setsim_join,
+        "kg_cooccurrence": _q_kg_cooccurrence,
         "event_attribution": A.event_attribution,
         "purchase_click_window": A.purchase_click_window,
         # -- load-bearing pipeline core, displaced from the prefix by
@@ -1249,6 +1257,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_corpus_card": doc_oracles.corpus_card_sql(),
         "doc_line_dedup": doc_oracles.line_dedup_sql(),
         "doc_setsim_join": doc_oracles.setsim_join_sql(),
+        "kg_cooccurrence": oracles.cooccurrence_pmi_sql(),
         "emb_contamination": doc_oracles.emb_contamination_sql(),
         "emb_quantize": doc_oracles.quantize_sql(),
         "doc_quality": doc_oracles.quality_score_sql(),

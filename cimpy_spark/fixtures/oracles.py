@@ -666,3 +666,32 @@ def triangle_stats_sql() -> str:
                 ELSE 0.0 END AS clustering
     FROM degt d LEFT JOIN per_node p ON p.v = d.v
     """
+
+
+def cooccurrence_pmi_sql(min_convs: int = 2) -> str:
+    """Mirror of pipeline.cooccurrence_pmi: conv-distinct canonical
+    mentions, pair counts by conv self-join, PMI over integer counts."""
+    return _with(T_CTE, TRIPLES_CTE, ENTITIES_CTE, CMAP_CTE) + f"""
+    , mention AS (
+      SELECT DISTINCT m.conv_id, cmap.canonical_id AS ent FROM (
+        SELECT conv_id, subj AS e FROM triples
+        UNION ALL
+        SELECT conv_id, obj FROM triples WHERE obj_kind = 'ref'
+      ) m JOIN cmap ON m.e = cmap.entity_id
+    ),
+    nconv AS (SELECT count(DISTINCT conv_id) AS n_total FROM mention),
+    ec AS (SELECT ent, count(*) AS c FROM mention GROUP BY ent),
+    pairs AS (
+      SELECT a.ent AS ent_a, b.ent AS ent_b, count(*) AS cab
+      FROM mention a JOIN mention b
+        ON a.conv_id = b.conv_id AND a.ent < b.ent
+      GROUP BY 1, 2
+    )
+    SELECT ent_a, ent_b, CAST(cab AS INT) AS n_convs,
+           round(ln(cab * 1.0 * nconv.n_total / (ca.c * cb.c)), 6) AS pmi
+    FROM pairs
+    JOIN ec ca ON ent_a = ca.ent
+    JOIN ec cb ON ent_b = cb.ent
+    CROSS JOIN nconv
+    WHERE cab >= {min_convs}
+    """

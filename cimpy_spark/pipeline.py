@@ -551,3 +551,81 @@ def triangle_stats(canon_edges: DataFrame) -> DataFrame:
             .alias("clustering"),
         )
     )
+
+
+def cooccurrence_pmi(
+    triples: DataFrame, cmap: DataFrame, min_convs: int = 2
+) -> DataFrame:
+    """Entity co-occurrence graph with PMI edge weights — the
+    statistical edge-enrichment pass of KG construction (Church &
+    Hanks 1990): two canonical entities mentioned in the same
+    conversation form a co-occurrence edge, weighted by pointwise
+    mutual information ln(c_ab·N / (c_a·c_b)) over conversation
+    counts. Positive PMI = the pair co-occurs more than their
+    individual frequencies predict — the signal for inferring
+    *implicit* relations beside the explicitly extracted predicates
+    (the reference's graph carries only declared refs,
+    cimpy/cimimport.py:229-253; this adds the induced layer a
+    transcript KG wants).
+
+    A mention is any triple endpoint that resolves through the
+    canonical map (subjects, and ref objects incl. sameAs — the
+    linkable universe; quarantined dangling refs drop at the join).
+    Conv-level DISTINCT first, so repetition inside one conversation
+    never inflates counts.
+
+    Scale shape: one distinct on (conv, ent); the pair generation
+    self-joins ON conv_id, so fan-out is bounded by per-conversation
+    distinct-entity count squared — bounded by conversation LENGTH
+    (the input contract), never by corpus size or entity hubness; a
+    hub ENTITY costs one counter row, not a bucket. Entity-count and
+    N joins are aggregate-sized; N rides in as a broadcast 1-row
+    frame (no driver collect). PMI's ln runs on integers identical
+    in both engines, rounded 6dp. min_convs prunes the long noise
+    tail BEFORE the count joins."""
+    ends = triples.select("conv_id", F.col("subj").alias("e")).unionByName(
+        triples.filter(F.col("obj_kind") == "ref").select(
+            "conv_id", F.col("obj").alias("e")
+        )
+    )
+    mentions = (
+        ends.join(cmap, ends.e == cmap.entity_id)
+        .select("conv_id", F.col("canonical_id").alias("ent"))
+        .distinct()
+    )
+    nconv = mentions.agg(F.countDistinct("conv_id").alias("n_total"))
+    ec = mentions.groupBy("ent").agg(F.count(F.lit(1)).alias("c"))
+    a = mentions.select("conv_id", F.col("ent").alias("ent_a"))
+    b = mentions.select("conv_id", F.col("ent").alias("ent_b"))
+    pairs = (
+        a.join(b, "conv_id")
+        .filter(F.col("ent_a") < F.col("ent_b"))
+        .groupBy("ent_a", "ent_b")
+        .agg(F.count(F.lit(1)).alias("cab"))
+        .filter(F.col("cab") >= min_convs)
+    )
+    return (
+        pairs.join(
+            ec.select(F.col("ent").alias("ent_a"), F.col("c").alias("ca")),
+            "ent_a",
+        )
+        .join(
+            ec.select(F.col("ent").alias("ent_b"), F.col("c").alias("cb")),
+            "ent_b",
+        )
+        .crossJoin(F.broadcast(nconv))
+        .select(
+            "ent_a",
+            "ent_b",
+            F.col("cab").cast("int").alias("n_convs"),
+            F.round(
+                F.log(
+                    F.col("cab")
+                    * F.lit(1.0)
+                    * F.col("n_total")
+                    / (F.col("ca") * F.col("cb"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

@@ -200,3 +200,76 @@ def test_triangle_stats_direction_and_pred_invariant(spark):
     noised = {tuple(r) for r in P.triangle_stats(_edges(spark, noisy)).collect()}
     assert clean == noised
     assert all(r[2] == 1 for r in clean)  # one triangle each
+
+
+def _trip(spark, rows):
+    return spark.createDataFrame(
+        rows, "conv_id string, subj string, pred string, obj string, obj_kind string"
+    )
+
+
+def _idmap(spark, ids):
+    return spark.createDataFrame(
+        [(i, i) for i in ids], "entity_id string, canonical_id string"
+    )
+
+
+def test_cooccurrence_pmi_hand_values(spark):
+    """Closed-form PMI: A,B together in 2 of 3 convs with c_A=3,
+    c_B=2 → PMI = ln(2·3/(3·2)) = exactly 0; A,C co-occur once →
+    pruned at min_convs=2, present at min_convs=1 with
+    PMI = ln(1·3/(3·1)) = 0."""
+    t = _trip(spark, [
+        ("c1", "A", "rdf_type", "T0", "type"),
+        ("c1", "B", "rdf_type", "T0", "type"),
+        ("c2", "A", "rdf_type", "T0", "type"),
+        ("c2", "B", "rdf_type", "T0", "type"),
+        ("c3", "A", "rdf_type", "T0", "type"),
+        ("c3", "C", "rdf_type", "T0", "type"),
+    ])
+    cmap = _idmap(spark, ["A", "B", "C"])
+    out = {(r["ent_a"], r["ent_b"]): r
+           for r in P.cooccurrence_pmi(t, cmap).collect()}
+    assert set(out) == {("A", "B")}
+    assert out[("A", "B")]["n_convs"] == 2 and out[("A", "B")]["pmi"] == 0.0
+    out1 = {(r["ent_a"], r["ent_b"]): r
+            for r in P.cooccurrence_pmi(t, cmap, min_convs=1).collect()}
+    assert set(out1) == {("A", "B"), ("A", "C")}
+    assert out1[("A", "C")]["pmi"] == 0.0
+
+
+def test_cooccurrence_conv_distinct_and_canonicalized(spark):
+    """Repetition inside one conversation never inflates counts, and
+    mentions resolve through the canonical map (B aliases to A →
+    no self-pair, the co-occurrence collapses)."""
+    t = _trip(spark, [
+        ("c1", "A", "p_int", "1", "literal"),
+        ("c1", "A", "p_int", "2", "literal"),
+        ("c1", "A", "connects_to", "B", "ref"),
+        ("c2", "A", "rdf_type", "T0", "type"),
+        ("c2", "B", "rdf_type", "T0", "type"),
+    ])
+    # B canonicalizes to A: every pair is (A, A) → excluded by a < b
+    cmap = spark.createDataFrame(
+        [("A", "A"), ("B", "A")], "entity_id string, canonical_id string"
+    )
+    assert P.cooccurrence_pmi(t, cmap, min_convs=1).count() == 0
+    # identity map: the pair counts each conversation once
+    out = {(r["ent_a"], r["ent_b"]): r["n_convs"]
+           for r in P.cooccurrence_pmi(t, _idmap(spark, ["A", "B"]), min_convs=1).collect()}
+    assert out == {("A", "B"): 2}
+
+
+def test_cooccurrence_dangling_refs_drop(spark):
+    """Objects not in the canonical map (quarantined refs) are not
+    mentions — the X ref neither pairs nor counts toward N."""
+    t = _trip(spark, [
+        ("c1", "A", "connects_to", "X9", "ref"),
+        ("c1", "B", "rdf_type", "T0", "type"),
+    ])
+    out = P.cooccurrence_pmi(t, _idmap(spark, ["A", "B"]), min_convs=1)
+    rows = out.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # N=1, c_A=c_B=1, c_ab=1 → PMI = ln(1) = 0
+    assert (r["ent_a"], r["ent_b"], r["n_convs"], r["pmi"]) == ("A", "B", 1, 0.0)
