@@ -482,6 +482,18 @@ def _q_doc_line_dedup(spark, sf_dir):
     return T.line_dedup(lined_documents(_docs(spark, sf_dir)))
 
 
+def _q_doc_bpe_merges(spark, sf_dir):
+    from cimpy_spark.functions import bpe as B
+
+    return B.bpe_merges(_docs(spark, sf_dir))
+
+
+def _q_doc_bpe_tokens(spark, sf_dir):
+    from cimpy_spark.functions import bpe as B
+
+    return B.bpe_token_count(_docs(spark, sf_dir))
+
+
 def _q_kg_cooccurrence(spark, sf_dir):
     # conv-level entity co-occurrence with PMI weights over the
     # canonical map — the induced-edge layer beside the declared refs
@@ -1042,6 +1054,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_line_dedup": _q_doc_line_dedup,
         "doc_setsim_join": _q_doc_setsim_join,
         "kg_cooccurrence": _q_kg_cooccurrence,
+        "doc_bpe_merges": _q_doc_bpe_merges,
+        "doc_bpe_tokens": _q_doc_bpe_tokens,
         "event_attribution": A.event_attribution,
         "purchase_click_window": A.purchase_click_window,
         # -- load-bearing pipeline core, displaced from the prefix by
@@ -1258,6 +1272,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_line_dedup": doc_oracles.line_dedup_sql(),
         "doc_setsim_join": doc_oracles.setsim_join_sql(),
         "kg_cooccurrence": oracles.cooccurrence_pmi_sql(),
+        "doc_bpe_merges": doc_oracles.bpe_merges_sql(),
+        "doc_bpe_tokens": doc_oracles.bpe_token_count_sql(),
         "emb_contamination": doc_oracles.emb_contamination_sql(),
         "emb_quantize": doc_oracles.quantize_sql(),
         "doc_quality": doc_oracles.quality_score_sql(),

@@ -1,0 +1,168 @@
+"""Distributed BPE vocabulary induction — tokenizer *training* as a
+Spark job, the missing piece between corpus curation (text.py) and
+token-count accounting (`token_count`'s BPE-ish regex is a fixed
+approximation; this LEARNS the vocabulary from the corpus the way
+Sennrich et al. 2016 define it).
+
+Shape of the computation, and why it scales:
+
+- The ONLY corpus-scale work is one word-frequency aggregate
+  (`word_counts` — explode + map-side-combinable groupBy). BPE
+  training is a pure function of that table, which is vocabulary-
+  sized (millions of rows at web scale, not billions of docs).
+- Each of the k merge rounds runs entirely on the vocabulary table:
+  explode adjacent symbol pairs weighted by word count, aggregate,
+  take the (count DESC, pair ASC) argmax — ONE row collected to the
+  driver per round (the merge decision is inherently sequential;
+  this is the k-iteration driver loop every distributed BPE trainer
+  has, cf. Lloyd iterations in similarity.kmeans_ivf), then apply
+  the merge as a LITERAL string replace over the vocabulary.
+- Words are represented as sentinel-wrapped symbol strings
+  (\\x1e sym \\x1f per symbol), so a pair pattern
+  "\\x1e l \\x1f \\x1e r \\x1f" can only match at symbol boundaries,
+  and the engines' shared leftmost-non-overlapping `replace`
+  semantics implement exactly BPE's greedy merge application
+  ("aaaa" + merge(a,a) → "aa","aa"). Pair COUNTING is positional
+  over the symbol array (a run "aaa" counts (a,a) twice) — the
+  Sennrich counting convention; both engines and the oracle share
+  it. Words containing the sentinel bytes themselves (impossible
+  for whitespace-tokenized text that is even ASCII-printable) are
+  excluded up front by the same filter in both engines.
+- Ties break on (count DESC, lhs ASC, rhs ASC) — fully
+  deterministic, no RNG, no float.
+
+The DuckDB oracle unrolls the k rounds as MATERIALIZED CTE levels
+(same recurrence, independently expressed); `test_bpe.py` adds a
+third, dict-based pure-Python reference so a shared relational
+blind spot can't hide.
+
+Reference analog: cimpy's fixed profile vocabulary is code-generated
+ahead of time (cgmes_v2_4_15/); a transcript corpus has no
+pre-given vocabulary, so the engine must induce one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cimpy_spark.functions.text import _words
+from cimpy_spark.plans.checkpoints import checkpoint_df
+
+SYM_S = "\x1e"  # symbol start sentinel
+SYM_E = "\x1f"  # symbol end sentinel
+
+MERGES_SCHEMA = "step int, lhs string, rhs string, merged string, cnt long"
+
+
+def word_counts(docs: DataFrame) -> DataFrame:
+    """(word, wc) corpus word frequencies — the one corpus-scale
+    aggregate BPE training needs. Sentinel-carrying words excluded
+    (same filter as the oracle)."""
+    return (
+        docs.select(F.explode(_words()).alias("word"))
+        .filter(~F.col("word").rlike(f"[{SYM_S}{SYM_E}]"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+
+
+def _wrap_chars(col):
+    """word → sentinel-wrapped initial symbol string (one symbol per
+    character)."""
+    return F.regexp_replace(col, "(.)", SYM_S + "$1" + SYM_E)
+
+
+def _sym_array(sym):
+    """wrapped symbol string → array of symbols (strip the outer
+    sentinels, split on the inner boundary)."""
+    return F.split(
+        F.regexp_replace(sym, f"^{SYM_S}|{SYM_E}$", ""), SYM_E + SYM_S
+    )
+
+
+def _adjacent_pairs(syms):
+    """array of (lhs, rhs) structs for each adjacent symbol pair —
+    positional, so runs count every overlap (Sennrich counting)."""
+    idx = F.when(
+        F.size(syms) >= 2, F.sequence(F.lit(1), F.size(syms) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(syms, i).alias("lhs"),
+            F.element_at(syms, i + 1).alias("rhs"),
+        ),
+    )
+
+
+def _learn(docs: DataFrame, k: int):
+    """Run k merge rounds; returns (merge list, final vocab frame
+    (word, sym, wc)). The initial word count is checkpointed so the
+    per-round vocabulary jobs never re-touch the corpus."""
+    vocab = checkpoint_df(
+        word_counts(docs).select(
+            "word", _wrap_chars(F.col("word")).alias("sym"), "wc"
+        )
+    )
+    merges = []
+    for step in range(k):
+        pairs = vocab.select(
+            F.explode(_adjacent_pairs(_sym_array(F.col("sym")))).alias("p"),
+            "wc",
+        )
+        best = (
+            pairs.groupBy("p.lhs", "p.rhs")
+            .agg(F.sum("wc").alias("cnt"))
+            .orderBy(F.desc("cnt"), "lhs", "rhs")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        lhs, rhs, cnt = best[0]["lhs"], best[0]["rhs"], best[0]["cnt"]
+        merges.append((step, lhs, rhs, lhs + rhs, cnt))
+        pat = SYM_S + lhs + SYM_E + SYM_S + rhs + SYM_E
+        rep = SYM_S + lhs + rhs + SYM_E
+        vocab = vocab.select(
+            "word",
+            F.replace(F.col("sym"), F.lit(pat), F.lit(rep)).alias("sym"),
+            "wc",
+        )
+    return merges, vocab
+
+
+def bpe_merges(docs: DataFrame, k: int = 8) -> DataFrame:
+    """The learned merge table: (step, lhs, rhs, merged, cnt) for k
+    rounds — the artifact a tokenizer ships."""
+    merges, _ = _learn(docs, k)
+    return docs.sparkSession.createDataFrame(merges, MERGES_SCHEMA)
+
+
+def bpe_segment(docs: DataFrame, k: int = 8) -> DataFrame:
+    """Per-word segmentation after k merges: (word, segmentation
+    space-joined, n_syms). Vocabulary-sized output."""
+    _, vocab = _learn(docs, k)
+    syms = _sym_array(F.col("sym"))
+    return vocab.select(
+        "word",
+        F.array_join(syms, " ").alias("segmentation"),
+        F.size(syms).cast("int").alias("n_syms"),
+    )
+
+
+def bpe_token_count(docs: DataFrame, k: int = 8) -> DataFrame:
+    """Per-document token count under the learned vocabulary:
+    (doc_id, n_bpe) — the accounting number a mixture/packing stage
+    consumes. One corpus explode joined against the vocabulary-sized
+    segmentation table (broadcast-scale for real vocabularies; AQE
+    decides); sentinel-carrying words are excluded from the
+    vocabulary and therefore from the count, by construction in both
+    engines."""
+    seg = bpe_segment(docs, k).select("word", "n_syms")
+    toks = docs.select("doc_id", F.explode(_words()).alias("word"))
+    return (
+        toks.join(seg, "word")
+        .groupBy("doc_id")
+        .agg(F.sum("n_syms").cast("int").alias("n_bpe"))
+    )

@@ -1385,3 +1385,77 @@ def setsim_join_sql(num: int = 4, den: int = 5) -> str:
     JOIN sizes sb ON doc_b = sb.doc_id
     WHERE {den} * c >= {num} * (sa.n + sb.n - c)
     """
+
+
+def _bpe_ctes(k: int = 8) -> str:
+    """Unrolled k-round BPE recurrence as MATERIALIZED CTE levels
+    (mirror of functions/bpe.py's driver loop): v{i} = vocabulary
+    symbol strings after i merges, p{i} = weighted adjacent-pair
+    counts, b{i} = the (cnt DESC, lhs, rhs) argmax. Sentinels are
+    chr(30)/chr(31); DuckDB regexp_replace needs the explicit 'g'
+    flag where Spark's replaces all matches by default."""
+    sarr = (
+        "string_split(regexp_replace(sym, '^' || chr(30) || '|' || chr(31) "
+        "|| '$', '', 'g'), chr(31) || chr(30))"
+    )
+    parts = [
+        f"""wcounts AS MATERIALIZED (
+  SELECT word, count(*) AS wc FROM (
+    SELECT unnest({WORDS}) AS word FROM documents
+  ) WHERE NOT regexp_matches(word, '[' || chr(30) || chr(31) || ']')
+  GROUP BY word
+)""",
+        """v0 AS MATERIALIZED (
+  SELECT word,
+         regexp_replace(word, '(.)', chr(30) || '\\1' || chr(31), 'g') AS sym,
+         wc
+  FROM wcounts
+)""",
+    ]
+    for i in range(k):
+        parts.append(f"""p{i} AS MATERIALIZED (
+  SELECT sa[nums.i] AS lhs, sa[nums.i + 1] AS rhs, sum(wc) AS cnt
+  FROM (SELECT {sarr} AS sa, wc FROM v{i}) t
+  JOIN nums ON nums.i <= len(sa) - 1
+  GROUP BY 1, 2
+)""")
+        parts.append(f"""b{i} AS MATERIALIZED (
+  SELECT lhs, rhs, cnt FROM p{i} ORDER BY cnt DESC, lhs, rhs LIMIT 1
+)""")
+        parts.append(f"""v{i + 1} AS MATERIALIZED (
+  SELECT word,
+         replace(sym, chr(30) || b.lhs || chr(31) || chr(30) || b.rhs || chr(31),
+                 chr(30) || b.lhs || b.rhs || chr(31)) AS sym,
+         wc
+  FROM v{i} CROSS JOIN b{i} b
+)""")
+    return ",\n".join(parts)
+
+
+def bpe_merges_sql(k: int = 8) -> str:
+    """Mirror of bpe.bpe_merges: the k-step merge table."""
+    steps = "\n    UNION ALL\n    ".join(
+        f"SELECT {i} AS step, lhs, rhs, lhs || rhs AS merged, "
+        f"CAST(cnt AS BIGINT) AS cnt FROM b{i}"
+        for i in range(k)
+    )
+    return f"WITH {NUMS},\n{_bpe_ctes(k)}\n    {steps}"
+
+
+def bpe_token_count_sql(k: int = 8) -> str:
+    """Mirror of bpe.bpe_token_count: per-doc symbol count under the
+    final vocabulary."""
+    sarr = (
+        "string_split(regexp_replace(sym, '^' || chr(30) || '|' || chr(31) "
+        "|| '$', '', 'g'), chr(31) || chr(30))"
+    )
+    return f"""WITH {NUMS},
+{_bpe_ctes(k)},
+    seg AS (SELECT word, len({sarr}) AS n_syms FROM v{k}),
+    toks AS (
+      SELECT doc_id, unnest({WORDS}) AS word FROM documents
+    )
+    SELECT doc_id, CAST(sum(n_syms) AS INT) AS n_bpe
+    FROM toks JOIN seg USING (word)
+    GROUP BY doc_id
+    """
