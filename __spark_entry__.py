@@ -482,6 +482,18 @@ def _q_doc_line_dedup(spark, sf_dir):
     return T.line_dedup(lined_documents(_docs(spark, sf_dir)))
 
 
+def _q_doc_script_profile(spark, sf_dir):
+    return T.script_profile(_docs(spark, sf_dir))
+
+
+def _q_doc_mad_outliers(spark, sf_dir):
+    return T.mad_outliers(_docs(spark, sf_dir))
+
+
+def _q_doc_epoch_allocation(spark, sf_dir):
+    return T.epoch_allocation(_docs(spark, sf_dir))
+
+
 def _q_doc_bpe_merges(spark, sf_dir):
     from cimpy_spark.functions import bpe as B
 
@@ -1056,6 +1068,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_cooccurrence": _q_kg_cooccurrence,
         "doc_bpe_merges": _q_doc_bpe_merges,
         "doc_bpe_tokens": _q_doc_bpe_tokens,
+        "doc_script_profile": _q_doc_script_profile,
+        "doc_mad_outliers": _q_doc_mad_outliers,
+        "doc_epoch_allocation": _q_doc_epoch_allocation,
         "event_attribution": A.event_attribution,
         "purchase_click_window": A.purchase_click_window,
         # -- load-bearing pipeline core, displaced from the prefix by
@@ -1274,6 +1289,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_cooccurrence": oracles.cooccurrence_pmi_sql(),
         "doc_bpe_merges": doc_oracles.bpe_merges_sql(),
         "doc_bpe_tokens": doc_oracles.bpe_token_count_sql(),
+        "doc_script_profile": doc_oracles.script_profile_sql(),
+        "doc_mad_outliers": doc_oracles.mad_outliers_sql(),
+        "doc_epoch_allocation": doc_oracles.epoch_allocation_sql(),
         "emb_contamination": doc_oracles.emb_contamination_sql(),
         "emb_quantize": doc_oracles.quantize_sql(),
         "doc_quality": doc_oracles.quality_score_sql(),

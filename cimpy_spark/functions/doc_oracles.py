@@ -1459,3 +1459,85 @@ def bpe_token_count_sql(k: int = 8) -> str:
     FROM toks JOIN seg USING (word)
     GROUP BY doc_id
     """
+
+
+def script_profile_sql() -> str:
+    """Mirror of text.script_profile (DuckDB regexp_replace needs the
+    explicit 'g' flag); punct derived by subtraction both sides."""
+    def without(pat):
+        return f"len(text) - len(regexp_replace(text, '{pat}', '', 'g'))"
+    a, d = without("[A-Za-z]"), without("[0-9]")
+    s = without("[ \\t\\n\\r\\f\\x0b]")
+    o = without("[^\\x00-\\x7f]")
+    return f"""
+    WITH cls AS (
+      SELECT doc_id, len(text) AS n,
+             {a} AS a, {d} AS d, {s} AS s, {o} AS o
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n AS INT) AS n_chars,
+           CAST(a AS INT) AS n_alpha,
+           CAST(d AS INT) AS n_digit,
+           CAST(s AS INT) AS n_space,
+           CAST(n - a - d - s - o AS INT) AS n_punct,
+           CAST(o AS INT) AS n_other,
+           CASE
+             WHEN a >= d AND a >= n - a - d - s - o AND a >= s AND a >= o
+               THEN 'alpha'
+             WHEN d >= n - a - d - s - o AND d >= s AND d >= o THEN 'digit'
+             WHEN n - a - d - s - o >= s AND n - a - d - s - o >= o
+               THEN 'punct'
+             WHEN s >= o THEN 'space'
+             ELSE 'other'
+           END AS main_class
+    FROM cls
+    """
+
+
+def mad_outliers_sql(c: int = 5) -> str:
+    """Mirror of text.mad_outliers: exact lower medians by integer
+    rank over value histograms."""
+    return f"""
+    WITH lens AS (
+      SELECT doc_id, CAST(len({WORDS}) AS BIGINT) AS n_words FROM documents
+    ),
+    h1 AS (SELECT n_words AS v, count(*) AS cnt FROM lens GROUP BY 1),
+    r1 AS (
+      SELECT v, sum(cnt) OVER (ORDER BY v) AS cum, sum(cnt) OVER () AS n
+      FROM h1
+    ),
+    med AS (SELECT min(v) AS med FROM r1 WHERE cum * 2 >= n),
+    dev AS (
+      SELECT doc_id, n_words, med, abs(n_words - med) AS adev
+      FROM lens CROSS JOIN med
+    ),
+    h2 AS (SELECT adev AS v, count(*) AS cnt FROM dev GROUP BY 1),
+    r2 AS (
+      SELECT v, sum(cnt) OVER (ORDER BY v) AS cum, sum(cnt) OVER () AS n
+      FROM h2
+    ),
+    mad AS (SELECT min(v) AS mad FROM r2 WHERE cum * 2 >= n)
+    SELECT doc_id, n_words, med, mad, adev > {c} * mad AS is_outlier
+    FROM dev CROSS JOIN mad
+    """
+
+
+def epoch_allocation_sql(budget: int = 1_000_000, max_epochs: int = 4) -> str:
+    """Mirror of text.epoch_allocation: integer floor-division
+    shares, epoch cap, capped flag."""
+    return f"""
+    WITH per_src AS (
+      SELECT source, CAST(sum(len({WORDS})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM per_src)
+    SELECT source, n_tokens,
+           CAST(least(({budget} * n_tokens) // total,
+                      {max_epochs} * n_tokens) AS BIGINT) AS alloc_tokens,
+           CAST((1000 * least(({budget} * n_tokens) // total,
+                              {max_epochs} * n_tokens)) // n_tokens
+                AS BIGINT) AS epochs_milli,
+           ({budget} * n_tokens) // total > {max_epochs} * n_tokens AS capped
+    FROM per_src CROSS JOIN tot
+    """

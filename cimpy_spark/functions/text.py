@@ -1212,3 +1212,133 @@ def line_dedup(docs: DataFrame, min_docs: int = 2) -> DataFrame:
         .alias("n_boiler"),
         F.coalesce("clean_text", F.lit("")).alias("clean_text"),
     )
+
+
+def script_profile(docs: DataFrame) -> DataFrame:
+    """Per-document character-class profile — the script/encoding
+    triage step of web-corpus curation (mojibake, binary spill,
+    wrong-script routing): counts of ASCII alpha / digit /
+    whitespace / punctuation and non-ASCII bytes, plus the dominant
+    class under a fixed priority tie-break. Zero-shuffle projection;
+    each class count is length(text) minus the length with that
+    class deleted (one regexp_replace per class, all codegen'd);
+    punct is DERIVED by subtraction so no punctuation character
+    class can disagree between engines. ASCII-\\s only, the
+    cross-engine whitespace convention this codebase pins."""
+    n = F.length("text")
+    def _without(pat):
+        return n - F.length(F.regexp_replace("text", pat, ""))
+    a = _without("[A-Za-z]")
+    d = _without("[0-9]")
+    s = _without(r"[ \t\n\r\f\x0b]")
+    o = _without(r"[^\x00-\x7f]")
+    p = n - a - d - s - o
+    main = (
+        F.when((a >= d) & (a >= p) & (a >= s) & (a >= o), "alpha")
+        .when((d >= p) & (d >= s) & (d >= o), "digit")
+        .when((p >= s) & (p >= o), "punct")
+        .when(s >= o, "space")
+        .otherwise("other")
+    )
+    return docs.select(
+        "doc_id",
+        n.cast("int").alias("n_chars"),
+        a.cast("int").alias("n_alpha"),
+        d.cast("int").alias("n_digit"),
+        s.cast("int").alias("n_space"),
+        p.cast("int").alias("n_punct"),
+        o.cast("int").alias("n_other"),
+        main.alias("main_class"),
+    )
+
+
+def mad_outliers(docs: DataFrame, c: int = 5) -> DataFrame:
+    """Robust length-outlier flagging by median/MAD — the
+    distribution-aware filter a data-card pipeline runs before
+    mean-based stats (a mean/stddev filter is itself dragged by the
+    outliers it should catch). Median and MAD are EXACT lower
+    medians computed by integer rank — no interpolation, no floats
+    anywhere: a doc is flagged iff |n_words - med| > c·mad, all
+    bigint arithmetic.
+
+    Scale shape: the median of a 1e12-row column never sorts the
+    corpus — token counts are small integers, so the exact median
+    comes from a value HISTOGRAM (map-side-combinable groupBy on
+    n_words, thousands of distinct values at most) with one
+    cumulative window over the distinct values only. The deviation
+    median repeats the trick on |x - med|. Two tiny aggregates, two
+    1-row broadcasts, zero corpus sorts. Output: (doc_id, n_words,
+    med, mad, is_outlier)."""
+    from pyspark.sql import Window
+
+    lens = docs.select("doc_id", F.size(_words()).cast("long").alias("n_words"))
+
+    def _exact_median(vals: DataFrame, col: str):
+        h = vals.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+        ranked = h.select(
+            col,
+            F.sum("cnt").over(w).alias("cum"),
+            F.sum("cnt").over(
+                Window.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ).alias("n"),
+        )
+        return ranked.filter(
+            F.col("cum") * 2 >= F.col("n")
+        ).agg(F.min(col).alias("m"))
+
+    med = _exact_median(lens, "n_words").select(F.col("m").alias("med"))
+    dev = lens.crossJoin(F.broadcast(med)).select(
+        "doc_id", "n_words", "med",
+        F.abs(F.col("n_words") - F.col("med")).alias("adev"),
+    )
+    mad = _exact_median(
+        dev.select("adev"), "adev"
+    ).select(F.col("m").alias("mad"))
+    return dev.crossJoin(F.broadcast(mad)).select(
+        "doc_id",
+        "n_words",
+        "med",
+        "mad",
+        (F.col("adev") > F.lit(c) * F.col("mad")).alias("is_outlier"),
+    )
+
+
+def epoch_allocation(
+    docs: DataFrame, budget: int = 1_000_000, max_epochs: int = 4
+) -> DataFrame:
+    """Per-source training-token allocation under a global budget
+    with an epoch cap — the "how many passes over each source"
+    planning table of a data-mixture run (small sources must not
+    repeat more than max_epochs times, Muennighoff et al. 2023's
+    repetition-harm regime): each source's proportional share
+    min'd against max_epochs·its size, the remainder reported as
+    unallocated rather than silently redistributed. ALL integer
+    arithmetic (shares via bigint div), so no float can split the
+    engines. One aggregate + a broadcast 1-row total; the corpus
+    never shuffles. Output: (source, n_tokens, alloc_tokens,
+    epochs_milli, capped)."""
+    def _idiv(a, b):
+        # exact bigint floor-division (a, b >= 0): subtracting the
+        # modulus first keeps the final double division exact —
+        # floor(a/b) via doubles alone can land one off at exact
+        # multiples. Numerators must stay under 2^53 (holds for the
+        # gate; a petascale budget wants decimal(38) here).
+        return ((a - F.pmod(a, b)) / b).cast("long")
+
+    per_src = docs.select(
+        "source", F.size(_words()).cast("long").alias("t")
+    ).groupBy("source").agg(F.sum("t").alias("n_tokens"))
+    total = per_src.agg(F.sum("n_tokens").alias("total"))
+    raw = _idiv(F.lit(budget) * F.col("n_tokens"), F.col("total"))
+    cap = (F.lit(max_epochs) * F.col("n_tokens")).cast("long")
+    alloc = F.least(raw, cap)
+    return per_src.crossJoin(F.broadcast(total)).select(
+        "source",
+        "n_tokens",
+        alloc.alias("alloc_tokens"),
+        _idiv(F.lit(1000) * alloc, F.col("n_tokens")).alias("epochs_milli"),
+        (raw > cap).alias("capped"),
+    )

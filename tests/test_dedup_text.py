@@ -1184,3 +1184,60 @@ def test_setsim_join_parity_vs_duckdb(spark):
     du = du[cols].sort_values(cols).reset_index(drop=True)
     assert list(sp.dtypes) == list(du.dtypes)
     assert sp.equals(du)
+
+
+def test_script_profile_classes_and_dominant(spark):
+    d = spark.createDataFrame(
+        [
+            (1, "abc de"),          # alpha-dominant
+            (2, "12345 6789!"),     # digit-dominant
+            (3, "!!! ?? ."),        # punct-dominant
+            (4, "café üß"),  # non-ASCII bytes count as other
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in T.script_profile(d).collect()}
+    assert (out[1]["n_alpha"], out[1]["n_space"], out[1]["main_class"]) == (5, 1, "alpha")
+    assert (out[2]["n_digit"], out[2]["n_punct"], out[2]["main_class"]) == (9, 1, "digit")
+    assert (out[3]["n_punct"], out[3]["main_class"]) == (6, "punct")
+    assert out[4]["n_other"] == 3 and out[4]["n_alpha"] == 3  # é/ü/ß not ASCII
+    # counts always partition n_chars
+    for r in out.values():
+        assert (
+            r["n_alpha"] + r["n_digit"] + r["n_space"]
+            + r["n_punct"] + r["n_other"] == r["n_chars"]
+        )
+
+
+def test_mad_outliers_exact_median_and_flag(spark):
+    # n_words: [1, 2, 3, 4, 100] → lower median 3, adevs [2,1,0,1,97]
+    # → mad 1 → only the 100-word doc exceeds 5*1
+    rows = [(i, " ".join(["w"] * n)) for i, n in
+            [(1, 1), (2, 2), (3, 3), (4, 4), (5, 100)]]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in T.mad_outliers(d).collect()}
+    assert out[1]["med"] == 3 and out[1]["mad"] == 1
+    assert [out[i]["is_outlier"] for i in range(1, 6)] == [
+        False, False, False, False, True
+    ]
+    # even-count corpus takes the LOWER median (rank ceil(n/2))
+    d2 = spark.createDataFrame(rows[:4], "doc_id long, text string")
+    assert T.mad_outliers(d2).collect()[0]["med"] == 2
+
+
+def test_epoch_allocation_cap_and_budget(spark):
+    # big: 100 tokens, small: 10 tokens; budget 220 → proportional
+    # raw shares 200/20; cap at 4 epochs → small capped at 40?? no:
+    # raw small = 220*10//110 = 20 < 4*10=40 → uncapped. With budget
+    # 2200: raw small = 200 > 40 → capped at 40, epochs_milli 4000.
+    rows = [(1, " ".join(["w"] * 100), "big"), (2, " ".join(["w"] * 10), "small")]
+    d = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r for r in T.epoch_allocation(d, budget=2200, max_epochs=4).collect()}
+    assert out["small"]["alloc_tokens"] == 40 and out["small"]["capped"]
+    assert out["small"]["epochs_milli"] == 4000
+    # big raw share 2000 also exceeds its 4-epoch cap of 400
+    assert out["big"]["alloc_tokens"] == 400 and out["big"]["capped"]
+    assert out["big"]["epochs_milli"] == 4000
+    low = {r["source"]: r for r in T.epoch_allocation(d, budget=110, max_epochs=4).collect()}
+    assert low["big"]["alloc_tokens"] == 100 and low["big"]["epochs_milli"] == 1000
+    assert low["small"]["alloc_tokens"] == 10
