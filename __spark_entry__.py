@@ -482,6 +482,10 @@ def _q_doc_line_dedup(spark, sf_dir):
     return T.line_dedup(lined_documents(_docs(spark, sf_dir)))
 
 
+def _q_doc_source_terms(spark, sf_dir):
+    return T.source_terms(_docs(spark, sf_dir))
+
+
 def _q_doc_script_profile(spark, sf_dir):
     return T.script_profile(_docs(spark, sf_dir))
 
@@ -1071,6 +1075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_script_profile": _q_doc_script_profile,
         "doc_mad_outliers": _q_doc_mad_outliers,
         "doc_epoch_allocation": _q_doc_epoch_allocation,
+        "doc_source_terms": _q_doc_source_terms,
         "event_attribution": A.event_attribution,
         "purchase_click_window": A.purchase_click_window,
         # -- load-bearing pipeline core, displaced from the prefix by
@@ -1292,6 +1297,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_script_profile": doc_oracles.script_profile_sql(),
         "doc_mad_outliers": doc_oracles.mad_outliers_sql(),
         "doc_epoch_allocation": doc_oracles.epoch_allocation_sql(),
+        "doc_source_terms": doc_oracles.source_terms_sql(),
         "emb_contamination": doc_oracles.emb_contamination_sql(),
         "emb_quantize": doc_oracles.quantize_sql(),
         "doc_quality": doc_oracles.quality_score_sql(),

@@ -1541,3 +1541,32 @@ def epoch_allocation_sql(budget: int = 1_000_000, max_epochs: int = 4) -> str:
            ({budget} * n_tokens) // total > {max_epochs} * n_tokens AS capped
     FROM per_src CROSS JOIN tot
     """
+
+
+def source_terms_sql(k: int = 5) -> str:
+    """Mirror of text.source_terms: tf-idf over sources, rank by
+    (9dp-rounded score DESC, term)."""
+    return f"""
+    WITH tf AS (
+      SELECT source, term, count(*) AS tf FROM (
+        SELECT source, unnest({WORDS}) AS term FROM documents
+      ) GROUP BY 1, 2
+    ),
+    sdf AS (SELECT term, count(*) AS src_df FROM tf GROUP BY 1),
+    ns AS (SELECT count(DISTINCT source) AS n_sources FROM tf),
+    scored AS (
+      SELECT source, term, tf, src_df,
+             round(tf * ln(n_sources * 1.0 / src_df), 9) AS score
+      FROM tf JOIN sdf USING (term) CROSS JOIN ns
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY source ORDER BY score DESC, term
+      ) AS rank
+      FROM scored
+    )
+    SELECT source, term, CAST(tf AS INT) AS tf,
+           CAST(src_df AS INT) AS src_df,
+           round(score, 6) AS score, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {k}
+    """

@@ -1342,3 +1342,56 @@ def epoch_allocation(
         _idiv(F.lit(1000) * alloc, F.col("n_tokens")).alias("epochs_milli"),
         (raw > cap).alias("capped"),
     )
+
+
+def source_terms(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Top-k characteristic terms per source by tf-idf — the
+    "what is this slice made of" table of a per-source data card
+    (idf over SOURCES: a term every source uses scores 0 no matter
+    how frequent, so the ranking surfaces what distinguishes the
+    slice, not what fills it). Score = tf · ln(S/df_sources),
+    ranked per source by (9dp-rounded score DESC, term ASC) — the
+    round-before-rank discipline so a sub-ulp score difference can
+    never order two engines differently.
+
+    Scale shape: one (source, term) count (map-side combinable),
+    one term-level source-count aggregate joined back (vocabulary-
+    sized), S as a broadcast 1-row frame, then ONE per-source rank
+    window whose partition is the per-source vocabulary — bounded by
+    vocabulary size, not corpus size. The corpus is read once."""
+    from pyspark.sql import Window
+
+    tf = (
+        docs.select("source", F.explode(_words()).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    sdf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("src_df"))
+    ns = tf.select("source").distinct().agg(
+        F.count(F.lit(1)).alias("n_sources")
+    )
+    scored = (
+        tf.join(sdf, "term")
+        .crossJoin(F.broadcast(ns))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf") * F.log(F.col("n_sources") / F.col("src_df")), 9
+            ),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("score"), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "source",
+            "term",
+            F.col("tf").cast("int").alias("tf"),
+            F.col("src_df").cast("int").alias("src_df"),
+            F.round("score", 6).alias("score"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

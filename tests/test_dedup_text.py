@@ -1241,3 +1241,36 @@ def test_epoch_allocation_cap_and_budget(spark):
     low = {r["source"]: r for r in T.epoch_allocation(d, budget=110, max_epochs=4).collect()}
     assert low["big"]["alloc_tokens"] == 100 and low["big"]["epochs_milli"] == 1000
     assert low["small"]["alloc_tokens"] == 10
+
+
+def test_source_terms_surfaces_distinctive_not_frequent(spark):
+    # 'filler' floods both sources but appears in both → idf 0 →
+    # score 0; each source's unique term ranks first despite lower tf
+    d = spark.createDataFrame(
+        [
+            (1, "filler filler filler filler quantum", "A"),
+            (2, "filler filler filler filler", "A"),
+            (3, "filler filler filler filler biology", "B"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {(r["source"], r["rank"]): r for r in T.source_terms(d, k=2).collect()}
+    import math
+    assert out[("A", 1)]["term"] == "quantum"
+    assert out[("A", 1)]["score"] == round(math.log(2), 6)
+    assert out[("B", 1)]["term"] == "biology"
+    # the ubiquitous term scores exactly 0 and ranks below
+    assert out[("A", 2)]["term"] == "filler" and out[("A", 2)]["score"] == 0.0
+    assert out[("A", 2)]["tf"] == 8 and out[("A", 2)]["src_df"] == 2
+
+
+def test_source_terms_rank_ties_break_on_term(spark):
+    d = spark.createDataFrame(
+        [(1, "zeta alpha", "S"), (2, "beta", "T")],
+        "doc_id long, text string, source string",
+    )
+    # both S-terms unique to S with tf=1 → identical score; rank
+    # order must be alphabetical
+    out = [r["term"] for r in T.source_terms(d, k=2)
+           .filter(F.col("source") == "S").orderBy("rank").collect()]
+    assert out == ["alpha", "zeta"]
