@@ -482,6 +482,13 @@ def _q_doc_line_dedup(spark, sf_dir):
     return T.line_dedup(lined_documents(_docs(spark, sf_dir)))
 
 
+def _q_kg_lpa(spark, sf_dir):
+    # ONE synchronous round: the fixture graph collapses to a single
+    # community by round 3, so the 1-round labels (6 communities at
+    # sf0.01) are what actually discriminates the plurality rule
+    return P.lpa_communities(_graph(spark, sf_dir).canon_edges, iters=1)
+
+
 def _q_doc_source_terms(spark, sf_dir):
     return T.source_terms(_docs(spark, sf_dir))
 
@@ -1076,6 +1083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_mad_outliers": _q_doc_mad_outliers,
         "doc_epoch_allocation": _q_doc_epoch_allocation,
         "doc_source_terms": _q_doc_source_terms,
+        "kg_lpa": _q_kg_lpa,
         "event_attribution": A.event_attribution,
         "purchase_click_window": A.purchase_click_window,
         # -- load-bearing pipeline core, displaced from the prefix by
@@ -1298,6 +1306,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_mad_outliers": doc_oracles.mad_outliers_sql(),
         "doc_epoch_allocation": doc_oracles.epoch_allocation_sql(),
         "doc_source_terms": doc_oracles.source_terms_sql(),
+        "kg_lpa": oracles.lpa_sql(iters=1),
         "emb_contamination": doc_oracles.emb_contamination_sql(),
         "emb_quantize": doc_oracles.quantize_sql(),
         "doc_quality": doc_oracles.quality_score_sql(),

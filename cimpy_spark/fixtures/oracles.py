@@ -695,3 +695,46 @@ def cooccurrence_pmi_sql(min_convs: int = 2) -> str:
     CROSS JOIN nconv
     WHERE cab >= {min_convs}
     """
+
+
+def lpa_sql(iters: int = 3) -> str:
+    """Mirror of pipeline.lpa_communities: the synchronous plurality-
+    label recurrence unrolled as MATERIALIZED CTE levels."""
+    levels = []
+    for i in range(iters):
+        levels.append(f"""c{i + 1} AS MATERIALIZED (
+  SELECT u.a AS node, l.lab, count(*) AS c
+  FROM und u JOIN l{i} l ON u.b = l.node
+  GROUP BY 1, 2
+),
+p{i + 1} AS MATERIALIZED (
+  SELECT node, lab FROM (
+    SELECT node, lab,
+           row_number() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn
+    FROM c{i + 1}
+  ) WHERE rn = 1
+),
+l{i + 1} AS MATERIALIZED (
+  SELECT l.node, coalesce(p.lab, l.lab) AS lab
+  FROM l{i} l LEFT JOIN p{i + 1} p ON l.node = p.node
+)""")
+    chain = ",\n".join(levels)
+    return PIPELINE_CTES + f""",
+    und AS MATERIALIZED (
+      SELECT DISTINCT a, b FROM (
+        SELECT src AS a, dst AS b FROM canon_edges
+        UNION ALL
+        SELECT dst AS a, src AS b FROM canon_edges
+      ) WHERE a <> b
+    ),
+    gnodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM canon_edges
+        UNION ALL
+        SELECT dst AS node FROM canon_edges
+      )
+    ),
+    l0 AS MATERIALIZED (SELECT node, node AS lab FROM gnodes),
+    {chain}
+    SELECT node, lab AS community FROM l{iters}
+    """

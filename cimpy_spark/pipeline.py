@@ -629,3 +629,64 @@ def cooccurrence_pmi(
             ).alias("pmi"),
         )
     )
+
+
+def lpa_communities(canon_edges: DataFrame, iters: int = 3) -> DataFrame:
+    """Label-propagation community detection over the canonical graph
+    (Raghavan et al. 2007) — the coarse structure pass AFTER
+    canonicalization: connected components say what is the SAME
+    entity; LPA says which entities cluster into a topic/subsystem
+    (the partition a graph-aware sampler or a subgraph-export step
+    consumes). Deterministic synchronous variant: every node
+    simultaneously adopts its neighbors' (count DESC, label ASC)
+    plurality label; `iters` fixed rounds (no convergence test — the
+    same bounded-iteration discipline as `pagerank`, and what makes
+    the recurrence oracle-able). Isolated nodes (self-loop-only)
+    keep their own label. No floats, no RNG — the classic
+    async-order nondeterminism of LPA is exactly what this variant
+    removes.
+
+    Scale shape per round: one join of the undirected edge list
+    against the label frame (both partitioned by node), one
+    map-side-combinable (node, label) count, one per-node rank
+    window over the node's DISTINCT neighbor labels (≤ degree; the
+    same hub-cardinality class as `adjacency` — cap-able the same
+    way if a corpus shows label-diversity hubs), one left join back.
+    Same partitioning every round — a cluster reuses the exchange.
+    The DuckDB oracle (fixtures/oracles.py:lpa_sql) unrolls the
+    rounds as MATERIALIZED CTE levels."""
+    from pyspark.sql import Window
+
+    und = (
+        canon_edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .union(
+            canon_edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    nodes = (
+        canon_edges.select(F.col("src").alias("node"))
+        .union(canon_edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    labels = nodes.select("node", F.col("node").alias("lab"))
+    w = Window.partitionBy("node").orderBy(F.desc("c"), F.col("lab"))
+    for _ in range(iters):
+        cnt = (
+            und.join(labels.select(F.col("node").alias("b"), "lab"), "b")
+            .groupBy(F.col("a").alias("node"), "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        pick = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", F.col("lab").alias("new_lab"))
+        )
+        labels = (
+            labels.join(pick, "node", "left")
+            .select(
+                "node", F.coalesce("new_lab", "lab").alias("lab")
+            )
+        )
+    return labels.select("node", F.col("lab").alias("community"))

@@ -273,3 +273,60 @@ def test_cooccurrence_dangling_refs_drop(spark):
     r = rows[0]
     # N=1, c_A=c_B=1, c_ab=1 → PMI = ln(1) = 0
     assert (r["ent_a"], r["ent_b"], r["n_convs"], r["pmi"]) == ("A", "B", 1, 0.0)
+
+
+def test_lpa_synchronous_star_swap(spark):
+    """Synchronous semantics pinned: in a star a-center with leaves
+    b,c,d, ALL nodes update from round-0 labels simultaneously — the
+    center adopts the min leaf label while the leaves adopt the
+    center's old label (an async sweep would let later nodes see new
+    labels)."""
+    edges = _edges(spark, [("z", "p", x) for x in ["b", "c", "d"]])
+    out = {r["node"]: r["community"]
+           for r in P.lpa_communities(edges, iters=1).collect()}
+    assert out == {"z": "b", "b": "z", "c": "z", "d": "z"}
+
+
+def test_lpa_plurality_and_tie_break(spark):
+    """A node with neighbor labels {x:2, y:2, w:1} takes the MIN of
+    the tied plurality labels, not the overall min neighbor."""
+    edges = _edges(spark, [
+        ("n", "p", "x1"), ("n", "p", "x2"),
+        ("n", "p", "y1"), ("n", "p", "y2"),
+        ("n", "p", "a1"),
+    ])
+    # relabel leaves so two pairs share labels via round-0 identity:
+    # use two extra rounds? simpler: connect label-sharing leaves
+    # is impossible at round 0 (labels = ids), so test the rule via
+    # direct duplicate edges instead: plurality by EDGE count.
+    dup = _edges(spark, [
+        ("n", "p", "x"), ("n", "q", "x"),
+        ("n", "p", "y"), ("n", "q", "y"),
+        ("n", "p", "a"),
+    ])
+    out = {r["node"]: r["community"]
+           for r in P.lpa_communities(dup, iters=1).collect()}
+    # distinct (a,b) und edges: x,y,a each count 1 → min label 'a'
+    assert out["n"] == "a"
+    # two communities of equal pull → the min tied label wins
+    tie = _edges(spark, [("n", "p", "x"), ("n", "p", "y")])
+    out2 = {r["node"]: r["community"]
+            for r in P.lpa_communities(tie, iters=1).collect()}
+    assert out2["n"] == "x"
+
+
+def test_lpa_two_cliques_converge_and_isolated_keeps_label(spark):
+    """Two triangles bridged by one edge keep two communities after
+    convergence-depth rounds; a self-loop-only node keeps itself."""
+    tri1 = [("a", "p", "b"), ("b", "p", "c"), ("c", "p", "a")]
+    tri2 = [("x", "p", "y"), ("y", "p", "z"), ("z", "p", "x")]
+    bridge = [("c", "p", "x")]
+    loop = [("q", "p", "q")]
+    out = {r["node"]: r["community"]
+           for r in P.lpa_communities(
+               _edges(spark, tri1 + tri2 + bridge + loop), iters=4
+           ).collect()}
+    assert out["q"] == "q"
+    assert out["a"] == out["b"] == out["c"] == "a"
+    assert out["x"] == out["y"] == out["z"]
+    assert out["x"] != out["a"]
