@@ -583,12 +583,18 @@ def cooccurrence_pmi(
     frame (no driver collect). PMI's ln runs on integers identical
     in both engines, rounded 6dp. min_convs prunes the long noise
     tail BEFORE the count joins."""
+    from cimpy_spark.plans.checkpoints import checkpoint_df
+
     ends = triples.select("conv_id", F.col("subj").alias("e")).unionByName(
         triples.filter(F.col("obj_kind") == "ref").select(
             "conv_id", F.col("obj").alias("e")
         )
     )
-    mentions = (
+    # materialized ONCE: the mention frame feeds four consumers (N,
+    # entity counts, both pair sides) and Catalyst re-evaluates the
+    # union+join+distinct per consumer otherwise (measured 24
+    # exchanges → 7 after the checkpoint)
+    mentions = checkpoint_df(
         ends.join(cmap, ends.e == cmap.entity_id)
         .select("conv_id", F.col("canonical_id").alias("ent"))
         .distinct()
@@ -657,7 +663,13 @@ def lpa_communities(canon_edges: DataFrame, iters: int = 3) -> DataFrame:
     rounds as MATERIALIZED CTE levels."""
     from pyspark.sql import Window
 
-    und = (
+    from cimpy_spark.plans.checkpoints import checkpoint_df
+
+    # the same loop discipline as `pagerank`: the undirected edge
+    # list is checkpointed once (every round joins it), and each
+    # round's labels are checkpointed so round i's plan doesn't
+    # replay rounds 0..i-1 (lineage would grow O(iters²) joins)
+    und = checkpoint_df(
         canon_edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
         .union(
             canon_edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
@@ -670,7 +682,7 @@ def lpa_communities(canon_edges: DataFrame, iters: int = 3) -> DataFrame:
         .union(canon_edges.select(F.col("dst").alias("node")))
         .distinct()
     )
-    labels = nodes.select("node", F.col("node").alias("lab"))
+    labels = checkpoint_df(nodes.select("node", F.col("node").alias("lab")))
     w = Window.partitionBy("node").orderBy(F.desc("c"), F.col("lab"))
     for _ in range(iters):
         cnt = (
@@ -683,7 +695,7 @@ def lpa_communities(canon_edges: DataFrame, iters: int = 3) -> DataFrame:
             .filter(F.col("rn") == 1)
             .select("node", F.col("lab").alias("new_lab"))
         )
-        labels = (
+        labels = checkpoint_df(
             labels.join(pick, "node", "left")
             .select(
                 "node", F.coalesce("new_lab", "lab").alias("lab")

@@ -86,6 +86,19 @@ def main() -> None:
     timed("contamination", lambda: force(T.contamination(
         docs, docs.limit(500), n=5
     )))
+    # round-5 continuation ops
+    from cimpy_spark.fixtures.organic import lined_documents
+    from cimpy_spark.functions import bpe as B
+    from cimpy_spark.functions import dedup as D
+
+    timed("line_dedup", lambda: force(T.line_dedup(lined_documents(docs))))
+    timed("setsim_join", lambda: force(D.setsim_join(docs)))
+    timed("bpe_merges_k8", lambda: force(B.bpe_merges(docs, k=8)))
+    timed("bpe_token_count", lambda: force(B.bpe_token_count(docs, k=8)))
+    timed("script_profile", lambda: force(T.script_profile(docs)))
+    timed("mad_outliers", lambda: force(T.mad_outliers(docs)))
+    timed("source_terms", lambda: force(T.source_terms(docs)))
+    timed("epoch_allocation", lambda: force(T.epoch_allocation(docs)))
     # Arrow-kernel variants of the two heaviest ops (text_arrow.py) —
     # same outputs bit-for-bit (tests/test_text_arrow.py), measured
     # here against their SQL twins on the identical corpus
