@@ -712,22 +712,34 @@ def setsim_join(
     den; the verify keeps den·inter >= num·(na+nb-inter)) — no float
     boundary can disagree between engines or with the math.
 
-    Scale shape: one vocabulary-sized df aggregate + join back (AQE
-    broadcasts a small vocab, shuffles a big one); per-doc ordering
-    is an IN-ROW array_sort (no global sort — a global rank window
-    would serialize the vocabulary through one task); the candidate
-    self-join touches only prefix tokens, which are each doc's
-    RAREST — the frequent-token buckets that blow up a naive
+    Scale shape: shingles are hashed to xxhash64 int keys BEFORE the
+    checkpoint and every shuffle — no shingle strings move (the
+    dup_spans discipline; measured 86.5 → 48.9 s at 500k docs/26M
+    shingles). Any consistent total order supports prefix filtering,
+    so ordering by (df, hash) instead of (df, shingle) is still
+    complete: a truly shared shingle shares its hash, and a hash
+    COLLISION can only merge df counts / add a spurious candidate —
+    which the exact verify rejects — never lose a pair. One
+    vocabulary-sized df aggregate + join back (AQE broadcasts a
+    small vocab, shuffles a big one); per-doc ordering is an IN-ROW
+    array_sort of (df, hash) longs (no global sort — a global rank
+    window would serialize the vocabulary through one task); the
+    candidate self-join touches only prefix keys, which are each
+    doc's RAREST — the frequent-token buckets that blow up a naive
     inverted-index join never enter it; the AllPairs length filter
-    (num·max(na,nb) <= den·min(na,nb)) prunes before the distinct;
-    verify is O(candidates) with the pair's two shingle arrays
-    intersected IN-ROW (array_intersect — no second explode, no
-    per-pair shuffle fan-out). Output: (doc_a, doc_b, n_inter,
-    jaccard 6dp). The DuckDB oracle is the INDEPENDENT brute-force
-    all-pairs join over the same shingle sets."""
+    (num·max(na,nb) <= den·min(na,nb)) prunes before the distinct.
+    Verify is O(candidates): docs are broadcast-semi-joined to the
+    candidate id set BEFORE the shingle arrays are built (the
+    ngram_jaccard discipline — the corpus-wide arrays never
+    shuffle), then the pair's two arrays intersect IN-ROW
+    (array_intersect — no second explode, no per-pair fan-out).
+    Output: (doc_a, doc_b, n_inter, jaccard 6dp). The DuckDB oracle
+    is the INDEPENDENT brute-force all-pairs join over the same
+    shingle sets."""
     sh = docs.filter(has_shingles(n)).select(
-        "doc_id", F.explode(shingle_array(n)).alias("tok")
-    )
+        "doc_id",
+        F.explode(shingle_array(n)).alias("tok"),
+    ).select("doc_id", F.xxhash64("tok").alias("tok"))
     sh = checkpoint_df(sh)
     dfreq = sh.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     ordered = (
@@ -761,8 +773,16 @@ def setsim_join(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sets = docs.filter(has_shingles(n)).select(
-        "doc_id", shingle_array(n).alias("s")
+    cand = checkpoint_df(cand)
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sets = (
+        docs.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+        .filter(has_shingles(n))
+        .select("doc_id", shingle_array(n).alias("s"))
     )
     inter = F.size(F.array_intersect("sa", "sb"))
     return (
