@@ -482,6 +482,22 @@ def _q_doc_line_dedup(spark, sf_dir):
     return T.line_dedup(lined_documents(_docs(spark, sf_dir)))
 
 
+def _q_kg_negative_samples(spark, sf_dir):
+    return P.negative_samples(_graph(spark, sf_dir).canon_edges)
+
+
+def _q_kg_neighbor_sample(spark, sf_dir):
+    return P.neighbor_sample(_graph(spark, sf_dir).canon_edges)
+
+
+def _q_doc_source_overlap(spark, sf_dir):
+    from cimpy_spark.fixtures.organic import mirrored_documents
+
+    # mirror-source corpus: %7==1 docs re-published under 'mirror'
+    # (7 coprime with the 20-source cycle → every source overlaps)
+    return T.source_overlap(mirrored_documents(_docs(spark, sf_dir)))
+
+
 def _q_kg_lpa(spark, sf_dir):
     # ONE synchronous round: the fixture graph collapses to a single
     # community by round 3, so the 1-round labels (6 communities at
@@ -1084,6 +1100,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_epoch_allocation": _q_doc_epoch_allocation,
         "doc_source_terms": _q_doc_source_terms,
         "kg_lpa": _q_kg_lpa,
+        "kg_negative_samples": _q_kg_negative_samples,
+        "kg_neighbor_sample": _q_kg_neighbor_sample,
+        "doc_source_overlap": _q_doc_source_overlap,
         "event_attribution": A.event_attribution,
         "purchase_click_window": A.purchase_click_window,
         # -- load-bearing pipeline core, displaced from the prefix by
@@ -1307,6 +1326,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_epoch_allocation": doc_oracles.epoch_allocation_sql(),
         "doc_source_terms": doc_oracles.source_terms_sql(),
         "kg_lpa": oracles.lpa_sql(iters=1),
+        "kg_negative_samples": oracles.negative_samples_sql(),
+        "kg_neighbor_sample": oracles.neighbor_sample_sql(),
+        "doc_source_overlap": doc_oracles.source_overlap_sql(),
         "emb_contamination": doc_oracles.emb_contamination_sql(),
         "emb_quantize": doc_oracles.quantize_sql(),
         "doc_quality": doc_oracles.quality_score_sql(),

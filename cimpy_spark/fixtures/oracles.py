@@ -738,3 +738,58 @@ l{i + 1} AS MATERIALIZED (
     {chain}
     SELECT node, lab AS community FROM l{iters}
     """
+
+
+def negative_samples_sql(k: int = 2) -> str:
+    """Mirror of pipeline.negative_samples: md5-ranked entity draw,
+    self/true-edge corruption filtering."""
+    return PIPELINE_CTES + f""",
+    ents AS (
+      SELECT DISTINCT ent FROM (
+        SELECT src AS ent FROM canon_edges
+        UNION ALL SELECT dst FROM canon_edges
+      )
+    ),
+    ranked AS (
+      SELECT ent, row_number() OVER (ORDER BY ent) - 1 AS r FROM ents
+    ),
+    nn AS (SELECT count(*) AS n_ents FROM ents),
+    js AS (SELECT unnest(generate_series(0, {k - 1})) AS j),
+    draws AS (
+      SELECT src, pred, dst, CAST(j AS INT) AS j,
+             ('0x' || substring(
+                md5(src || '|' || pred || '|' || dst || '|' || j), 1, 8
+             ))::BIGINT % n_ents AS r
+      FROM canon_edges CROSS JOIN js CROSS JOIN nn
+    ),
+    neg AS (
+      SELECT d.src, d.pred, d.dst, d.j, ranked.ent AS neg_dst
+      FROM draws d JOIN ranked USING (r)
+    )
+    SELECT src, pred, dst, j, neg_dst FROM neg
+    WHERE neg_dst <> src AND neg_dst <> dst
+      AND NOT EXISTS (
+        SELECT 1 FROM canon_edges e
+        WHERE e.src = neg.src AND e.pred = neg.pred AND e.dst = neg.neg_dst
+      )
+    """
+
+
+def neighbor_sample_sql(
+    fan1: int = 3, fan2: int = 2, salt: str = "ns0"
+) -> str:
+    """Mirror of pipeline.neighbor_sample: md5-ranked bounded
+    two-hop sample."""
+    return PIPELINE_CTES + f""",
+    ue AS (SELECT DISTINCT src, dst FROM canon_edges WHERE src <> dst),
+    rkd AS (
+      SELECT src, dst, row_number() OVER (
+        PARTITION BY src
+        ORDER BY md5('{salt}' || '|' || src || '|' || dst), dst
+      ) AS rn
+      FROM ue
+    ),
+    hop1 AS (SELECT src AS root, dst AS n1 FROM rkd WHERE rn <= {fan1}),
+    hop2 AS (SELECT src AS n1, dst AS n2 FROM rkd WHERE rn <= {fan2})
+    SELECT root, n1, n2 FROM hop1 JOIN hop2 USING (n1) WHERE n2 <> root
+    """

@@ -258,3 +258,18 @@ def lined_documents(docs: DataFrame) -> DataFrame:
         ).otherwise(F.lit("")),
     )
     return docs.select("doc_id", text.alias("text"))
+
+
+def mirrored_documents(docs: DataFrame) -> DataFrame:
+    """Cross-source duplicate corpus for the source-overlap gate: the
+    fixture corpus has no texts shared ACROSS sources (checked at
+    sf0.01), so docs with doc_id % 7 == 1 are re-published verbatim (7 is coprime with the 20-source id cycle, so every source contributes)
+    under a synthetic 'mirror' source (id + 5M) — the syndicated-
+    content pattern the overlap matrix exists to expose. Same
+    derivation as doc_oracles.MIRRORED_DOCS_CTE."""
+    copies = docs.filter(F.col("doc_id") % 7 == 1).select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"),
+        "text",
+        F.lit("mirror").alias("source"),
+    )
+    return docs.select("doc_id", "text", "source").unionByName(copies)

@@ -1570,3 +1570,25 @@ def source_terms_sql(k: int = 5) -> str:
            round(score, 6) AS score, CAST(rank AS INT) AS rank
     FROM ranked WHERE rank <= {k}
     """
+
+
+MIRRORED_DOCS_CTE = """
+mirdocs AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 5000000, text, 'mirror' FROM documents
+  WHERE doc_id % 7 = 1
+)
+"""
+
+
+def source_overlap_sql() -> str:
+    """Mirror of text.source_overlap over the mirrored corpus."""
+    return f"""
+    WITH {MIRRORED_DOCS_CTE.strip()},
+    m AS (SELECT DISTINCT md5(text) AS h, source FROM mirdocs)
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS INT) AS n_shared_texts
+    FROM m a JOIN m b ON a.h = b.h AND a.source < b.source
+    GROUP BY 1, 2
+    """

@@ -1395,3 +1395,28 @@ def source_terms(docs: DataFrame, k: int = 5) -> DataFrame:
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def source_overlap(docs: DataFrame) -> DataFrame:
+    """Cross-source shared-text matrix — the syndication/mirror-site
+    report of a data card: for each source pair, how many DISTINCT
+    texts they both publish (exact dup groups that span the pair).
+    The per-source dedup decision changes when a text's copies live
+    under different crawl sources (drop one side vs keep per-source),
+    so the matrix is the planning table for that policy. Output:
+    (source_a, source_b, n_shared_texts).
+
+    Scale shape: distinct (md5(text), source) first — corpus-scale
+    but map-side-combinable and 40-byte rows; the self-join fans out
+    per hash by the number of SOURCES carrying it (bounded by the
+    source universe, thousands at web scale — never by copy count:
+    1e6 copies of one text in one source are ONE row here)."""
+    m = docs.select(F.md5("text").alias("h"), "source").distinct()
+    a = m.select("h", F.col("source").alias("source_a"))
+    b = m.select("h", F.col("source").alias("source_b"))
+    return (
+        a.join(b, "h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_shared_texts"))
+    )

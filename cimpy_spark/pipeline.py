@@ -702,3 +702,122 @@ def lpa_communities(canon_edges: DataFrame, iters: int = 3) -> DataFrame:
             )
         )
     return labels.select("node", F.col("lab").alias("community"))
+
+
+def negative_samples(canon_edges: DataFrame, k: int = 2) -> DataFrame:
+    """Deterministic negative sampling over the canonical graph — the
+    training-pair generator for KG-embedding losses (TransE/DistMult
+    margin objectives need k corrupted triples per positive): for
+    each positive (src, pred, dst) and j in 0..k-1, replace dst with
+    the entity ranked md5(src|pred|dst|j) mod n — a reproducible
+    pseudo-random draw (no RNG; re-runs and both engines agree),
+    then DROP corruptions that happen to be true edges (false
+    negatives, filtered the way every published sampler specifies
+    but an in-row rand() sampler can't do exactly). Also drops
+    self-corruptions (neg_dst = src — degenerate pairs no loss
+    wants). Output: (src, pred, dst, j, neg_dst).
+
+    Scale shape: the entity-rank table is a row_number over the
+    DISTINCT entity set — vocabulary-sized, one window (at a
+    billion-entity graph, replace with a precomputed rank column on
+    the entity dictionary; the join shape is unchanged); the draw
+    joins edges×k against it on the modulus (plain shuffle join,
+    AQE broadcasts small dictionaries), and the false-negative
+    filter is one anti-join on (src, pred, dst) — edge-partitioned,
+    no hub amplification (a hub src contributes k rows per edge,
+    same cardinality class as the edge list itself)."""
+    from pyspark.sql import Window
+
+    ents = (
+        canon_edges.select(F.col("src").alias("ent"))
+        .union(canon_edges.select(F.col("dst").alias("ent")))
+        .distinct()
+    )
+    ranked = ents.select(
+        "ent",
+        (F.row_number().over(Window.orderBy("ent")) - 1).alias("r"),
+    )
+    n = ranked.agg(F.count(F.lit(1)).alias("n_ents"))
+    draws = (
+        canon_edges.crossJoin(
+            F.broadcast(
+                canon_edges.sparkSession.range(k).select(
+                    F.col("id").cast("int").alias("j")
+                )
+            )
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "src",
+            "pred",
+            "dst",
+            "j",
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws("|", "src", "pred", "dst", "j")
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.col("n_ents"),
+            ).alias("r"),
+        )
+    )
+    neg = draws.join(ranked, "r").select(
+        "src", "pred", "dst", "j", F.col("ent").alias("neg_dst")
+    )
+    true_edges = canon_edges.select(
+        "src", "pred", F.col("dst").alias("neg_dst")
+    ).distinct()
+    return (
+        neg.filter(F.col("neg_dst") != F.col("src"))
+        .filter(F.col("neg_dst") != F.col("dst"))
+        .join(true_edges, ["src", "pred", "neg_dst"], "left_anti")
+        .select("src", "pred", "dst", "j", "neg_dst")
+    )
+
+
+def neighbor_sample(
+    canon_edges: DataFrame, fan1: int = 3, fan2: int = 2, salt: str = "ns0"
+) -> DataFrame:
+    """Deterministic two-hop neighborhood sampling — the GraphSAGE /
+    GNN minibatch primitive (bounded fan-out per hop so a hub never
+    explodes a batch), with the sample drawn by md5 rank instead of
+    RNG: per root, the fan1 lowest-md5(salt|node|nbr) out-neighbors;
+    per sampled neighbor, the fan2 lowest-ranked second-hop
+    neighbors (excluding the root). Re-salting draws an independent
+    sample; both engines derive the same one. Output: (root, n1, n2)
+    — one row per sampled 2-path; roots whose hop-1 neighbors have
+    no out-edges contribute no rows (standard for directed
+    sampling).
+
+    Scale shape: each hop is ONE rank window partitioned by the
+    node (degree-bounded — the exact hub-bounding adjacency uses)
+    followed by a filter to the fan-out; hop-2 joins the hop-1
+    sample (corpus-of-roots × fan1 rows) against the ranked edge
+    list on the sampled node — no hub ever contributes more than
+    fan1·fan2 rows per root."""
+    from pyspark.sql import Window
+
+    edges = canon_edges.select("src", "dst").distinct().filter(
+        F.col("src") != F.col("dst")
+    )
+    rk = F.md5(F.concat_ws("|", F.lit(salt), "src", "dst"))
+    w = Window.partitionBy("src").orderBy(rk, F.col("dst"))
+    ranked = edges.withColumn("rn", F.row_number().over(w))
+    hop1 = ranked.filter(F.col("rn") <= fan1).select(
+        F.col("src").alias("root"), F.col("dst").alias("n1")
+    )
+    hop2 = ranked.filter(F.col("rn") <= fan2).select(
+        F.col("src").alias("n1"), F.col("dst").alias("n2")
+    )
+    return (
+        hop1.join(hop2, "n1")
+        .filter(F.col("n2") != F.col("root"))
+        .select("root", "n1", "n2")
+    )

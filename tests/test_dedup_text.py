@@ -1274,3 +1274,21 @@ def test_source_terms_rank_ties_break_on_term(spark):
     out = [r["term"] for r in T.source_terms(d, k=2)
            .filter(F.col("source") == "S").orderBy("rank").collect()]
     assert out == ["alpha", "zeta"]
+
+
+def test_source_overlap_counts_distinct_texts_not_copies(spark):
+    d = spark.createDataFrame(
+        [
+            (1, "shared text one", "A"),
+            (2, "shared text one", "B"),
+            (3, "shared text one", "B"),   # extra copy in B: still 1
+            (4, "shared text two", "A"),
+            (5, "shared text two", "B"),
+            (6, "only in a", "A"),
+            (7, "shared text one", "C"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {(r["source_a"], r["source_b"]): r["n_shared_texts"]
+           for r in T.source_overlap(d).collect()}
+    assert out == {("A", "B"): 2, ("A", "C"): 1, ("B", "C"): 1}

@@ -330,3 +330,40 @@ def test_lpa_two_cliques_converge_and_isolated_keeps_label(spark):
     assert out["a"] == out["b"] == out["c"] == "a"
     assert out["x"] == out["y"] == out["z"]
     assert out["x"] != out["a"]
+
+
+def test_negative_samples_contract(spark):
+    """k negatives per positive minus filtered ones; no negative is a
+    true edge, the source, or the original dst; deterministic across
+    runs."""
+    edges = _edges(spark, [
+        ("a", "p", "b"), ("a", "p", "c"), ("b", "q", "c"), ("c", "p", "d"),
+    ])
+    out = P.negative_samples(edges, k=3).collect()
+    assert 0 < len(out) <= 4 * 3
+    truth = {("a", "p", "b"), ("a", "p", "c"), ("b", "q", "c"), ("c", "p", "d")}
+    for r in out:
+        assert (r["src"], r["pred"], r["neg_dst"]) not in truth
+        assert r["neg_dst"] != r["src"] and r["neg_dst"] != r["dst"]
+        assert 0 <= r["j"] < 3
+    again = P.negative_samples(edges, k=3).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_neighbor_sample_bounded_fanout_and_salt(spark):
+    """A hub with 10 out-neighbors contributes at most fan1 sampled
+    hop-1 nodes; per (root, n1) at most fan2 second hops; the root
+    never appears as its own 2-hop; re-salting changes the draw."""
+    hub = [("h", "p", f"x{i}") for i in range(10)]
+    second = [(f"x{i}", "p", f"y{j}") for i in range(10) for j in range(5)]
+    back = [("x0", "p", "h")]
+    edges = _edges(spark, hub + second + back)
+    out = P.neighbor_sample(edges, fan1=3, fan2=2).collect()
+    hrows = [r for r in out if r["root"] == "h"]
+    assert len({r["n1"] for r in hrows}) <= 3
+    from collections import Counter
+    per_n1 = Counter(r["n1"] for r in hrows)
+    assert all(v <= 2 for v in per_n1.values())
+    assert all(r["n2"] != "h" for r in hrows)
+    alt = P.neighbor_sample(edges, fan1=3, fan2=2, salt="other").collect()
+    assert {tuple(r) for r in alt} != {tuple(r) for r in out}
