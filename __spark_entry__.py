@@ -482,6 +482,20 @@ def _q_doc_line_dedup(spark, sf_dir):
     return T.line_dedup(lined_documents(_docs(spark, sf_dir)))
 
 
+def _q_doc_winnow(spark, sf_dir):
+    return T.winnow_fingerprints(_docs(spark, sf_dir))
+
+
+def _q_kg_graph_diff(spark, sf_dir):
+    # diff against the bus-branch reduction — the one transform that
+    # both removes edges (open breakers, contracted switches) and
+    # adds rewired ones, so both change branches are exercised
+    from cimpy_spark.operators.transforms import bus_branch, graph_diff
+
+    g = _graph(spark, sf_dir)
+    return graph_diff(g.canon_edges, bus_branch(g.nodes, g.canon_edges))
+
+
 def _q_kg_negative_samples(spark, sf_dir):
     return P.negative_samples(_graph(spark, sf_dir).canon_edges)
 
@@ -1103,6 +1117,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_negative_samples": _q_kg_negative_samples,
         "kg_neighbor_sample": _q_kg_neighbor_sample,
         "doc_source_overlap": _q_doc_source_overlap,
+        "doc_winnow": _q_doc_winnow,
+        "kg_graph_diff": _q_kg_graph_diff,
         "event_attribution": A.event_attribution,
         "purchase_click_window": A.purchase_click_window,
         # -- load-bearing pipeline core, displaced from the prefix by
@@ -1329,6 +1345,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_negative_samples": oracles.negative_samples_sql(),
         "kg_neighbor_sample": oracles.neighbor_sample_sql(),
         "doc_source_overlap": doc_oracles.source_overlap_sql(),
+        "doc_winnow": doc_oracles.winnow_sql(),
+        "kg_graph_diff": oracles.graph_diff_bus_sql(),
         "emb_contamination": doc_oracles.emb_contamination_sql(),
         "emb_quantize": doc_oracles.quantize_sql(),
         "doc_quality": doc_oracles.quality_score_sql(),

@@ -447,39 +447,39 @@ def bus_branch_sql(
     breakers' switch edges to min-id component labels, rewrite the
     surviving edges."""
     return PIPELINE_CTES + f"""
-    , brk AS (SELECT DISTINCT entity_id FROM nodes
+    , brk AS MATERIALIZED (SELECT DISTINCT entity_id FROM nodes
               WHERE attr = 'rdf_type' AND value = '{breaker_type}'),
-    openbrk AS (
+    openbrk AS MATERIALIZED (
       SELECT DISTINCT b.entity_id FROM brk b
       JOIN nodes o ON o.entity_id = b.entity_id
       WHERE o.attr = '{open_attr}' AND o.value = '{open_value}'
     ),
-    closedbrk AS (
+    closedbrk AS MATERIALIZED (
       SELECT entity_id FROM brk
       WHERE entity_id NOT IN (SELECT entity_id FROM openbrk)
     ),
-    kept AS (
+    kept AS MATERIALIZED (
       SELECT e.src, e.pred, e.dst FROM canon_edges e
       LEFT JOIN openbrk a ON e.src = a.entity_id
       LEFT JOIN openbrk b ON e.dst = b.entity_id
       WHERE a.entity_id IS NULL AND b.entity_id IS NULL
     ),
-    sw AS (
+    sw AS MATERIALIZED (
       SELECT e.src, e.pred, e.dst FROM kept e
       JOIN closedbrk c ON e.src = c.entity_id
       WHERE e.pred = '{contract_pred}'
     ),
-    bpairs AS (SELECT DISTINCT src AS a, dst AS b FROM sw),
-    bsym AS (SELECT a, b FROM bpairs UNION SELECT b, a FROM bpairs),
-    bverts AS (SELECT src AS v FROM kept UNION SELECT dst FROM kept),
+    bpairs AS MATERIALIZED (SELECT DISTINCT src AS a, dst AS b FROM sw),
+    bsym AS MATERIALIZED (SELECT a, b FROM bpairs UNION SELECT b, a FROM bpairs),
+    bverts AS MATERIALIZED (SELECT src AS v FROM kept UNION SELECT dst FROM kept),
     breach(a, b) AS (
       SELECT v, v FROM bverts
       UNION
       SELECT r.a, e.b FROM breach r JOIN bsym e ON r.b = e.a
     ),
-    bmap AS (SELECT a AS entity_id, min(b) AS canonical_id
+    bmap AS MATERIALIZED (SELECT a AS entity_id, min(b) AS canonical_id
              FROM breach GROUP BY a),
-    kept2 AS (
+    kept2 AS MATERIALIZED (
       SELECT e.src, e.pred, e.dst FROM kept e
       LEFT JOIN sw s ON e.src = s.src AND e.pred = s.pred AND e.dst = s.dst
       WHERE s.src IS NULL
@@ -793,3 +793,37 @@ def neighbor_sample_sql(
     hop2 AS (SELECT src AS n1, dst AS n2 FROM rkd WHERE rn <= {fan2})
     SELECT root, n1, n2 FROM hop1 JOIN hop2 USING (n1) WHERE n2 <> root
     """
+
+def graph_diff_bus_sql() -> str:
+    """Oracle for transforms.graph_diff applied to the bus-branch
+    reduction (the one transform that both REMOVES edges — open
+    breakers, contracted switches — and ADDS rewired ones): the
+    bus_branch_sql chain re-expressed as a CTE, EXCEPT-diffed
+    against the original canonical edges in both directions."""
+    bus_chain = bus_branch_sql()
+    # DuckDB inlines plain CTEs per consumer — the diff references the
+    # chain's result twice, which would evaluate the recursive closure
+    # twice (measured 70 s once at sf0.01). MATERIALIZE every
+    # non-recursive level of the copied chain.
+    for name in ("brk", "openbrk", "closedbrk", "kept", "sw", "bpairs",
+                 "bsym", "bverts", "bmap", "kept2"):
+        bus_chain = bus_chain.replace(f"{name} AS (", f"{name} AS MATERIALIZED (")
+    head, final = bus_chain.rsplit("SELECT DISTINCT m1.canonical_id", 1)
+    return (
+        head
+        + ", bus AS MATERIALIZED (SELECT DISTINCT m1.canonical_id"
+        + final.rstrip().rstrip()
+        + """
+    ),
+    ce AS (SELECT DISTINCT src, pred, dst FROM canon_edges)
+    SELECT src, pred, dst, 'added' AS change FROM (
+      SELECT src, pred, dst FROM bus
+      EXCEPT SELECT src, pred, dst FROM ce
+    )
+    UNION ALL
+    SELECT src, pred, dst, 'removed' AS change FROM (
+      SELECT src, pred, dst FROM ce
+      EXCEPT SELECT src, pred, dst FROM bus
+    )
+    """
+    )

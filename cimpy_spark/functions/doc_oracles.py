@@ -1592,3 +1592,47 @@ def source_overlap_sql() -> str:
     FROM m a JOIN m b ON a.h = b.h AND a.source < b.source
     GROUP BY 1, 2
     """
+
+
+def winnow_sql(n: int = 5, w: int = 4) -> str:
+    """Mirror of text.winnow_fingerprints via a DIFFERENT
+    construction: nums-join gram rows + a SQL window min (ROWS
+    CURRENT..w-1 FOLLOWING), trailing partial windows excluded the
+    same way (one window survives for docs shorter than w grams)."""
+    return f"""
+    WITH {NUMS},
+    {_w_cte("documents").strip()},
+    g AS (
+      SELECT doc_id, nums.i AS pos,
+             array_to_string(w.w[nums.i:nums.i + {n - 1}], ' ') AS gram
+      FROM w JOIN nums ON nums.i <= len(w.w) - {n} + 1
+    ),
+    h AS (
+      SELECT doc_id, pos,
+             ('0x' || substring(md5(gram), 1, 8))::BIGINT AS hv
+      FROM g
+    ),
+    wins AS (
+      SELECT doc_id, pos,
+             min(hv) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING
+             ) AS mn,
+             count(*) OVER (PARTITION BY doc_id) AS len
+      FROM h
+    ),
+    sel AS (
+      SELECT DISTINCT doc_id, mn FROM wins
+      WHERE pos <= greatest(1, len - {w} + 1)
+    ),
+    agg AS (
+      SELECT doc_id, CAST(count(*) AS INT) AS n_fingerprints,
+             string_agg(CAST(mn AS STRING), ',' ORDER BY mn)
+               AS fingerprints
+      FROM sel GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(a.n_fingerprints, 0) AS n_fingerprints,
+           coalesce(a.fingerprints, '') AS fingerprints
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    """

@@ -1420,3 +1420,42 @@ def source_overlap(docs: DataFrame) -> DataFrame:
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).cast("int").alias("n_shared_texts"))
     )
+
+
+def winnow_fingerprints(docs: DataFrame, n: int = 5, w: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al. 2003 — the
+    MOSS algorithm): hash every word n-gram, slide a w-gram window,
+    keep each window's MINIMUM hash; the selected set is the
+    fingerprint. Guarantee the single-min `fingerprint` op can't
+    give: any shared run of at least w+n-1 words between two
+    documents shares at least one selected fingerprint, so
+    containment/partial overlap is detectable, not just whole-doc
+    similarity — while storing ~1/w of the hashes. Output: (doc_id,
+    n_fingerprints, fingerprints sorted-csv). Docs shorter than w
+    grams keep one window over what exists; gram-less docs emit 0.
+
+    Scale shape: entirely IN-ROW (hash transform + one
+    array_min-per-window transform, O(words·w) per doc) — a pure
+    zero-shuffle projection like `fingerprint`; no gram row stream
+    exists at all. Hashes use the portable md5-prefix-int family so
+    the DuckDB oracle (a nums-join + SQL window construction — a
+    different algorithm shape over the same definition) lands on
+    identical integers."""
+    grams = _gram_array(n)
+    h = F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"),
+    )
+    nwin = F.greatest(F.size(h) - F.lit(w) + 1, F.lit(1))
+    idx = F.when(
+        F.size(h) >= 1, F.sequence(F.lit(1), nwin)
+    ).otherwise(F.array().cast("array<int>"))
+    mins = F.transform(idx, lambda i: F.array_min(F.slice(h, i, w)))
+    sel = F.array_sort(F.array_distinct(mins))
+    return docs.select(
+        "doc_id",
+        F.size(sel).cast("int").alias("n_fingerprints"),
+        F.concat_ws(
+            ",", F.transform(sel, lambda x: x.cast("string"))
+        ).alias("fingerprints"),
+    )

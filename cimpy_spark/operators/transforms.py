@@ -194,3 +194,25 @@ def surrogate_ids(df: DataFrame, cols: list[str], prefix: str = "S") -> DataFram
         "surrogate_id",
         F.concat(F.lit(prefix), F.pmod(F.xxhash64(*cols), F.lit(10**12)).cast("string")),
     )
+
+
+def graph_diff(edges_old: DataFrame, edges_new: DataFrame) -> DataFrame:
+    """Snapshot diff between two edge sets — the audit/debug view of
+    every graph transform and of incremental maintenance (what did
+    this contraction/deletion/ingest actually change): distinct
+    triples only in the new set are 'added', only in the old set
+    'removed'. Output: (src, pred, dst, change).
+
+    Two anti-joins on the full triple key, both sides deduped first —
+    edge-partitioned, no fan-out; at cluster scale both snapshots
+    shuffle once on the same key so the joins co-locate. The same
+    shape diffs ANY two materialized snapshots (the lineage ledger's
+    per-increment dirs make old snapshots directly readable)."""
+    key = ["src", "pred", "dst"]
+    o = edges_old.select(*key).distinct()
+    n = edges_new.select(*key).distinct()
+    added = n.join(o, key, "left_anti").withColumn("change", F.lit("added"))
+    removed = o.join(n, key, "left_anti").withColumn(
+        "change", F.lit("removed")
+    )
+    return added.unionByName(removed)

@@ -1292,3 +1292,41 @@ def test_source_overlap_counts_distinct_texts_not_copies(spark):
     out = {(r["source_a"], r["source_b"]): r["n_shared_texts"]
            for r in T.source_overlap(d).collect()}
     assert out == {("A", "B"): 2, ("A", "C"): 1, ("B", "C"): 1}
+
+
+def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
+    """The winnowing guarantee: two docs sharing a run of
+    >= w + n - 1 = 8 words share at least one selected fingerprint;
+    a doc with no overlap shares none (w=4, n=5)."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words
+    d = spark.createDataFrame(
+        [
+            (1, shared + " tail one here now"),
+            (2, "prefix words go first " + shared),
+            (3, "совершенно other content without any overlap at all"),
+        ],
+        "doc_id long, text string",
+    )
+    fp = {r["doc_id"]: set(r["fingerprints"].split(","))
+          for r in T.winnow_fingerprints(d).collect()}
+    assert fp[1] & fp[2]
+    assert not (fp[1] & fp[3]) and not (fp[2] & fp[3])
+
+
+def test_winnow_short_doc_and_density(spark):
+    d = spark.createDataFrame(
+        [
+            (1, "a b c d e"),        # exactly one 5-gram -> one window
+            (2, "a b"),              # no 5-gram -> empty
+            (3, " ".join("w%d" % i for i in range(30))),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in T.winnow_fingerprints(d).collect()}
+    assert out[1]["n_fingerprints"] == 1
+    assert out[2]["n_fingerprints"] == 0 and out[2]["fingerprints"] == ""
+    # density: ~1/w of the 26 grams selected, never more than windows
+    assert 1 <= out[3]["n_fingerprints"] <= 26 - 4 + 1
+    # csv is sorted numerically
+    vals = [int(x) for x in out[3]["fingerprints"].split(",")]
+    assert vals == sorted(vals)

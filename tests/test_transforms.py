@@ -114,3 +114,27 @@ def test_bus_branch_composition_invariants(spark):
     assert all("bo" not in (s, d) for s, _, d in triples)
     # the switch edge itself did not survive
     assert ("bc", "controls", "y") not in triples
+
+
+def test_graph_diff_partitions_changes(spark):
+    from pyspark.sql import functions as F
+
+    from cimpy_spark.operators.transforms import graph_diff
+
+    old = spark.createDataFrame(
+        [("a", "p", "b"), ("b", "p", "c"), ("x", "q", "y")],
+        "src string, pred string, dst string",
+    )
+    new = spark.createDataFrame(
+        [("a", "p", "b"), ("b", "p", "c"), ("n", "q", "m"), ("n", "q", "m")],
+        "src string, pred string, dst string",
+    )
+    out = {(r["src"], r["pred"], r["dst"]): r["change"]
+           for r in graph_diff(old, new).collect()}
+    # unchanged edges absent; duplicates in input collapse
+    assert out == {("x", "q", "y"): "removed", ("n", "q", "m"): "added"}
+    # identical sets diff to nothing; diff is antisymmetric
+    assert graph_diff(old, old).count() == 0
+    rev = {(r["src"], r["pred"], r["dst"]): r["change"]
+           for r in graph_diff(new, old).collect()}
+    assert rev == {("x", "q", "y"): "added", ("n", "q", "m"): "removed"}
