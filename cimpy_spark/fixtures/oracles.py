@@ -138,8 +138,26 @@ nodes AS (
 """
 
 
+# Non-recursive pipeline CTE levels referenced by multiple consumers:
+# DuckDB INLINES plain CTEs per consumer (no auto-materialization in
+# 1.0), so e.g. the `s` slot stream re-evaluates once per TRIPLES
+# union branch and `triples`/`cmap` once per downstream reference —
+# measured 215 s for the full oracle battery at sf0.01, dominated by
+# this. Forcing MATERIALIZED on the shared levels is semantics-free.
+# The recursive `reach` level must stay plain. These strings are
+# DuckDB-only (the Spark side derives transcripts via
+# transcripts_select_sql; Spark SQL has no MATERIALIZED keyword).
+_MAT_LEVELS = (
+    "t", "s", "triples", "entities", "refs", "edges",
+    "same_pairs", "same_sym", "cmap", "canon_edges", "nodes",
+)
+
+
 def _with(*ctes: str) -> str:
-    return "WITH RECURSIVE " + ",\n".join(c.strip().rstrip() for c in ctes)
+    sql = "WITH RECURSIVE " + ",\n".join(c.strip().rstrip() for c in ctes)
+    for name in _MAT_LEVELS:
+        sql = sql.replace(f"{name} AS (", f"{name} AS MATERIALIZED (")
+    return sql
 
 
 PIPELINE_CTES = _with(T_CTE, TRIPLES_CTE, ENTITIES_CTE, REFS_CTE, EDGES_CTE,

@@ -550,7 +550,7 @@ def conv_neardup_sql(threshold: float = 0.8, mod: int = 10) -> str:
         lambda c: f"(CASE {c} % 3 WHEN 0 THEN 'c' WHEN 1 THEN 'd' "
         f"ELSE 'e' END) || CAST({c} // 3 AS STRING)"
     )
-    return f"""
+    sql = f"""
     WITH RECURSIVE {_T_CTE},
     {planted_near_cte_sql(mod)},
     convdocs AS (
@@ -577,3 +577,11 @@ def conv_neardup_sql(threshold: float = 0.8, mod: int = 10) -> str:
            doc_id <> canonical_doc_id AS is_dup
     FROM cmapd
     """
+    # DuckDB inlines plain CTEs per consumer — the shingle/signature
+    # chain re-evaluates per reference (measured 9.2 s of an 18.3 s
+    # oracle battery); MATERIALIZE the non-recursive levels.
+    for name in ("convdocs", "w", "sh", "seeds", "sig", "bands",
+                 "okbands", "cand", "sizes", "inter", "jac", "dup",
+                 "sym", "cmapd"):
+        sql = sql.replace(f"{name} AS (", f"{name} AS MATERIALIZED (")
+    return sql
