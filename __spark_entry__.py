@@ -482,6 +482,16 @@ def _q_doc_line_dedup(spark, sf_dir):
     return T.line_dedup(lined_documents(_docs(spark, sf_dir)))
 
 
+def _q_conv_truncate(spark, sf_dir):
+    from cimpy_spark.functions.conversations import conv_truncate
+
+    return conv_truncate(transcripts_from_events(spark, sf_dir))
+
+
+def _q_doc_quality_percentile(spark, sf_dir):
+    return T.quality_percentile(_docs(spark, sf_dir))
+
+
 def _q_doc_winnow(spark, sf_dir):
     return T.winnow_fingerprints(_docs(spark, sf_dir))
 
@@ -1119,6 +1129,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_source_overlap": _q_doc_source_overlap,
         "doc_winnow": _q_doc_winnow,
         "kg_graph_diff": _q_kg_graph_diff,
+        "conv_truncate": _q_conv_truncate,
+        "doc_quality_percentile": _q_doc_quality_percentile,
         "event_attribution": A.event_attribution,
         "purchase_click_window": A.purchase_click_window,
         # -- load-bearing pipeline core, displaced from the prefix by
@@ -1347,6 +1359,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_source_overlap": doc_oracles.source_overlap_sql(),
         "doc_winnow": doc_oracles.winnow_sql(),
         "kg_graph_diff": oracles.graph_diff_bus_sql(),
+        "conv_truncate": conversations.conv_truncate_sql(),
+        "doc_quality_percentile": doc_oracles.quality_percentile_sql(),
         "emb_contamination": doc_oracles.emb_contamination_sql(),
         "emb_quantize": doc_oracles.quantize_sql(),
         "doc_quality": doc_oracles.quality_score_sql(),

@@ -585,3 +585,55 @@ def conv_neardup_sql(threshold: float = 0.8, mod: int = 10) -> str:
                  "sym", "cmapd"):
         sql = sql.replace(f"{name} AS (", f"{name} AS MATERIALIZED (")
     return sql
+
+
+def conv_truncate(transcripts: DataFrame, budget: int = 64) -> DataFrame:
+    """Context-window truncation — the SFT-prep step that keeps the
+    NEWEST suffix of each conversation fitting a token budget (chat
+    training always preserves the latest turns; history is what gets
+    cut): per conversation, the reverse cumulative whitespace-token
+    sum from the last turn backwards, a turn kept iff its cumulative
+    total still fits. Greedy whole-turn semantics (the first turn
+    that would overflow is dropped along with everything before it);
+    all-integer, so the boundary can't move between engines. Output:
+    (conv_id, turn_idx, role, n_tok, cum_from_end, kept).
+
+    Scale shape: ONE per-conversation window (ordered by turn_idx
+    DESC, running sum) — the pipeline's own partitioning key, turn
+    counts bounded by conversation length; zero joins."""
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy(F.desc("turn_idx"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum("n_tok").over(w)
+    return (
+        transcripts.select(
+            "conv_id", "turn_idx", "role", toks.cast("int").alias("n_tok")
+        )
+        .withColumn("cum_from_end", cum.cast("int"))
+        .withColumn("kept", F.col("cum_from_end") <= budget)
+    )
+
+
+def conv_truncate_sql(budget: int = 64) -> str:
+    """DuckDB mirror of conv_truncate."""
+    return f"""
+    WITH {_T_CTE},
+    t AS (
+      SELECT conv_id, turn_idx, role,
+             CAST({_DUCK_TOKS} AS INT) AS n_tok
+      FROM transcripts
+    )
+    SELECT conv_id, turn_idx, role, n_tok,
+           CAST(sum(n_tok) OVER (
+             PARTITION BY conv_id ORDER BY turn_idx DESC
+             ROWS UNBOUNDED PRECEDING
+           ) AS INT) AS cum_from_end,
+           sum(n_tok) OVER (
+             PARTITION BY conv_id ORDER BY turn_idx DESC
+             ROWS UNBOUNDED PRECEDING
+           ) <= {budget} AS kept
+    FROM t
+    """

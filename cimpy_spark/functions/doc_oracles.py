@@ -1636,3 +1636,23 @@ def winnow_sql(n: int = 5, w: int = 4) -> str:
            coalesce(a.fingerprints, '') AS fingerprints
     FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
     """
+
+
+def quality_percentile_sql() -> str:
+    """Mirror of text.quality_percentile: histogram + cumulative
+    window over distinct scores, integer floor-division rank."""
+    return f"""
+    WITH q AS ({quality_score_sql()}),
+    h AS (SELECT quality, count(*) AS cnt FROM q GROUP BY 1),
+    r AS (
+      SELECT quality,
+             sum(cnt) OVER (ORDER BY quality) AS cum,
+             sum(cnt) OVER () AS n
+      FROM h
+    ),
+    ranked AS (
+      SELECT quality, CAST((100 * cum) // n AS INT) AS pct_rank FROM r
+    )
+    SELECT q.doc_id, q.quality, ranked.pct_rank
+    FROM q JOIN ranked USING (quality)
+    """

@@ -1459,3 +1459,34 @@ def winnow_fingerprints(docs: DataFrame, n: int = 5, w: int = 4) -> DataFrame:
             ",", F.transform(sel, lambda x: x.cast("string"))
         ).alias("fingerprints"),
     )
+
+
+def quality_percentile(docs: DataFrame) -> DataFrame:
+    """Corpus-wide quality percentile per document — the calibration
+    column quality-threshold policies actually want ("drop the
+    bottom 20%" is a percentile statement, not an absolute-score
+    one): pct_rank = 100·|{q' <= q}| div N, pure integers.
+
+    Scale shape: the same histogram trick as `mad_outliers` — the
+    6dp quality scores take bounded distinct values, so the exact
+    corpus-wide rank comes from a value histogram + one cumulative
+    window over DISTINCT values only, joined back on the score. No
+    global sort, no corpus-wide window."""
+    from pyspark.sql import Window
+
+    q = quality_score(docs).select("doc_id", "quality")
+    h = q.groupBy("quality").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("quality").rowsBetween(Window.unboundedPreceding, 0)
+    wn = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = h.select(
+        "quality",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(wn).alias("n"),
+    ).select(
+        "quality",
+        ((F.lit(100) * F.col("cum") - F.pmod(F.lit(100) * F.col("cum"), F.col("n")))
+         / F.col("n")).cast("int").alias("pct_rank"),
+    )
+    return q.join(ranked, "quality").select("doc_id", "quality", "pct_rank")

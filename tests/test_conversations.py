@@ -251,3 +251,27 @@ def test_conv_hash_docs_id_roundtrip(spark):
     assert got == {"c7", "d7", "e12"}
     ids = {r["doc_id"] for r in docs.collect()}
     assert ids == {21, 22, 38}  # 3k + code
+
+
+def test_conv_truncate_keeps_newest_suffix(spark):
+    from cimpy_spark.functions.conversations import conv_truncate
+
+    tr = spark.createDataFrame(
+        [
+            ("c1", 0, "user", "one two three four five six"),        # 6
+            ("c1", 1, "assistant", "seven eight nine ten"),          # 4
+            ("c1", 2, "user", "eleven twelve"),                      # 2
+            ("c2", 0, "user", "a " * 63 + "b"),                      # 64 exactly
+        ],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    out = {(r["conv_id"], r["turn_idx"]): r
+           for r in conv_truncate(tr, budget=6).collect()}
+    # newest-first cumulative: turn2=2, turn1=6, turn0=12
+    assert out[("c1", 2)]["cum_from_end"] == 2 and out[("c1", 2)]["kept"]
+    assert out[("c1", 1)]["cum_from_end"] == 6 and out[("c1", 1)]["kept"]
+    assert out[("c1", 0)]["cum_from_end"] == 12 and not out[("c1", 0)]["kept"]
+    # exact-budget single turn kept at the boundary (<=)
+    out64 = {r["turn_idx"]: r for r in conv_truncate(tr, budget=64)
+             .filter("conv_id = 'c2'").collect()}
+    assert out64[0]["n_tok"] == 64 and out64[0]["kept"]

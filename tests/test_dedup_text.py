@@ -1330,3 +1330,22 @@ def test_winnow_short_doc_and_density(spark):
     # csv is sorted numerically
     vals = [int(x) for x in out[3]["fingerprints"].split(",")]
     assert vals == sorted(vals)
+
+
+def test_quality_percentile_rank_semantics(spark):
+    # four docs with strictly increasing quality -> percentiles
+    # 25/50/75/100; ties share a rank (both '<=' count both)
+    d = spark.createDataFrame(
+        [
+            (1, "short"),
+            (2, "a few more words here now ok"),
+            (3, "the a of and to in the a of and to in words words"),
+            (4, "the a of and to in the a of and to in words words"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["pct_rank"]
+           for r in T.quality_percentile(d).collect()}
+    assert out[3] == out[4] == 100  # tied top quality
+    assert sorted(out.values())[0] == 25
+    assert len(set(out.values())) == 3
