@@ -482,6 +482,20 @@ def _q_doc_line_dedup(spark, sf_dir):
     return T.line_dedup(lined_documents(_docs(spark, sf_dir)))
 
 
+def _q_doc_curation_pipeline(spark, sf_dir):
+    from cimpy_spark.fixtures.organic import (
+        lined_documents,
+        mirrored_documents,
+    )
+
+    # mirrored (cross-source verbatim copies) THEN lined: line dedup
+    # strips the differing footers, the copies' cleaned texts
+    # coincide, and every pipeline branch is exercised
+    return T.curation_pipeline(
+        lined_documents(mirrored_documents(_docs(spark, sf_dir)))
+    )
+
+
 def _q_conv_truncate(spark, sf_dir):
     from cimpy_spark.functions.conversations import conv_truncate
 
@@ -1131,6 +1145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_graph_diff": _q_kg_graph_diff,
         "conv_truncate": _q_conv_truncate,
         "doc_quality_percentile": _q_doc_quality_percentile,
+        "doc_curation_pipeline": _q_doc_curation_pipeline,
         "event_attribution": A.event_attribution,
         "purchase_click_window": A.purchase_click_window,
         # -- load-bearing pipeline core, displaced from the prefix by
@@ -1361,6 +1376,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_graph_diff": oracles.graph_diff_bus_sql(),
         "conv_truncate": conversations.conv_truncate_sql(),
         "doc_quality_percentile": doc_oracles.quality_percentile_sql(),
+        "doc_curation_pipeline": doc_oracles.curation_pipeline_sql(),
         "emb_contamination": doc_oracles.emb_contamination_sql(),
         "emb_quantize": doc_oracles.quantize_sql(),
         "doc_quality": doc_oracles.quality_score_sql(),

@@ -1656,3 +1656,43 @@ def quality_percentile_sql() -> str:
     SELECT q.doc_id, q.quality, ranked.pct_rank
     FROM q JOIN ranked USING (quality)
     """
+
+
+def curation_pipeline_sql(
+    min_mean_len: float = 4.5, min_docs: int = 3
+) -> str:
+    """Mirror of text.curation_pipeline over the lined corpus:
+    line-dedup chain → gopher rules / exact-dedup keep / hash split
+    over the CLEANED text (the individually-gated oracles composed
+    by source substitution, the corpus_card precedent)."""
+    g = gopher_rules_sql(min_mean_len=min_mean_len).replace(
+        "FROM documents", "FROM cleaned"
+    )
+    sp = hash_split_sql().replace("FROM documents", "FROM cleaned")
+    # corpus = mirrored (cross-source verbatim copies) THEN lined:
+    # the per-source footers are removed as boilerplate, so a mirror
+    # pair's CLEANED texts coincide and the dedup branch is live
+    ld_inner = line_dedup_sql(min_docs=min_docs).replace(
+        "FROM documents", "FROM mirdocs"
+    ).replace("WITH ", f"WITH {MIRRORED_DOCS_CTE.strip()},\n", 1)
+    return f"""
+    WITH ld AS MATERIALIZED ({ld_inner}),
+    cleaned AS MATERIALIZED (
+      SELECT doc_id, clean_text AS text FROM ld WHERE n_kept > 0
+    ),
+    g AS MATERIALIZED ({g}),
+    dd AS (
+      SELECT doc_id,
+             doc_id = min(doc_id) OVER (PARTITION BY md5(text))
+               AS dedup_kept
+      FROM cleaned
+    ),
+    sp AS ({sp})
+    SELECT c.doc_id, ld.n_boiler, g.keep AS gopher_keep, dd.dedup_kept,
+           sp.split, (g.keep AND dd.dedup_kept) AS selected
+    FROM cleaned c
+    JOIN ld USING (doc_id)
+    JOIN g USING (doc_id)
+    JOIN dd ON c.doc_id = dd.doc_id
+    JOIN sp ON c.doc_id = sp.doc_id
+    """

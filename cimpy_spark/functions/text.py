@@ -1490,3 +1490,64 @@ def quality_percentile(docs: DataFrame) -> DataFrame:
          / F.col("n")).cast("int").alias("pct_rank"),
     )
     return q.join(ranked, "quality").select("doc_id", "quality", "pct_rank")
+
+
+def curation_pipeline(
+    docs: DataFrame, min_mean_len: float = 4.5, min_docs: int = 3
+) -> DataFrame:
+    """END-TO-END curation composite — the doc-side analog of the KG
+    side's `kg_bus_branch` composition gate: boilerplate line removal
+    → Gopher rule battery over the CLEANED text → exact dedup keep →
+    deterministic hash split, one plan, one gate. Proves the
+    operators compose (each is individually gated; this pins that
+    their contracts chain — e.g. the rules see post-line-dedup text,
+    which is what a real pipeline scores). Output: (doc_id,
+    n_boiler, gopher_keep, dedup_kept, split, selected).
+
+    Fully-emptied documents (all lines boilerplate) drop out, as a
+    real pipeline drops them. The gate feeds the MIRRORED + LINED
+    corpus (cross-source verbatim copies whose per-source footers
+    differ): line dedup removes the footers, the copies' cleaned
+    texts coincide, and the dedup branch goes live — operators
+    interacting, which is the point of a composition gate. min_docs
+    defaults to 3 HERE (not line_dedup's 2) because at 2 a mirror
+    pair's own chunk lines count as cross-doc boilerplate and line
+    dedup deletes the copies outright — correct RefinedWeb behavior,
+    but it would leave the exact-dedup stage untested.
+    Checkpoints the two multi-consumer frames (line-dedup output
+    feeds the cleaned view and the n_boiler report; the cleaned view
+    feeds rules, dedup, split)."""
+    from pyspark.sql import Window
+
+    from cimpy_spark.plans.checkpoints import checkpoint_df
+
+    ld = checkpoint_df(line_dedup(docs, min_docs=min_docs))
+    cleaned = checkpoint_df(
+        ld.filter(F.col("n_kept") > 0).select(
+            "doc_id", F.col("clean_text").alias("text")
+        )
+    )
+    g = gopher_rules(cleaned, min_mean_len=min_mean_len).select(
+        "doc_id", F.col("keep").alias("gopher_keep")
+    )
+    w = Window.partitionBy(F.md5("text"))
+    dd = cleaned.select(
+        "doc_id",
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("dedup_kept"),
+    )
+    sp = hash_split(cleaned).select("doc_id", "split")
+    return (
+        cleaned.select("doc_id")
+        .join(ld.select("doc_id", "n_boiler"), "doc_id")
+        .join(g, "doc_id")
+        .join(dd, "doc_id")
+        .join(sp, "doc_id")
+        .select(
+            "doc_id",
+            "n_boiler",
+            "gopher_keep",
+            "dedup_kept",
+            "split",
+            (F.col("gopher_keep") & F.col("dedup_kept")).alias("selected"),
+        )
+    )

@@ -1349,3 +1349,29 @@ def test_quality_percentile_rank_semantics(spark):
     assert out[3] == out[4] == 100  # tied top quality
     assert sorted(out.values())[0] == 25
     assert len(set(out.values())) == 3
+
+
+def test_curation_pipeline_stage_interactions(spark):
+    """The composition contract on a closed-form corpus: footers are
+    cut before rules run (doc 1 passes gopher only because its
+    boilerplate is gone); a verbatim pair dedups to the min id; a
+    fully-boilerplate doc drops out entirely."""
+    base = ("the a of and to in every line needs twenty good words "
+            "to clear the gopher floor easily right here now")  # 20 words
+    d = spark.createDataFrame(
+        [
+            (1, base + "\nfooter line\nfooter tail"),
+            (2, "short stub\nfooter line\nfooter tail"),
+            (3, base + "\nfooter line\nfooter tail"),   # copy of 1
+            (4, "footer line\nfooter tail"),            # pure boilerplate
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r
+           for r in T.curation_pipeline(d, min_mean_len=3.0, min_docs=3).collect()}
+    assert 4 not in out                       # emptied out
+    assert out[1]["n_boiler"] == 2
+    assert out[1]["gopher_keep"] and out[1]["dedup_kept"] and out[1]["selected"]
+    assert not out[2]["gopher_keep"]          # stub fails word count
+    assert not out[3]["dedup_kept"]           # copy loses the election
+    assert not out[3]["selected"]
