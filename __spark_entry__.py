@@ -559,16 +559,34 @@ def _q_doc_epoch_allocation(spark, sf_dir):
     return T.epoch_allocation(_docs(spark, sf_dir))
 
 
+_BPE_MERGES_CACHE: dict = {}
+
+
+def _bpe_merges_cached(spark, sf_dir, k=8):
+    # applicationId-keyed like the other fixture caches: both BPE
+    # gates need the same learned merges; training runs once
+    from cimpy_spark.functions import bpe as B
+
+    key = (spark.sparkContext.applicationId, sf_dir, k)
+    if key not in _BPE_MERGES_CACHE:
+        _BPE_MERGES_CACHE[key] = B._learn(_docs(spark, sf_dir), k)[0]
+    return _BPE_MERGES_CACHE[key]
+
+
 def _q_doc_bpe_merges(spark, sf_dir):
     from cimpy_spark.functions import bpe as B
 
-    return B.bpe_merges(_docs(spark, sf_dir))
+    return spark.createDataFrame(
+        _bpe_merges_cached(spark, sf_dir), B.MERGES_SCHEMA
+    )
 
 
 def _q_doc_bpe_tokens(spark, sf_dir):
     from cimpy_spark.functions import bpe as B
 
-    return B.bpe_token_count(_docs(spark, sf_dir))
+    return B.bpe_token_count(
+        _docs(spark, sf_dir), merges=_bpe_merges_cached(spark, sf_dir)
+    )
 
 
 def _q_kg_cooccurrence(spark, sf_dir):

@@ -154,9 +154,20 @@ _MAT_LEVELS = (
 
 
 def _with(*ctes: str) -> str:
+    import re
+
     sql = "WITH RECURSIVE " + ",\n".join(c.strip().rstrip() for c in ctes)
     for name in _MAT_LEVELS:
-        sql = sql.replace(f"{name} AS (", f"{name} AS MATERIALIZED (")
+        # anchored so a listed name can never match inside a longer
+        # CTE name (e.g. "s" inside "triples") — each listed name is
+        # itself materialized, so suffix collisions were harmless,
+        # but a future name ending in "t"/"s" would be silently
+        # rewritten without the anchor
+        sql = re.sub(
+            rf"(?<![A-Za-z0-9_]){name} AS \(",
+            f"{name} AS MATERIALIZED (",
+            sql,
+        )
     return sql
 
 
@@ -818,14 +829,10 @@ def graph_diff_bus_sql() -> str:
     breakers, contracted switches — and ADDS rewired ones): the
     bus_branch_sql chain re-expressed as a CTE, EXCEPT-diffed
     against the original canonical edges in both directions."""
+    # bus_branch_sql already MATERIALIZEs its CTE levels (DuckDB
+    # inlines plain CTEs per consumer, and the diff references the
+    # chain's result twice), so the chain is reused verbatim
     bus_chain = bus_branch_sql()
-    # DuckDB inlines plain CTEs per consumer — the diff references the
-    # chain's result twice, which would evaluate the recursive closure
-    # twice (measured 70 s once at sf0.01). MATERIALIZE every
-    # non-recursive level of the copied chain.
-    for name in ("brk", "openbrk", "closedbrk", "kept", "sw", "bpairs",
-                 "bsym", "bverts", "bmap", "kept2"):
-        bus_chain = bus_chain.replace(f"{name} AS (", f"{name} AS MATERIALIZED (")
     head, final = bus_chain.rsplit("SELECT DISTINCT m1.canonical_id", 1)
     return (
         head

@@ -139,10 +139,39 @@ def bpe_merges(docs: DataFrame, k: int = 8) -> DataFrame:
     return docs.sparkSession.createDataFrame(merges, MERGES_SCHEMA)
 
 
-def bpe_segment(docs: DataFrame, k: int = 8) -> DataFrame:
+def apply_merges(docs: DataFrame, merges: list) -> DataFrame:
+    """Re-derive the final vocabulary frame from an ALREADY-LEARNED
+    merge list (the artifact `bpe_merges` emits): the k literal
+    replaces are cheap projections — no per-round aggregation, no
+    driver collects — so a caller holding the merges (or a gate
+    battery running several BPE views) trains once and applies many
+    times. Returns (word, sym, wc)."""
+    vocab = word_counts(docs).select(
+        "word", _wrap_chars(F.col("word")).alias("sym"), "wc"
+    )
+    for _, lhs, rhs, _, _ in merges:
+        pat = SYM_S + lhs + SYM_E + SYM_S + rhs + SYM_E
+        rep = SYM_S + lhs + rhs + SYM_E
+        vocab = vocab.select(
+            "word",
+            F.replace(F.col("sym"), F.lit(pat), F.lit(rep)).alias("sym"),
+            "wc",
+        )
+    return vocab
+
+
+def bpe_segment(
+    docs: DataFrame, k: int = 8, merges: list | None = None
+) -> DataFrame:
     """Per-word segmentation after k merges: (word, segmentation
-    space-joined, n_syms). Vocabulary-sized output."""
-    _, vocab = _learn(docs, k)
+    space-joined, n_syms). Vocabulary-sized output. Pass `merges`
+    (from a prior `bpe_merges` run) to skip re-training — the
+    driver-gate battery runs both BPE views and would otherwise
+    train the identical vocabulary twice (review finding)."""
+    if merges is not None:
+        vocab = apply_merges(docs, merges)
+    else:
+        _, vocab = _learn(docs, k)
     syms = _sym_array(F.col("sym"))
     return vocab.select(
         "word",
@@ -151,7 +180,9 @@ def bpe_segment(docs: DataFrame, k: int = 8) -> DataFrame:
     )
 
 
-def bpe_token_count(docs: DataFrame, k: int = 8) -> DataFrame:
+def bpe_token_count(
+    docs: DataFrame, k: int = 8, merges: list | None = None
+) -> DataFrame:
     """Per-document token count under the learned vocabulary:
     (doc_id, n_bpe) — the accounting number a mixture/packing stage
     consumes. One corpus explode joined against the vocabulary-sized
@@ -159,7 +190,7 @@ def bpe_token_count(docs: DataFrame, k: int = 8) -> DataFrame:
     decides); sentinel-carrying words are excluded from the
     vocabulary and therefore from the count, by construction in both
     engines."""
-    seg = bpe_segment(docs, k).select("word", "n_syms")
+    seg = bpe_segment(docs, k, merges=merges).select("word", "n_syms")
     toks = docs.select("doc_id", F.explode(_words()).alias("word"))
     return (
         toks.join(seg, "word")

@@ -580,10 +580,17 @@ def conv_neardup_sql(threshold: float = 0.8, mod: int = 10) -> str:
     # DuckDB inlines plain CTEs per consumer — the shingle/signature
     # chain re-evaluates per reference (measured 9.2 s of an 18.3 s
     # oracle battery); MATERIALIZE the non-recursive levels.
+    import re
+
     for name in ("convdocs", "w", "sh", "seeds", "sig", "bands",
                  "okbands", "cand", "sizes", "inter", "jac", "dup",
                  "sym", "cmapd"):
-        sql = sql.replace(f"{name} AS (", f"{name} AS MATERIALIZED (")
+        # anchored: "w"/"sh"/"sym" must not match inside longer names
+        sql = re.sub(
+            rf"(?<![A-Za-z0-9_]){name} AS \(",
+            f"{name} AS MATERIALIZED (",
+            sql,
+        )
     return sql
 
 

@@ -1393,7 +1393,12 @@ def _bpe_ctes(k: int = 8) -> str:
     symbol strings after i merges, p{i} = weighted adjacent-pair
     counts, b{i} = the (cnt DESC, lhs, rhs) argmax. Sentinels are
     chr(30)/chr(31); DuckDB regexp_replace needs the explicit 'g'
-    flag where Spark's replaces all matches by default."""
+    flag where Spark's replaces all matches by default. Each level
+    applies its merge via LEFT JOIN ON TRUE + coalesce so an EMPTY
+    argmax (merges exhausted before k rounds) carries the vocabulary
+    through unchanged — mirroring the engine's `if not best: break`;
+    a CROSS JOIN would annihilate it and zero out the token counts
+    (found in review, regression-tested on a one-pair corpus)."""
     sarr = (
         "string_split(regexp_replace(sym, '^' || chr(30) || '|' || chr(31) "
         "|| '$', '', 'g'), chr(31) || chr(30))"
@@ -1424,10 +1429,12 @@ def _bpe_ctes(k: int = 8) -> str:
 )""")
         parts.append(f"""v{i + 1} AS MATERIALIZED (
   SELECT word,
-         replace(sym, chr(30) || b.lhs || chr(31) || chr(30) || b.rhs || chr(31),
-                 chr(30) || b.lhs || b.rhs || chr(31)) AS sym,
+         coalesce(
+           replace(sym, chr(30) || b.lhs || chr(31) || chr(30) || b.rhs || chr(31),
+                   chr(30) || b.lhs || b.rhs || chr(31)),
+           sym) AS sym,
          wc
-  FROM v{i} CROSS JOIN b{i} b
+  FROM v{i} LEFT JOIN b{i} b ON TRUE
 )""")
     return ",\n".join(parts)
 

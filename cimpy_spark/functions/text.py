@@ -1173,13 +1173,22 @@ def line_dedup(docs: DataFrame, min_docs: int = 2) -> DataFrame:
     two lines' doc counts (over-removal), never corrupt text. The
     DuckDB oracle keys lines by md5 instead — equal lines, equal
     removal set, either way."""
-    lines = docs.select(
-        "doc_id", F.posexplode(F.split(F.col("text"), "\n")).alias("pos", "line")
-    ).select(
-        "doc_id",
-        "pos",
-        "line",
-        F.xxhash64(F.trim(F.lower(F.col("line")))).alias("k"),
+    from cimpy_spark.plans.checkpoints import checkpoint_df
+
+    # materialized ONCE: the line stream feeds three consumers (the
+    # boilerplate count, the kept anti-join, the per-doc total) —
+    # without this each re-runs the corpus split+explode, and the
+    # n_lines side rescanned the input a second time (review finding)
+    lines = checkpoint_df(
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), "\n")).alias("pos", "line"),
+        ).select(
+            "doc_id",
+            "pos",
+            "line",
+            F.xxhash64(F.trim(F.lower(F.col("line")))).alias("k"),
+        )
     )
     boiler = (
         lines.select("k", "doc_id")
@@ -1200,8 +1209,10 @@ def line_dedup(docs: DataFrame, min_docs: int = 2) -> DataFrame:
             "\n",
         ).alias("clean_text"),
     )
-    base = docs.select(
-        "doc_id", F.size(F.split(F.col("text"), "\n")).cast("int").alias("n_lines")
+    # split() always yields >= 1 element, so every doc appears in the
+    # line stream and the total needs no second pass over the text
+    base = lines.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_lines")
     )
     return base.join(clean, "doc_id", "left").select(
         "doc_id",

@@ -129,3 +129,27 @@ def test_bpe_parity_vs_duckdb(spark):
         du = du[cols].sort_values(cols).reset_index(drop=True)
         assert list(sp.dtypes) == list(du.dtypes)
         assert sp.equals(du)
+
+
+def test_bpe_oracle_survives_merge_exhaustion(spark):
+    """Fewer possible merges than k: the engine breaks out of the
+    loop; the oracle's LEFT JOIN ON TRUE + coalesce carries the
+    vocabulary through the empty argmax levels (a CROSS JOIN
+    annihilated it and zeroed the token counts — review finding)."""
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT 1 AS doc_id, 'ab ab ab' AS text, "
+        "'en' AS lang, 's' AS source, 8 AS n_chars"
+    )
+    assert con.execute(O.bpe_merges_sql(3)).fetchall() == [
+        (0, "a", "b", "ab", 3)
+    ]
+    assert con.execute(O.bpe_token_count_sql(3)).fetchall() == [(1, 3)]
+    d = spark.createDataFrame([(1, "ab ab ab")], "doc_id long, text string")
+    got = [tuple(r) for r in B.bpe_merges(d, k=3).collect()]
+    assert got == [(0, "a", "b", "ab", 3)]
+    assert [tuple(r) for r in B.bpe_token_count(d, k=3).collect()] == [(1, 3)]
+    # the apply-merges path agrees with the trained path
+    assert [tuple(r) for r in B.bpe_token_count(d, merges=got).collect()] == [
+        (1, 3)
+    ]

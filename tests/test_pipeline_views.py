@@ -290,15 +290,6 @@ def test_lpa_synchronous_star_swap(spark):
 def test_lpa_plurality_and_tie_break(spark):
     """A node with neighbor labels {x:2, y:2, w:1} takes the MIN of
     the tied plurality labels, not the overall min neighbor."""
-    edges = _edges(spark, [
-        ("n", "p", "x1"), ("n", "p", "x2"),
-        ("n", "p", "y1"), ("n", "p", "y2"),
-        ("n", "p", "a1"),
-    ])
-    # relabel leaves so two pairs share labels via round-0 identity:
-    # use two extra rounds? simpler: connect label-sharing leaves
-    # is impossible at round 0 (labels = ids), so test the rule via
-    # direct duplicate edges instead: plurality by EDGE count.
     dup = _edges(spark, [
         ("n", "p", "x"), ("n", "q", "x"),
         ("n", "p", "y"), ("n", "q", "y"),
