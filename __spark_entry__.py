@@ -496,6 +496,23 @@ def _q_doc_curation_pipeline(spark, sf_dir):
     )
 
 
+def _q_kg_kcore(spark, sf_dir):
+    # k=10: one node peels and its neighbors' in-core degrees shift
+    # (k=12 cascades to empty by round 2 — pytest-pinned instead)
+    return P.kcore(_graph(spark, sf_dir).canon_edges, k=10)
+
+
+def _q_doc_normalize(spark, sf_dir):
+    from cimpy_spark.fixtures.organic import lined_documents
+
+    # lined corpus: the newline layout gives the collapse real work
+    return T.normalize_text(lined_documents(_docs(spark, sf_dir)))
+
+
+def _q_emb_label_centroids(spark, sf_dir):
+    return SIM.label_centroids(_emb(spark, sf_dir))
+
+
 def _q_conv_truncate(spark, sf_dir):
     from cimpy_spark.functions.conversations import conv_truncate
 
@@ -1164,6 +1181,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_truncate": _q_conv_truncate,
         "doc_quality_percentile": _q_doc_quality_percentile,
         "doc_curation_pipeline": _q_doc_curation_pipeline,
+        "kg_kcore": _q_kg_kcore,
+        "doc_normalize": _q_doc_normalize,
+        "emb_label_centroids": _q_emb_label_centroids,
         "event_attribution": A.event_attribution,
         "purchase_click_window": A.purchase_click_window,
         # -- load-bearing pipeline core, displaced from the prefix by
@@ -1395,6 +1415,9 @@ def oracle_sql() -> dict[str, str]:
         "conv_truncate": conversations.conv_truncate_sql(),
         "doc_quality_percentile": doc_oracles.quality_percentile_sql(),
         "doc_curation_pipeline": doc_oracles.curation_pipeline_sql(),
+        "kg_kcore": oracles.kcore_sql(k=10),
+        "doc_normalize": doc_oracles.normalize_lined_sql(),
+        "emb_label_centroids": doc_oracles.label_centroids_sql(),
         "emb_contamination": doc_oracles.emb_contamination_sql(),
         "emb_quantize": doc_oracles.quantize_sql(),
         "doc_quality": doc_oracles.quality_score_sql(),

@@ -852,3 +852,32 @@ def graph_diff_bus_sql() -> str:
     )
     """
     )
+
+
+def kcore_sql(k: int = 2, rounds: int = 4) -> str:
+    """Mirror of pipeline.kcore: the peel recurrence unrolled as
+    MATERIALIZED levels."""
+    levels = []
+    for i in range(rounds):
+        levels.append(f"""kdeg{i} AS MATERIALIZED (
+  SELECT a, count(*) AS deg FROM e{i} GROUP BY a
+),
+kkeep{i} AS MATERIALIZED (SELECT a FROM kdeg{i} WHERE deg >= {k}),
+e{i + 1} AS MATERIALIZED (
+  SELECT e.a, e.b FROM e{i} e
+  JOIN kkeep{i} ka ON e.a = ka.a
+  JOIN kkeep{i} kb ON e.b = kb.a
+)""")
+    chain = ",\n".join(levels)
+    return PIPELINE_CTES + f""",
+    e0 AS MATERIALIZED (
+      SELECT DISTINCT a, b FROM (
+        SELECT src AS a, dst AS b FROM canon_edges
+        UNION ALL
+        SELECT dst AS a, src AS b FROM canon_edges
+      ) WHERE a <> b
+    ),
+    {chain}
+    SELECT a AS node, CAST(count(*) AS INT) AS degree
+    FROM e{rounds} GROUP BY a HAVING count(*) >= {k}
+    """

@@ -1703,3 +1703,52 @@ def curation_pipeline_sql(
     JOIN dd ON c.doc_id = dd.doc_id
     JOIN sp ON c.doc_id = sp.doc_id
     """
+
+
+def label_centroids_sql(scale: int = 10**9) -> str:
+    """Mirror of similarity.label_centroids: nano-unit fixed-point
+    coordinate sums (DuckDB dims are 1-based; shifted to the Spark
+    posexplode 0-base)."""
+    return f"""
+    WITH {NUMS},
+    e AS (
+      SELECT label, nums.i - 1 AS dim,
+             CAST(round(CAST(embedding[nums.i] AS DOUBLE) * {scale})
+                  AS BIGINT) AS fp
+      FROM embeddings JOIN nums ON nums.i <= len(embedding)
+    )
+    SELECT label, CAST(dim AS INT) AS dim,
+           round(sum(fp) / {scale}.0 / count(*), 6) AS centroid,
+           CAST(count(*) AS INT) AS n_vectors
+    FROM e GROUP BY label, dim
+    """
+
+
+def normalize_text_sql() -> str:
+    """Mirror of text.normalize_text (DuckDB regexp_replace needs
+    the 'g' flag)."""
+    clean = (
+        "trim(regexp_replace(regexp_replace(text, "
+        "'[\\x00-\\x08\\x0e-\\x1f\\x7f]', '', 'g'), '\\s+', ' ', 'g'))"
+    )
+    return f"""
+    SELECT doc_id,
+           {clean} AS clean_text,
+           CAST(len(text) AS INT) AS n_chars_before,
+           CAST(len({clean}) AS INT) AS n_chars_after,
+           text <> {clean} AS changed
+    FROM documents
+    """
+
+
+def normalize_lined_sql() -> str:
+    """normalize_text over the LINED corpus — the raw fixture text is
+    already single-spaced (nothing to normalize), while the derived
+    multi-line layout gives the whitespace collapse real work (every
+    newline becomes one space, changed=true on multi-line docs)."""
+    inner = normalize_text_sql().replace("FROM documents", "FROM lineddocs")
+    return f"""
+    WITH {NUMS},
+    {LINED_DOCS_CTE.strip()}
+    {inner}
+    """

@@ -837,3 +837,44 @@ def knn_graph(
         )
         .filter(F.col("rank") <= k)
     )
+
+
+def label_centroids(embeddings: DataFrame, scale: int = 10**9) -> DataFrame:
+    """Per-label mean embedding — the class-centroid table behind
+    centroid classifiers, SemDeDup cluster pruning and
+    nearest-class-mean labeling: one row per (label, dim) with the
+    exact mean coordinate. Output: (label, dim, centroid 6dp,
+    n_vectors).
+
+    Float discipline: each coordinate is fixed-pointed to nano-units
+    (round(v·1e9) → bigint) BEFORE aggregation, summed exactly as
+    integers, divided once at the end — a double sum's value depends
+    on partition order (the pagerank/corpus_card rule applied to
+    vectors). float32 → double widening is exact, so both engines
+    fix-point identical values.
+
+    Scale shape: one posexplode (dim rows per vector — the transpose
+    every elementwise aggregate needs) into a map-side-combinable
+    groupBy on (label, dim); cardinality = |labels|·dims out, never
+    corpus-scale."""
+    d = F.posexplode(F.col("embedding")).alias("dim", "v")
+    exploded = embeddings.select("label", d).select(
+        "label",
+        "dim",
+        F.round(F.col("v").cast("double") * scale).cast("long").alias("fp"),
+    )
+    return (
+        exploded.groupBy("label", "dim")
+        .agg(
+            F.sum("fp").alias("s"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+        .select(
+            "label",
+            F.col("dim").cast("int").alias("dim"),
+            F.round(
+                F.col("s") / F.lit(float(scale)) / F.col("n_vectors"), 6
+            ).alias("centroid"),
+            F.col("n_vectors").cast("int").alias("n_vectors"),
+        )
+    )

@@ -1562,3 +1562,25 @@ def curation_pipeline(
             (F.col("gopher_keep") & F.col("dedup_kept")).alias("selected"),
         )
     )
+
+
+def normalize_text(docs: DataFrame) -> DataFrame:
+    """Canonical text normalization — the first pass of every web
+    pipeline (strip ASCII control bytes, collapse whitespace runs to
+    single spaces, trim), with the change accounting a data card
+    reports. Output: (doc_id, clean_text, n_chars_before,
+    n_chars_after, changed). Zero-shuffle chained-regex projection;
+    ASCII classes only (the cross-engine convention this codebase
+    pins — Unicode normalization forms are locale/library-dependent
+    and belong behind an Arrow kernel if ever needed)."""
+    stripped = F.regexp_replace(
+        F.col("text"), "[\\x00-\\x08\\x0e-\\x1f\\x7f]", ""
+    )
+    collapsed = F.trim(F.regexp_replace(stripped, "\\s+", " "))
+    return docs.select(
+        "doc_id",
+        collapsed.alias("clean_text"),
+        F.length("text").cast("int").alias("n_chars_before"),
+        F.length(collapsed).cast("int").alias("n_chars_after"),
+        (F.col("text") != collapsed).alias("changed"),
+    )

@@ -821,3 +821,44 @@ def neighbor_sample(
         .filter(F.col("n2") != F.col("root"))
         .select("root", "n1", "n2")
     )
+
+
+def kcore(canon_edges: DataFrame, k: int = 2, rounds: int = 4) -> DataFrame:
+    """k-core peeling over the undirected canonical graph — the
+    standard graph-cleaning pass before community/embedding work
+    (nodes that survive repeated removal of degree<k vertices form
+    the cohesive core; peripheral tendrils drop): `rounds` synchronous
+    peel iterations, each removing every node whose CURRENT degree is
+    below k. Fixed iteration count (the pagerank/LPA discipline —
+    what makes the recurrence oracle-able); rounds >= the peel depth
+    gives the true k-core, and the output is monotone in rounds so a
+    too-small bound only under-peels. Output: (node, degree) of
+    survivors with their final in-core degrees.
+
+    Scale shape per round: one degree aggregate + one semi-join of
+    the edge list against surviving nodes on each endpoint — all on
+    the node/edge partitioning; per-round frames checkpointed so
+    round i never replays rounds 0..i-1."""
+    from cimpy_spark.plans.checkpoints import checkpoint_df
+
+    und = checkpoint_df(
+        canon_edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .union(
+            canon_edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    edges = und
+    for _ in range(rounds):
+        deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("a")
+        edges = checkpoint_df(
+            edges.join(keep, "a", "left_semi")
+            .join(keep.select(F.col("a").alias("b")), "b", "left_semi")
+        )
+    return (
+        edges.groupBy(F.col("a").alias("node"))
+        .agg(F.count(F.lit(1)).cast("int").alias("degree"))
+        .filter(F.col("degree") >= k)
+    )

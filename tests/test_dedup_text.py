@@ -1375,3 +1375,36 @@ def test_curation_pipeline_stage_interactions(spark):
     assert not out[2]["gopher_keep"]          # stub fails word count
     assert not out[3]["dedup_kept"]           # copy loses the election
     assert not out[3]["selected"]
+
+
+def test_normalize_text_collapse_and_flags(spark):
+    d = spark.createDataFrame(
+        [
+            (1, "  a\t\tb\nc  "),
+            (2, "already clean"),
+            (3, "ctrl\x01chars\x7fhere"),
+            (4, "a\tb"),  # same length after collapse — still changed
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in T.normalize_text(d).collect()}
+    assert out[1]["clean_text"] == "a b c" and out[1]["changed"]
+    assert out[2]["clean_text"] == "already clean" and not out[2]["changed"]
+    assert out[3]["clean_text"] == "ctrlcharshere" and out[3]["changed"]
+    assert out[4]["clean_text"] == "a b" and out[4]["changed"]
+    assert out[4]["n_chars_before"] == out[4]["n_chars_after"] == 3
+
+
+def test_label_centroids_fixed_point_mean(spark):
+    d = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0], 0),
+            (2, [3.0, 4.0], 0),
+            (3, [10.0, -2.5], 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {(r["label"], r["dim"]): (r["centroid"], r["n_vectors"])
+           for r in SIM.label_centroids(d).collect()}
+    assert out[(0, 0)] == (2.0, 2) and out[(0, 1)] == (3.0, 2)
+    assert out[(1, 0)] == (10.0, 1) and out[(1, 1)] == (-2.5, 1)

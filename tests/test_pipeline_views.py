@@ -358,3 +358,27 @@ def test_neighbor_sample_bounded_fanout_and_salt(spark):
     assert all(r["n2"] != "h" for r in hrows)
     alt = P.neighbor_sample(edges, fan1=3, fan2=2, salt="other").collect()
     assert {tuple(r) for r in alt} != {tuple(r) for r in out}
+
+
+def test_kcore_cascade_peels_chain(spark):
+    """K4 clique + pendant chain x-y-z at k=2: z (deg 1) peels in
+    round 1, which drops y to deg 1 (peels round 2), which drops x
+    to its clique degree — the cascade a single-pass degree filter
+    misses. The clique survives with degree 3 (+1 for a's chain
+    edge... the chain hangs off a, whose in-core degree ends at 3)."""
+    k4 = [("a", "p", "b"), ("a", "p", "c"), ("a", "p", "d"),
+          ("b", "p", "c"), ("b", "p", "d"), ("c", "p", "d")]
+    chain = [("a", "p", "x"), ("x", "p", "y"), ("y", "p", "z")]
+    edges = _edges(spark, k4 + chain)
+    # one round: z (deg 1) peels; y survives the peel but its
+    # post-restriction degree (only x-y left) fails the output's
+    # in-core degree>=k filter, so only x of the chain reports
+    one = {r["node"] for r in P.kcore(edges, k=2, rounds=1).collect()}
+    assert one == {"a", "b", "c", "d", "x"}
+    # enough rounds: the whole chain cascades away; clique remains
+    out = {r["node"]: r["degree"]
+           for r in P.kcore(edges, k=2, rounds=4).collect()}
+    assert set(out) == {"a", "b", "c", "d"}
+    assert out == {"a": 3, "b": 3, "c": 3, "d": 3}
+    # at k above the clique degree everything peels
+    assert P.kcore(edges, k=4, rounds=4).count() == 0

@@ -20,6 +20,8 @@ DOC_TAIL = [
     "doc_winnow",
     "doc_quality_percentile",
     "doc_curation_pipeline",
+    "doc_normalize",
+    "emb_label_centroids",
 ]
 
 KG_TAIL = [
@@ -28,6 +30,7 @@ KG_TAIL = [
     "kg_negative_samples",
     "kg_neighbor_sample",
     "kg_graph_diff",
+    "kg_kcore",
 ]
 
 CONV_TAIL = [
