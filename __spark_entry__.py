@@ -496,6 +496,14 @@ def _q_doc_curation_pipeline(spark, sf_dir):
     )
 
 
+def _q_kg_landmarks(spark, sf_dir):
+    return P.landmark_distances(_graph(spark, sf_dir).canon_edges)
+
+
+def _q_kg_linkpred(spark, sf_dir):
+    return P.linkpred_features(_graph(spark, sf_dir).canon_edges)
+
+
 def _q_kg_kcore(spark, sf_dir):
     # k=10: one node peels and its neighbors' in-core degrees shift
     # (k=12 cascades to empty by round 2 — pytest-pinned instead)
@@ -1182,6 +1190,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_percentile": _q_doc_quality_percentile,
         "doc_curation_pipeline": _q_doc_curation_pipeline,
         "kg_kcore": _q_kg_kcore,
+        "kg_landmarks": _q_kg_landmarks,
+        "kg_linkpred": _q_kg_linkpred,
         "doc_normalize": _q_doc_normalize,
         "emb_label_centroids": _q_emb_label_centroids,
         "event_attribution": A.event_attribution,
@@ -1416,6 +1426,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality_percentile": doc_oracles.quality_percentile_sql(),
         "doc_curation_pipeline": doc_oracles.curation_pipeline_sql(),
         "kg_kcore": oracles.kcore_sql(k=10),
+        "kg_landmarks": oracles.landmark_distances_sql(),
+        "kg_linkpred": oracles.linkpred_features_sql(),
         "doc_normalize": doc_oracles.normalize_lined_sql(),
         "emb_label_centroids": doc_oracles.label_centroids_sql(),
         "emb_contamination": doc_oracles.emb_contamination_sql(),

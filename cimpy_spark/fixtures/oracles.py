@@ -881,3 +881,73 @@ e{i + 1} AS MATERIALIZED (
     SELECT a AS node, CAST(count(*) AS INT) AS degree
     FROM e{rounds} GROUP BY a HAVING count(*) >= {k}
     """
+
+
+def landmark_distances_sql(n_landmarks: int = 4, max_rounds: int = 4) -> str:
+    """Mirror of pipeline.landmark_distances: the BFS min-union
+    recurrence unrolled as MATERIALIZED levels."""
+    levels = []
+    for i in range(max_rounds):
+        levels.append(f"""ld{i + 1} AS MATERIALIZED (
+  SELECT node, landmark, min(d) AS d FROM (
+    SELECT node, landmark, d FROM ld{i}
+    UNION ALL
+    SELECT u.b AS node, l.landmark, l.d + 1 AS d
+    FROM ld{i} l JOIN lund u ON l.node = u.a
+  ) GROUP BY node, landmark
+)""")
+    chain = ",\n".join(levels)
+    return PIPELINE_CTES + f""",
+    lund AS MATERIALIZED (
+      SELECT DISTINCT a, b FROM (
+        SELECT src AS a, dst AS b FROM canon_edges
+        UNION ALL
+        SELECT dst AS a, src AS b FROM canon_edges
+      ) WHERE a <> b
+    ),
+    lnodes AS (SELECT DISTINCT a AS node FROM lund),
+    lms AS MATERIALIZED (
+      SELECT node AS landmark FROM lnodes ORDER BY node
+      LIMIT {n_landmarks}
+    ),
+    ld0 AS MATERIALIZED (
+      SELECT landmark AS node, landmark, 0 AS d FROM lms
+    ),
+    {chain}
+    SELECT node, landmark, CAST(d AS INT) AS dist FROM ld{max_rounds}
+    """
+
+
+def linkpred_features_sql(max_center_degree: int = 64) -> str:
+    """Mirror of pipeline.linkpred_features: capped-center wedges,
+    fixed-point Adamic-Adar."""
+    return PIPELINE_CTES + f""",
+    pund AS MATERIALIZED (
+      SELECT DISTINCT a, b FROM (
+        SELECT src AS a, dst AS b FROM canon_edges
+        UNION ALL
+        SELECT dst AS a, src AS b FROM canon_edges
+      ) WHERE a <> b
+    ),
+    pdeg AS MATERIALIZED (SELECT a, count(*) AS deg FROM pund GROUP BY a),
+    pcent AS MATERIALIZED (
+      SELECT a, deg FROM pdeg WHERE deg >= 2 AND deg <= {max_center_degree}
+    ),
+    pce AS MATERIALIZED (
+      SELECT u.a AS v, u.b AS u, c.deg
+      FROM pund u JOIN pcent c ON u.a = c.a
+    ),
+    ppairs AS MATERIALIZED (
+      SELECT w1.u AS node_a, w2.u AS node_b,
+             CAST(count(*) AS INT) AS common_neighbors,
+             sum(CAST(round(1000000000.0 / ln(w1.deg)) AS BIGINT)) AS aa_sum
+      FROM pce w1 JOIN pce w2 ON w1.v = w2.v AND w1.u < w2.u
+      GROUP BY 1, 2
+    )
+    SELECT p.node_a, p.node_b, p.common_neighbors,
+           round(p.aa_sum / 1000000000.0, 6) AS aa_score,
+           coalesce(e.a IS NOT NULL, FALSE) AS is_edge
+    FROM ppairs p
+    LEFT JOIN (SELECT a, b FROM pund WHERE a < b) e
+      ON p.node_a = e.a AND p.node_b = e.b
+    """

@@ -862,3 +862,123 @@ def kcore(canon_edges: DataFrame, k: int = 2, rounds: int = 4) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("int").alias("degree"))
         .filter(F.col("degree") >= k)
     )
+
+
+def landmark_distances(
+    canon_edges: DataFrame, n_landmarks: int = 4, max_rounds: int = 4
+) -> DataFrame:
+    """Landmark distance labeling — the scalable stand-in for
+    all-pairs shortest paths (estimate d(u,v) ≤ d(u,L)+d(L,v) from a
+    small landmark set; the standard trick for graph-distance
+    features at web scale): BFS level propagation from the
+    n_landmarks smallest node ids, `max_rounds` synchronous rounds
+    (distances beyond the bound are absent — a fixed-iteration
+    contract like pagerank/LPA/kcore, and what makes the recurrence
+    oracle-able). Undirected. Output: (node, landmark, dist).
+
+    Scale shape per round: one join of the frontier against the edge
+    list + a min-aggregate on (node, landmark) — cardinality bounded
+    by nodes × landmarks; per-round checkpoints keep round i from
+    replaying 0..i-1. Landmark choice is any deterministic rule;
+    min-id keeps the oracle trivial (md5-rank works identically)."""
+    from pyspark.sql import Window
+
+    from cimpy_spark.plans.checkpoints import checkpoint_df
+
+    und = checkpoint_df(
+        canon_edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .union(
+            canon_edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    nodes = und.select(F.col("a").alias("node")).distinct()
+    lms = nodes.orderBy("node").limit(n_landmarks).select(
+        F.col("node").alias("landmark")
+    )
+    dist = checkpoint_df(
+        lms.select(
+            F.col("landmark").alias("node"), "landmark", F.lit(0).alias("d")
+        )
+    )
+    for _ in range(max_rounds):
+        stepped = (
+            dist.join(und, dist.node == und.a)
+            .select(F.col("b").alias("node"), "landmark", (F.col("d") + 1).alias("d"))
+        )
+        dist = checkpoint_df(
+            dist.unionByName(stepped)
+            .groupBy("node", "landmark")
+            .agg(F.min("d").alias("d"))
+        )
+    return dist.select(
+        "node", "landmark", F.col("d").cast("int").alias("dist")
+    )
+
+
+def linkpred_features(
+    canon_edges: DataFrame, max_center_degree: int = 64
+) -> DataFrame:
+    """Link-prediction features over the canonical graph — the
+    classic common-neighbors / Adamic-Adar scores (Liben-Nowell &
+    Kleinberg 2003) for every node pair sharing at least one
+    neighbor, plus whether the pair is already an edge (the training
+    label). AA down-weights hub centers by 1/ln(deg); contributions
+    are FIXED-POINT nano-unit bigints before summation (a double sum
+    depends on partition order — the temperature_mixture rule), one
+    final division. Output: (node_a, node_b, common_neighbors,
+    aa_score 6dp, is_edge).
+
+    Scale shape: wedge generation fans out deg(center)² — a hub
+    center would explode it, so centers above max_center_degree are
+    EXCLUDED (the adjacency/max_bucket cap discipline; a hub shared
+    by everything carries no signal for link prediction anyway, the
+    same reason AA discounts it toward 0). One wedge self-join on
+    the center + one (pair) aggregate + one left join against the
+    edge set."""
+    und = (
+        canon_edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .union(
+            canon_edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    centers = deg.filter(
+        (F.col("deg") >= 2) & (F.col("deg") <= max_center_degree)
+    ).select("a", "deg")
+    # wedges: u - v - w with v a capped center, u < w
+    ce = und.join(centers, "a").select(
+        F.col("a").alias("v"), F.col("b").alias("u"), "deg"
+    )
+    w1 = ce.select("v", "u", "deg")
+    w2 = ce.select("v", F.col("u").alias("w"))
+    aa_fp = F.round(F.lit(10**9) / F.log(F.col("deg"))).cast("long")
+    pairs = (
+        w1.join(w2, "v")
+        .filter(F.col("u") < F.col("w"))
+        .select(
+            F.col("u").alias("node_a"),
+            F.col("w").alias("node_b"),
+            aa_fp.alias("aa_fp"),
+        )
+        .groupBy("node_a", "node_b")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("common_neighbors"),
+            F.sum("aa_fp").alias("aa_sum"),
+        )
+    )
+    edges_flag = und.filter(F.col("a") < F.col("b")).select(
+        F.col("a").alias("node_a"),
+        F.col("b").alias("node_b"),
+        F.lit(True).alias("is_edge"),
+    )
+    return pairs.join(edges_flag, ["node_a", "node_b"], "left").select(
+        "node_a",
+        "node_b",
+        "common_neighbors",
+        F.round(F.col("aa_sum") / F.lit(1e9), 6).alias("aa_score"),
+        F.coalesce("is_edge", F.lit(False)).alias("is_edge"),
+    )

@@ -382,3 +382,42 @@ def test_kcore_cascade_peels_chain(spark):
     assert out == {"a": 3, "b": 3, "c": 3, "d": 3}
     # at k above the clique degree everything peels
     assert P.kcore(edges, k=4, rounds=4).count() == 0
+
+
+def test_landmark_distances_bfs_levels(spark):
+    """Path graph a-b-c-d-e with landmarks = 2 smallest ids: exact
+    hop distances up to the round bound, absent beyond it."""
+    path = [("a", "p", "b"), ("b", "p", "c"), ("c", "p", "d"), ("d", "p", "e")]
+    out = {(r["node"], r["landmark"]): r["dist"]
+           for r in P.landmark_distances(
+               _edges(spark, path), n_landmarks=2, max_rounds=2
+           ).collect()}
+    assert out[("a", "a")] == 0 and out[("b", "a")] == 1 and out[("c", "a")] == 2
+    assert ("d", "a") not in out            # beyond the round bound
+    assert out[("a", "b")] == 1 and out[("d", "b")] == 2
+    # undirected: distance symmetric through either endpoint
+    assert out[("c", "b")] == 1
+
+
+def test_linkpred_common_neighbors_and_hub_cap(spark):
+    """Square a-b-c-d-a: opposite corners share exactly 2 neighbors,
+    AA = 2/ln(2); adjacent corners share none. A hub center above the
+    cap contributes no wedges."""
+    import math
+
+    square = [("a", "p", "b"), ("b", "p", "c"), ("c", "p", "d"), ("d", "p", "a")]
+    out = {(r["node_a"], r["node_b"]): r
+           for r in P.linkpred_features(_edges(spark, square)).collect()}
+    assert set(out) == {("a", "c"), ("b", "d")}
+    r = out[("a", "c")]
+    assert r["common_neighbors"] == 2 and not r["is_edge"]
+    assert r["aa_score"] == round(2 * round(1e9 / math.log(2)) / 1e9, 6)
+    # hub: one center connected to 10 leaves, cap below its degree →
+    # none of the 45 leaf pairs appear
+    hub = [("h", "p", f"l{i}") for i in range(10)]
+    assert P.linkpred_features(
+        _edges(spark, hub), max_center_degree=5
+    ).count() == 0
+    assert P.linkpred_features(
+        _edges(spark, hub), max_center_degree=20
+    ).count() == 45

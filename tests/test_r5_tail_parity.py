@@ -31,6 +31,8 @@ KG_TAIL = [
     "kg_neighbor_sample",
     "kg_graph_diff",
     "kg_kcore",
+    "kg_landmarks",
+    "kg_linkpred",
 ]
 
 CONV_TAIL = [
