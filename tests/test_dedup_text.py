@@ -1408,3 +1408,25 @@ def test_label_centroids_fixed_point_mean(spark):
            for r in SIM.label_centroids(d).collect()}
     assert out[(0, 0)] == (2.0, 2) and out[(0, 1)] == (3.0, 2)
     assert out[(1, 0)] == (10.0, 1) and out[(1, 1)] == (-2.5, 1)
+
+
+def test_continuation_ops_plan_shapes(spark, docs):
+    """Plan regression for the continuation-session ops (the PLANS.md
+    claims made durable): script_profile / winnow / normalize are
+    ZERO-exchange projections; mad_outliers' exchanges carry only
+    value-histogram and 1-row frames (no corpus-scale sort: zero Sort
+    nodes over the full input before an aggregate); epoch_allocation
+    reaches the corpus once with a broadcast total."""
+    for df in (
+        T.script_profile(docs),
+        T.winnow_fingerprints(docs),
+        T.normalize_text(docs),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+    mad = T.mad_outliers(docs)._jdf.queryExecution().executedPlan().toString()
+    # windows run over the distinct-value histograms; the corpus
+    # itself is never globally sorted (no rangepartitioning exchange)
+    assert "rangepartitioning" not in mad, mad
+    ep = T.epoch_allocation(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in ep or "BroadcastNestedLoopJoin" in ep, ep
