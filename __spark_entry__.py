@@ -496,6 +496,10 @@ def _q_doc_curation_pipeline(spark, sf_dir):
     )
 
 
+def _q_kg_degree_distribution(spark, sf_dir):
+    return P.degree_distribution(_graph(spark, sf_dir).canon_edges)
+
+
 def _q_kg_landmarks(spark, sf_dir):
     return P.landmark_distances(_graph(spark, sf_dir).canon_edges)
 
@@ -1192,6 +1196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_kcore": _q_kg_kcore,
         "kg_landmarks": _q_kg_landmarks,
         "kg_linkpred": _q_kg_linkpred,
+        "kg_degree_distribution": _q_kg_degree_distribution,
         "doc_normalize": _q_doc_normalize,
         "emb_label_centroids": _q_emb_label_centroids,
         "event_attribution": A.event_attribution,
@@ -1428,6 +1433,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_kcore": oracles.kcore_sql(k=10),
         "kg_landmarks": oracles.landmark_distances_sql(),
         "kg_linkpred": oracles.linkpred_features_sql(),
+        "kg_degree_distribution": oracles.degree_distribution_sql(),
         "doc_normalize": doc_oracles.normalize_lined_sql(),
         "emb_label_centroids": doc_oracles.label_centroids_sql(),
         "emb_contamination": doc_oracles.emb_contamination_sql(),

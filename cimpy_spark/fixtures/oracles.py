@@ -951,3 +951,25 @@ def linkpred_features_sql(max_center_degree: int = 64) -> str:
     LEFT JOIN (SELECT a, b FROM pund WHERE a < b) e
       ON p.node_a = e.a AND p.node_b = e.b
     """
+
+
+def degree_distribution_sql() -> str:
+    """Mirror of pipeline.degree_distribution (total degree counts
+    both directions, parallel edges included — the same multiset
+    node_degree counts)."""
+    return PIPELINE_CTES + """
+    , ddeg AS MATERIALIZED (
+      SELECT n, count(*) AS degree FROM (
+        SELECT src AS n FROM canon_edges
+        UNION ALL SELECT dst FROM canon_edges
+      ) GROUP BY n
+    ),
+    dh AS MATERIALIZED (
+      SELECT degree, count(*) AS n_nodes FROM ddeg GROUP BY degree
+    ),
+    dt AS (SELECT sum(n_nodes) AS n_total FROM dh)
+    SELECT CAST(degree AS INT) AS degree,
+           CAST(n_nodes AS INT) AS n_nodes,
+           round(n_nodes * 1.0 / n_total, 6) AS pct
+    FROM dh CROSS JOIN dt
+    """

@@ -982,3 +982,31 @@ def linkpred_features(
         F.round(F.col("aa_sum") / F.lit(1e9), 6).alias("aa_score"),
         F.coalesce("is_edge", F.lit(False)).alias("is_edge"),
     )
+
+
+def degree_distribution(canon_edges: DataFrame) -> DataFrame:
+    """Degree histogram of the canonical graph — the one-glance
+    structure row of a graph data card (skew/power-law diagnosis,
+    and the input for choosing every hub cap in this codebase:
+    adjacency's max_neighbors, linkpred's center cap): for each
+    total-degree value, how many nodes carry it and its 6dp share.
+    Output: (degree, n_nodes, pct 6dp).
+
+    Two map-side-combinable aggregates (per-node degree → per-value
+    count) + a broadcast 1-row total — distinct-degree-sized output,
+    the same histogram discipline as mad_outliers."""
+    deg = (
+        canon_edges.select(F.col("src").alias("n"))
+        .union(canon_edges.select(F.col("dst").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    h = deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+    total = h.agg(F.sum("n_nodes").alias("n_total"))
+    return h.crossJoin(F.broadcast(total)).select(
+        F.col("degree").cast("int").alias("degree"),
+        F.col("n_nodes").cast("int").alias("n_nodes"),
+        F.round(F.col("n_nodes") * F.lit(1.0) / F.col("n_total"), 6).alias(
+            "pct"
+        ),
+    )

@@ -421,3 +421,11 @@ def test_linkpred_common_neighbors_and_hub_cap(spark):
     assert P.linkpred_features(
         _edges(spark, hub), max_center_degree=20
     ).count() == 45
+
+
+def test_degree_distribution_histogram(spark):
+    # star: hub degree 3, leaves degree 1 -> two histogram rows
+    edges = _edges(spark, [("h", "p", x) for x in ["a", "b", "c"]])
+    out = {r["degree"]: (r["n_nodes"], r["pct"])
+           for r in P.degree_distribution(edges).collect()}
+    assert out == {3: (1, 0.25), 1: (3, 0.75)}

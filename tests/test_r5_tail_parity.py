@@ -33,6 +33,7 @@ KG_TAIL = [
     "kg_kcore",
     "kg_landmarks",
     "kg_linkpred",
+    "kg_degree_distribution",
 ]
 
 CONV_TAIL = [
