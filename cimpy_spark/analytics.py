@@ -234,18 +234,27 @@ def asof_join(
     right event_id) carries the last non-null right payload forward
     (`last(..., ignorenulls)` over UNBOUNDED PRECEDING..CURRENT).
     A right row at exactly left.ts sorts BEFORE the left row (tag
-    0 < 1), so ties are inclusive like ASOF's <=; equal right ts per
-    key resolve to the max right id deterministically. ONE shuffle on
-    the key, window-sorted — the same cost as sessionization, vs the
-    naive per-left-row subquery (a correlated range scan).
+    0 < 1), so ties are inclusive like ASOF's <=. Equal right ts per
+    key are resolved BEFORE the union: the right side is pre-deduped
+    to one row per (key, ts) — the max-`right_cols[0]` row wins — so
+    the tie rule is part of the operator contract rather than
+    left to engine-specific window ordering (review finding: DuckDB's
+    native ASOF JOIN leaves duplicate-ts selection unspecified, so
+    cross-engine parity previously relied on fixtures having no
+    duplicate (key, ts) right rows). The dedupe is a map-side
+    combinable max aggregate (struct comparison is field-ordered, so
+    max(struct) IS max by right_cols[0] then the rest); the carry
+    pass remains ONE shuffle on the key, window-sorted — the same
+    cost as sessionization, vs the naive per-left-row subquery (a
+    correlated range scan).
 
     Output: all left columns + prefix+c for each requested right
     column (null when no right row precedes)."""
-    rtag = right.select(
-        key,
-        ts,
-        F.lit(0).alias("_tag"),
-        F.struct(*right_cols).alias("_payload"),
+    rtag = (
+        right.select(key, ts, F.struct(*right_cols).alias("_p"))
+        .groupBy(key, ts)
+        .agg(F.max("_p").alias("_payload"))
+        .select(key, ts, F.lit(0).alias("_tag"), "_payload")
     )
     ltag = left.withColumn("_tag", F.lit(1)).withColumn(
         "_payload", F.lit(None).cast(rtag.schema["_payload"].dataType)
@@ -392,8 +401,11 @@ ANALYTICS_ORACLES = {
     "event_attribution": """
         WITH c AS (SELECT event_id, user_id, ts, value FROM events
                    WHERE event_type = 'click'),
-        v AS (SELECT event_id, ts, user_id FROM events
-              WHERE event_type = 'view')
+        -- pre-dedupe to one view per (user_id, ts), max event_id wins:
+        -- the asof_join tie contract (native ASOF leaves duplicate-ts
+        -- selection unspecified)
+        v AS (SELECT max(event_id) AS event_id, ts, user_id FROM events
+              WHERE event_type = 'view' GROUP BY user_id, ts)
         SELECT c.event_id, c.user_id,
                CAST(floor(epoch(c.ts)) AS BIGINT) AS click_epoch,
                round(c.value, 4) AS value,

@@ -189,11 +189,18 @@ def bpe_token_count(
     segmentation table (broadcast-scale for real vocabularies; AQE
     decides); sentinel-carrying words are excluded from the
     vocabulary and therefore from the count, by construction in both
-    engines."""
+    engines. The per-doc sums are LEFT-joined back onto every doc_id
+    (coalesce 0) so a doc whose words are all outside the vocabulary
+    — or whose text is empty — reports n_bpe=0 instead of vanishing,
+    matching token_count/lm_quality's every-doc contract (review
+    finding: the old inner join silently dropped such docs)."""
     seg = bpe_segment(docs, k, merges=merges).select("word", "n_syms")
     toks = docs.select("doc_id", F.explode(_words()).alias("word"))
-    return (
+    per_doc = (
         toks.join(seg, "word")
         .groupBy("doc_id")
         .agg(F.sum("n_syms").cast("int").alias("n_bpe"))
+    )
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id", F.coalesce(F.col("n_bpe"), F.lit(0)).cast("int").alias("n_bpe")
     )

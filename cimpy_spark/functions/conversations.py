@@ -82,11 +82,18 @@ def conv_alternation(transcripts: DataFrame) -> DataFrame:
 
 
 def conv_dedup_exact(transcripts: DataFrame) -> DataFrame:
-    """Whole-conversation exact dedup: canonicalize each conversation
-    to its turn-ordered ``role:text`` transcript, md5 it, and elect
-    the lexicographically-smallest conv_id per fingerprint as keeper
-    (deterministic in both engines). Output one row per conversation:
-    (conv_id, keeper_conv_id, is_dup).
+    """Whole-conversation exact dedup: md5 each turn-ordered (role,
+    text) pair FIRST, concat the fixed-width turn hashes, md5 the
+    result, and elect the lexicographically-smallest conv_id per
+    fingerprint as keeper (deterministic in both engines). Output one
+    row per conversation: (conv_id, keeper_conv_id, is_dup).
+
+    Hashing each turn to a fixed-width digest before joining makes
+    the canonical form unambiguous: a turn text containing a newline
+    (or a crafted ``role:text`` prefix) can no longer collide two
+    distinct conversations onto one fingerprint, which the previous
+    raw ``concat_ws('\\n', role:text)`` construction allowed (review
+    finding; same per-turn hash as conv_neardup's turn units).
 
     Shape: one conv_id aggregate (collect_list is bounded by
     conversation length — the bound the whole pipeline already
@@ -95,7 +102,7 @@ def conv_dedup_exact(transcripts: DataFrame) -> DataFrame:
     ≪ the turn count."""
     lines = F.transform(
         F.array_sort(F.collect_list(F.struct("turn_idx", "role", "text"))),
-        lambda s: F.concat_ws(":", s["role"], s["text"]),
+        lambda s: F.md5(F.concat_ws(":", s["role"], s["text"])),
     )
     canon = transcripts.groupBy("conv_id").agg(
         F.md5(F.concat_ws("\n", lines)).alias("fp")
@@ -322,7 +329,7 @@ def conv_dedup_exact_sql(mod: int = 10) -> str:
     {planted_cte_sql(mod)},
     canon AS (
       SELECT conv_id,
-             md5(string_agg(role || ':' || text, chr(10) ORDER BY turn_idx)) AS fp
+             md5(string_agg(md5(role || ':' || text), chr(10) ORDER BY turn_idx)) AS fp
       FROM planted
       GROUP BY conv_id
     )

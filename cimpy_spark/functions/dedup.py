@@ -612,9 +612,17 @@ def dedup_ingest(
     pair_schema = "band int, band_key string, doc_a long, doc_b long"
     if pairs_usable:
         touched = fresh_keys.select("band", "band_key").distinct()
-        # size gate for the touched-side broadcast (see _touched_joins):
-        # |touched| ≤ the batch's key-row count, read from the ledger
-        # record just committed — free metadata, no extra job
+        # size gate for the touched-side broadcast (see _touched_joins).
+        # The bound, stated precisely (review finding asked for this):
+        # the just-committed 'doc_arrivals' increment holds one row per
+        # (doc, band) for banded docs (n_bands rows/doc) PLUS one
+        # keyless row per shingle-less doc, so its ledger row count is
+        # >= the banded key-row count >= |distinct (band, band_key)| =
+        # |touched|. Gating on it is therefore CONSERVATIVE (it can
+        # only over-count, pushing borderline batches to the
+        # repartition path, never an oversized broadcast) — free
+        # metadata, no extra job. emb_ingest gates the same way on its
+        # per-(vec, table) 'emb_keys' increment.
         batch_keys = ledger.last_increment_rows("doc_arrivals")
         # materialize EAGERLY: the doc_pairs force-write below
         # overwrites the very snapshot this reads (same hazard as the

@@ -787,14 +787,15 @@ def chunking_sql(max_tokens: int = 64, overlap: int = 8) -> str:
 
 def emb_contamination_sql(
     threshold: float = 0.95,
-    max_bucket: int = NEARDUP_MAX_BUCKET,
+    max_bucket: int | None = None,
     n_tables: int = 3,
 ) -> str:
     """Mirror of similarity.emb_contamination: train = raw embeddings,
     benchmark = the organic amplitude-modulated copies (cos ≈ 0.98
     paraphrase stand-ins, ids 1M–2M); same affine mod-127 hyperplane
-    family on both sides, bench-side bucket cap, candidate-restricted
-    cosine verify."""
+    family on both sides, candidate-restricted cosine verify. The
+    bench-side bucket cap is DISABLED by default, in lockstep with
+    the Spark operator (safety filter — see emb_contamination)."""
     plane = (
         "(CASE WHEN ((2 * (tt.t * 8 + pp.p) + 3) * i"
         " + 5 * (tt.t * 8 + pp.p) + 1) % 127 < 63"
@@ -827,7 +828,8 @@ def emb_contamination_sql(
            WHERE vec_id >= 1000000 AND vec_id < 2000000),{bucket_cte("tr", "t")},{bucket_cte("be", "bn")},
     okb AS (
       SELECT t, bucket FROM bnb
-      GROUP BY t, bucket HAVING count(*) <= {max_bucket}
+      GROUP BY t, bucket
+      {f'HAVING count(*) <= {max_bucket}' if max_bucket is not None else ''}
     ),
     cand AS (
       SELECT DISTINCT tb.vec_id, bnb.vec_id AS bench_id
@@ -1461,10 +1463,14 @@ def bpe_token_count_sql(k: int = 8) -> str:
     seg AS (SELECT word, len({sarr}) AS n_syms FROM v{k}),
     toks AS (
       SELECT doc_id, unnest({WORDS}) AS word FROM documents
+    ),
+    counts AS (
+      SELECT doc_id, CAST(sum(n_syms) AS INT) AS n_bpe
+      FROM toks JOIN seg USING (word)
+      GROUP BY doc_id
     )
-    SELECT doc_id, CAST(sum(n_syms) AS INT) AS n_bpe
-    FROM toks JOIN seg USING (word)
-    GROUP BY doc_id
+    SELECT d.doc_id, CAST(coalesce(c.n_bpe, 0) AS INT) AS n_bpe
+    FROM documents d LEFT JOIN counts c USING (doc_id)
     """
 
 

@@ -673,7 +673,7 @@ def emb_contamination(
     train: DataFrame,
     bench: DataFrame,
     threshold: float = 0.95,
-    max_bucket: int = MAX_BUCKET,
+    max_bucket: int | None = None,
     n_tables: int = 3,
 ) -> DataFrame:
     """Cross-corpus EMBEDDING decontamination — the semantic
@@ -684,13 +684,22 @@ def emb_contamination(
 
     Scale shape: both corpora are hyperplane-LSH bucketed with the
     SAME `multi_table_buckets` family (narrow, zero-shuffle); the
-    benchmark side is SMALL by definition, so degenerate buckets are
-    capped on the bench side and candidates are the (tbl, bucket)
-    equi-join of train keys against bench keys — the train corpus is
-    never self-joined and never shuffled beyond its key projection.
-    Cosine verify runs only on candidates. Output: (vec_id,
-    n_bench_hits, contaminated) for EVERY train vector, where
-    n_bench_hits counts distinct benchmark vectors matched.
+    benchmark side is SMALL by definition, so candidates are the
+    (tbl, bucket) equi-join of train keys against bench keys — the
+    train corpus is never self-joined and never shuffled beyond its
+    key projection. Cosine verify runs only on candidates. Output:
+    (vec_id, n_bench_hits, contaminated) for EVERY train vector,
+    where n_bench_hits counts distinct benchmark vectors matched.
+
+    `max_bucket` defaults to None — UNCAPPED. The boilerplate
+    bucket-cap heuristic borrowed from dedup is wrong as a default in
+    a safety-oriented filter: a benchmark with > cap near-identical
+    vectors in one bucket would be exempted wholesale, so
+    contaminated train vectors would silently pass (review finding).
+    The bench side is small by definition, so the uncapped join stays
+    bench-bounded; pass an explicit cap only when a degenerate
+    benchmark bucket is a measured problem, and then account for the
+    dropped buckets out-of-band.
     """
     from cimpy_spark.functions.dedup import drop_oversize_buckets
 
@@ -707,7 +716,8 @@ def emb_contamination(
         ),
         n_tables,
     ).select(F.col("vec_id").alias("bench_id"), "tbl", "bucket")
-    bk = drop_oversize_buckets(bk, ["tbl", "bucket"], max_bucket)
+    if max_bucket is not None:
+        bk = drop_oversize_buckets(bk, ["tbl", "bucket"], max_bucket)
     cand = (
         tk.join(F.broadcast(bk), ["tbl", "bucket"])
         .select("vec_id", "bench_id")

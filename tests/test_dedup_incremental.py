@@ -282,3 +282,32 @@ def test_emb_ingest_rejects_batch_only_corpus(spark, out_dir):
     SIM.emb_ingest(spark, mk([(0, vec), (1, vec)]), out_dir)
     with pytest.raises(ValueError, match="widest corpus"):
         SIM.emb_ingest(spark, mk([(2, vec)]), out_dir)
+
+
+def test_broadcast_gate_bounds_touched_from_above(spark, out_dir):
+    """The broadcast size gate reads last_increment_rows('doc_arrivals')
+    — pinned here as a true UPPER bound on |touched| (the distinct
+    (band, band_key) set of the increment's banded rows), so the gate
+    is conservative: it can push a borderline batch to the repartition
+    path but can never admit an oversized broadcast (ADVICE r5)."""
+    from cimpy_spark.plans.lineage import LineageLedger
+
+    docs = organic_documents(
+        spark.read.parquet(f"{SF_TINY}/documents.parquet")
+    ).cache()
+    first = F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(2)) == 0
+    D.dedup_ingest(spark, docs.filter(first), out_dir)
+    D.dedup_ingest(spark, docs, out_dir)
+    ledger = LineageLedger(out_dir)
+    batch_gate = ledger.last_increment_rows("doc_arrivals")
+    last_inc = ledger.append_increments("doc_arrivals")[-1]
+    inc = spark.read.parquet(last_inc)
+    touched = (
+        inc.filter(F.col("band").isNotNull())
+        .select("band", "band_key")
+        .distinct()
+        .count()
+    )
+    assert 0 < touched <= batch_gate
+    # and the gate equals the increment's total row count exactly
+    assert batch_gate == inc.count()
