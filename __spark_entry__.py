@@ -566,10 +566,12 @@ def _q_doc_source_overlap(spark, sf_dir):
 
 
 def _q_kg_lpa(spark, sf_dir):
-    # ONE synchronous round: the fixture graph collapses to a single
-    # community by round 3, so the 1-round labels (6 communities at
-    # sf0.01) are what actually discriminates the plurality rule
-    return P.lpa_communities(_graph(spark, sf_dir).canon_edges, iters=1)
+    # TWO synchronous rounds (VERDICT r5 #2): round 2 changes 19 of 27
+    # labels at sf0.01 and still leaves 2 communities (the graph only
+    # fully collapses at round 3), so this gate exercises the
+    # checkpointed loop BODY — label re-join, plurality re-election,
+    # carry of unchanged labels — not just the first round.
+    return P.lpa_communities(_graph(spark, sf_dir).canon_edges, iters=2)
 
 
 def _q_doc_source_terms(spark, sf_dir):
@@ -722,6 +724,12 @@ def _q_doc_lang_id(spark, sf_dir):
 
 def _q_doc_fingerprint(spark, sf_dir):
     return T.fingerprint(_docs(spark, sf_dir))
+
+
+def _q_doc_fingerprint_v2(spark, sf_dir):
+    # xxhash64 hash family (VERDICT r5 #3) — gated against a bit-exact
+    # pure-SQL XXH64 port on the DuckDB side
+    return T.fingerprint_v2(_docs(spark, sf_dir))
 
 
 def _q_doc_dedup_exact(spark, sf_dir):
@@ -1061,23 +1069,102 @@ def _q_emb_dedup_incremental(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered by GATING PRIORITY, not by topic: the driver evaluates
     a bounded prefix (50 rows), so entries that most need a fresh
-    CORRECTNESS row come first — (a) the round-4 rotation tail (no r4
-    row; mm_* first — multimodal.py gained an argument guard in r4,
-    so these are the stalest claims), (b) queries new or changed this
-    round, (c) the load-bearing pipeline queries — and the tail holds
-    queries that are r4-GREEN with code verifiably unchanged since.
-    Rotate per round so every entry's newest green row is at most one
-    round old."""
+    CORRECTNESS row come first. Round 6 spends the ENTIRE prefix on
+    (a) the 37 entries that had never had a driver row (VERDICT r5
+    #1 — composites, then the graph battery, then the laggards, then
+    the rest), (b) the three entries whose code changed or arrived
+    this round, and (c) the ten 2-round-stale load-bearing pipeline
+    entries. The tail holds queries that are r5-GREEN (or r4-green
+    via the r5 rotation contract) with exercised code verifiably
+    unchanged this round — see the tail comment. Rotate per round so
+    every entry's newest green row stays at most ~one round old."""
     return {
-        # -- round-4 rotation tail: no r4 row, re-gate first ----------
+        # -- never-gated (VERDICT r5 #1): multi-op composites ---------
+        "doc_curation_pipeline": _q_doc_curation_pipeline,
+        "doc_setsim_join": _q_doc_setsim_join,
+        "doc_dup_spans": _q_doc_dup_spans,
+        "doc_dup_span_stats": _q_doc_dup_span_stats,
+        "doc_dup_spans_arrow": _q_doc_dup_spans_arrow,
+        "doc_line_dedup": _q_doc_line_dedup,
+        "doc_bpe_merges": _q_doc_bpe_merges,
+        "doc_bpe_tokens": _q_doc_bpe_tokens,
+        "stream_dedup_corpus": _q_stream_dedup_corpus,
+        # -- never-gated: the graph battery ----------------------------
+        "kg_kcore": _q_kg_kcore,
+        "kg_lpa": _q_kg_lpa,
+        "kg_landmarks": _q_kg_landmarks,
+        "kg_linkpred": _q_kg_linkpred,
+        "kg_cooccurrence": _q_kg_cooccurrence,
+        "kg_triangles": _q_triangle_stats,
+        "kg_negative_samples": _q_kg_negative_samples,
+        "kg_neighbor_sample": _q_kg_neighbor_sample,
+        "kg_graph_diff": _q_kg_graph_diff,
+        "kg_degree_distribution": _q_kg_degree_distribution,
+        # -- never-gated: the five-round laggards ----------------------
+        "event_attribution": A.event_attribution,
+        "purchase_click_window": A.purchase_click_window,
+        # -- never-gated: the rest of the r5 continuation tail ---------
+        "doc_length_quantiles": _q_doc_length_quantiles,
+        "doc_temperature_mixture": _q_doc_temperature_mixture,
+        "emb_knn_graph": _q_emb_knn_graph,
+        "doc_domain_flags": _q_doc_domain_flags,
+        "doc_corpus_card": _q_doc_corpus_card,
+        "doc_script_profile": _q_doc_script_profile,
+        "doc_mad_outliers": _q_doc_mad_outliers,
+        "doc_epoch_allocation": _q_doc_epoch_allocation,
+        "doc_source_terms": _q_doc_source_terms,
+        "doc_source_overlap": _q_doc_source_overlap,
+        "doc_winnow": _q_doc_winnow,
+        "conv_truncate": _q_conv_truncate,
+        "doc_quality_percentile": _q_doc_quality_percentile,
+        "doc_normalize": _q_doc_normalize,
+        "emb_label_centroids": _q_emb_label_centroids,
+        "doc_repetition": _q_doc_repetition,
+        # -- changed or new in round 6 (code must be gated on arrival):
+        #    conv_dedup_exact = per-turn md5 fingerprint;
+        #    emb_contamination = uncapped bench buckets by default;
+        #    doc_fingerprint_v2 = NEW xxhash64 hash family (the one
+        #    verdict-mandated addition; other additions stay frozen
+        #    until the gate backlog clears) -------------------------
+        "conv_dedup_exact": _q_conv_dedup_exact,
+        "emb_contamination": _q_emb_contamination,
+        "doc_fingerprint_v2": _q_doc_fingerprint_v2,
+        # -- load-bearing pipeline core, now 2 rounds stale (r4-green,
+        #    displaced from the r5 prefix) — rotate back in ----------
+        "stream_extract_triples": _q_stream_extract,
+        "stream_conv_state": _q_stream_conv_state,
+        "kg_transcripts": _q_transcripts,
+        "kg_extract_triples": _q_extract,
+        "kg_entities": _q_entities,
+        "kg_link_edges": _q_link_edges,
+        "kg_link_quarantine": _q_link_quarantine,
+        "kg_canonical_edges": _q_canonical_edges,
+        "kg_nodes": _q_nodes,
+        "kg_input_validation": _q_input_validation,
+        # ---- gated prefix boundary (50) -----------------------------
+        # -- rotation tail: every entry below is r5-GREEN in
+        #    CORRECTNESS_r05 (or r4-green under the r5 rotation
+        #    contract, stated per-entry in the r5 revision) and its
+        #    exercised code is UNCHANGED in round 6. The r6 diff
+        #    touches: analytics.asof_join (gated via event_attribution
+        #    in the prefix; purchase_click_window shares only the
+        #    events scan), bpe.bpe_token_count (gated doc_bpe_tokens),
+        #    conversations.conv_dedup_exact (prefix),
+        #    similarity.emb_contamination (prefix), text.fingerprint_v2
+        #    (NEW, prefix), dedup.py comments only, and
+        #    fixtures/oracles.lpa_sql consumed by prefix kg_lpa.
+        #    Nothing below executes any of those changed lines except
+        #    through already-gated shared scans. r5-green prefix
+        #    occupants displaced by this rotation lead the tail and
+        #    rotate back first next round. ---------------------------
         "mm_features": _q_mm_features,
         "mm_resize": _q_mm_resize,
         "mm_frame_sample": _q_mm_frame_sample,
         "emb_cosine_topk": _q_emb_cosine_topk,
-        "emb_lsh_buckets": _q_emb_lsh_buckets,  # r4 plane-family change, now directly re-gated (ADVICE r4)
+        "emb_lsh_buckets": _q_emb_lsh_buckets,
         "emb_ivf_topk": _q_emb_ivf_topk,
-        "emb_kmeans_ivf_topk": _q_emb_kmeans_ivf_topk,  # ALSO changed r5: argmin + broadcast-centroid cell ranking
-        "doc_simhash_candidates": _q_doc_simhash_candidates,  # ALSO changed r5: 60-bit default (oracle in lockstep)
+        "emb_kmeans_ivf_topk": _q_emb_kmeans_ivf_topk,
+        "doc_simhash_candidates": _q_doc_simhash_candidates,
         "doc_corpus_filter": _q_doc_corpus_filter,
         "doc_ngram_jaccard": _q_doc_ngram_jaccard,
         "kg_khop": _q_khop,
@@ -1093,12 +1180,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": A.event_sessions,
         "event_hourly_counts": A.event_hourly_counts,
         "event_type_rollup": A.event_type_rollup,
-        # -- new or changed in round 5: streaming KG gate; size-gated
-        #    touched-broadcast + enforced widest-corpus contract in
-        #    both ingests; hashed decontamination broadcast; NEW
-        #    curation ops (packing, mixture, PII scrub, repetition,
-        #    chunking, KMV + CMS sketches, LM quality, embedding
-        #    decontamination, int8 quantization) ---------------------
         "stream_kg_ingest": _q_stream_kg_ingest,
         "doc_pack_sequences": _q_doc_pack_sequences,
         "doc_mixture_sample": _q_doc_mixture_sample,
@@ -1109,137 +1190,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lm_quality": _q_doc_lm_quality,
         "doc_gopher_rules": _q_doc_gopher_rules,
         "doc_bm25": _q_doc_bm25,
-        "emb_contamination": _q_emb_contamination,
         "emb_quantize": _q_emb_quantize,
         "doc_dedup_incremental": _q_doc_dedup_incremental,
         "emb_dedup_incremental": _q_emb_dedup_incremental,
-        # Arrow-kernel twins (added late in r5): gated against the
-        # SAME oracles as their SQL siblings, so the kernels get
-        # their own cross-engine rows
         "doc_repetition_arrow": _q_doc_repetition_arrow,
         "doc_contamination_arrow": _q_doc_contamination_arrow,
-        # conversation-level curation over the input_hint transcript
-        # shape (added late in r5): profile, chat-shape validation,
-        # whole-conversation dedup with planted re-keyed copies
         "conv_profile": _q_conv_profile,
         "conv_alternation": _q_conv_alternation,
-        "conv_dedup_exact": _q_conv_dedup_exact,
-        # conversation-level curation, second wave (this session):
-        # SFT pair mining, tool analytics, latency profiling — all
-        # new code, gated on arrival
         "conv_neardup": _q_conv_neardup,
         "kg_pagerank": _q_pagerank,
         "conv_pairs": _q_conv_pairs,
         "conv_tool_stats": _q_conv_tool_stats,
         "conv_tool_transitions": _q_conv_tool_transitions,
         "conv_latency": _q_conv_latency,
-        # -- re-gated because their code was REFACTORED late in r5
-        #    (fingerprint -> zero-shuffle fold; shingle_array ->
-        #    distinct view of _gram_array). These two are the DIRECT
-        #    gates on the refactored bodies; the other two refactor
-        #    consumers (hash_split, minhash_candidates) are covered
-        #    indirectly and lead the tail — see the tail comment. ---
         "doc_fingerprint": _q_doc_fingerprint,
         "doc_dedup_corpus": _q_doc_dedup_corpus,
-        # ---- gated prefix boundary (50) -----------------------------
-        # -- r5-changed code whose every changed line is ALSO under a
-        #    gated prefix row, displaced to make room for the two new
-        #    curation gates (gopher_rules, bm25 — new code outranks a
-        #    second row over the same lines):
-        #    * doc_hash_split: the refactor extracted _md5_bucket,
-        #      which gated doc_pack_sequences AND doc_mixture_sample
-        #      both execute; hash_split itself is otherwise untouched.
-        #    * doc_minhash_candidates: the shingle_array refactor is
-        #      executed by gated doc_dedup_corpus (signature fold AND
-        #      jaccard verify) and doc_fingerprint.
-        #    * doc_repetition / doc_contamination: their Arrow twins
-        #      are gated against the SAME oracle SQL, and
-        #      test_text_arrow.py pins arrow==SQL bit-equivalence
-        #      (+hypothesis fuzz), so the SQL bodies stay covered by
-        #      the twin row + the pinned equivalence. ----------------
         "doc_hash_split": _q_doc_hash_split,
         "doc_minhash_candidates": _q_doc_minhash_candidates,
-        "doc_repetition": _q_doc_repetition,
         "doc_contamination": _q_doc_contamination,
-        # -- NEW after this round's 50 slots were spoken for: first
-        #    driver gate rotates in next round; until then the SAME
-        #    sorted-column value compare the driver runs is pinned in
-        #    pytest (test_dedup_text.py::test_dup_spans_parity) ------
-        "doc_dup_spans": _q_doc_dup_spans,
-        "doc_dup_span_stats": _q_doc_dup_span_stats,
-        "doc_dup_spans_arrow": _q_doc_dup_spans_arrow,
-        "doc_length_quantiles": _q_doc_length_quantiles,
-        "stream_dedup_corpus": _q_stream_dedup_corpus,
-        "doc_temperature_mixture": _q_doc_temperature_mixture,
-        "kg_triangles": _q_triangle_stats,
-        "emb_knn_graph": _q_emb_knn_graph,
-        "doc_domain_flags": _q_doc_domain_flags,
-        "doc_corpus_card": _q_doc_corpus_card,
-        "doc_line_dedup": _q_doc_line_dedup,
-        "doc_setsim_join": _q_doc_setsim_join,
-        "kg_cooccurrence": _q_kg_cooccurrence,
-        "doc_bpe_merges": _q_doc_bpe_merges,
-        "doc_bpe_tokens": _q_doc_bpe_tokens,
-        "doc_script_profile": _q_doc_script_profile,
-        "doc_mad_outliers": _q_doc_mad_outliers,
-        "doc_epoch_allocation": _q_doc_epoch_allocation,
-        "doc_source_terms": _q_doc_source_terms,
-        "kg_lpa": _q_kg_lpa,
-        "kg_negative_samples": _q_kg_negative_samples,
-        "kg_neighbor_sample": _q_kg_neighbor_sample,
-        "doc_source_overlap": _q_doc_source_overlap,
-        "doc_winnow": _q_doc_winnow,
-        "kg_graph_diff": _q_kg_graph_diff,
-        "conv_truncate": _q_conv_truncate,
-        "doc_quality_percentile": _q_doc_quality_percentile,
-        "doc_curation_pipeline": _q_doc_curation_pipeline,
-        "kg_kcore": _q_kg_kcore,
-        "kg_landmarks": _q_kg_landmarks,
-        "kg_linkpred": _q_kg_linkpred,
-        "kg_degree_distribution": _q_kg_degree_distribution,
-        "doc_normalize": _q_doc_normalize,
-        "emb_label_centroids": _q_emb_label_centroids,
-        "event_attribution": A.event_attribution,
-        "purchase_click_window": A.purchase_click_window,
-        # -- load-bearing pipeline core, displaced from the prefix by
-        #    the four second-wave conv_* gates (new code outranks
-        #    re-gating): all four are r4-GREEN and their exercised
-        #    code is UNCHANGED in r5 (extract.py and
-        #    fixtures/events_transcripts.py untouched; the r5
-        #    ingest.py diff is confined to stream_dedup_ingest +
-        #    helpers — stream_extract/stream_conv_state paths are
-        #    byte-identical). Extraction correctness stays gated
-        #    INDIRECTLY this round: stream_kg_ingest (prefix) drains
-        #    extraction→canonicalize end-to-end against
-        #    canonical_edges_sql, and every gated conv_* row
-        #    hash-matches over the same transcripts derivation
-        #    kg_transcripts checks. These four rotate back first next
-        #    round. --------------------------------------------------
-        "stream_extract_triples": _q_stream_extract,
-        "stream_conv_state": _q_stream_conv_state,
-        "kg_transcripts": _q_transcripts,
-        "kg_extract_triples": _q_extract,
-        # -- rotation tail: r4-GREEN and the exercised code is
-        #    UNCHANGED in r5 (checked per entry): the kg_* rows touch
-        #    only operator files untouched this round; doc_token_count/
-        #    doc_quality/doc_lang_id/doc_simhash/doc_source_quota use
-        #    _words/filter/window paths untouched; doc_dedup_exact is
-        #    md5-groupBy; emb_neardup_pairs/emb_dedup_corpus functions
-        #    are untouched. r4-green load-bearing entries displaced by
-        #    the new curation gates lead the tail and rotate back
-        #    first next round. kg_entities/kg_link_edges were
-        #    displaced from the load-bearing prefix by the two Arrow
-        #    gates: r4-GREEN and link.py is untouched this round, so
-        #    the rotation contract holds; they rotate back first.
-        #    Same for kg_link_quarantine/kg_canonical_edges/kg_nodes,
-        #    displaced by the conv_* gates (link.py and
-        #    canonicalize.py untouched this round, all r4-green). ---
-        "kg_entities": _q_entities,
-        "kg_link_edges": _q_link_edges,
-        "kg_link_quarantine": _q_link_quarantine,
-        "kg_canonical_edges": _q_canonical_edges,
-        "kg_nodes": _q_nodes,
-        "kg_input_validation": _q_input_validation,
         "kg_reachability": _q_reachability,
         "kg_assembly": _q_assembly,
         "kg_results_writeback": _q_results_writeback,
@@ -1421,7 +1389,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_mad_outliers": doc_oracles.mad_outliers_sql(),
         "doc_epoch_allocation": doc_oracles.epoch_allocation_sql(),
         "doc_source_terms": doc_oracles.source_terms_sql(),
-        "kg_lpa": oracles.lpa_sql(iters=1),
+        "kg_lpa": oracles.lpa_sql(iters=2),
         "kg_negative_samples": oracles.negative_samples_sql(),
         "kg_neighbor_sample": oracles.neighbor_sample_sql(),
         "doc_source_overlap": doc_oracles.source_overlap_sql(),
@@ -1441,6 +1409,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": doc_oracles.quality_score_sql(),
         "doc_lang_id": doc_oracles.lang_id_sql(),
         "doc_fingerprint": doc_oracles.fingerprint_sql(),
+        "doc_fingerprint_v2": doc_oracles.fingerprint_v2_sql(),
         "doc_dedup_exact": doc_oracles.exact_duplicates_sql(),
         "doc_minhash_candidates": doc_oracles.minhash_candidates_sql(),
         "doc_ngram_jaccard": doc_oracles.ngram_jaccard_sql(),

@@ -89,6 +89,177 @@ def fingerprint_sql() -> str:
     """
 
 
+# ---- XXH64 (seed 42) ported to pure SQL ----------------------------
+#
+# DuckDB has no xxhash; Spark's F.xxhash64 is XXH64(seed=42) over the
+# string's UTF-8 bytes returned as a SIGNED 64-bit value (the public
+# XXH64 spec, github.com/Cyan4973/xxHash). The generator below emits a
+# CTE chain computing bit-identical XXH64 for every row of an input
+# relation (key, s): exact mod-2^64 multiplies via 128-bit UHUGEINT,
+# byte access via hex(encode(s)) substrings (little-endian lanes are
+# just the byte-pairs concatenated in reverse), ONE recursive CTE for
+# the 32-byte stripe loop, and a statically-unrolled tail (< 32 bytes
+# = at most three 8-byte chunks + one 4-byte chunk + three bytes).
+# Shingle-sized inputs (~25-60 bytes) take 0-1 stripe iterations, so
+# the oracle cost stays linear in corpus bytes.
+
+_M64 = "18446744073709551616::UHUGEINT"
+_XXP = (
+    11400714785074694791,
+    14029467366897019727,
+    1609587929392839161,
+    9650029242287828579,
+    2870177450012600261,
+)
+
+
+def _umul(a, b) -> str:
+    return f"((({a})::UHUGEINT * ({b})::UHUGEINT) % {_M64})::UBIGINT"
+
+
+def _uadd(a, b) -> str:
+    return f"((({a})::UHUGEINT + ({b})::UHUGEINT) % {_M64})::UBIGINT"
+
+
+def _rotl(x, r: int) -> str:
+    # wrapped low bits + shifted-down high bits occupy disjoint bit
+    # ranges, so plain UBIGINT addition is exact (never overflows)
+    return f"({_umul(x, 1 << r)} + (({x}) >> {64 - r}))"
+
+
+def _xrnd(acc, lane) -> str:
+    return _umul(_rotl(_uadd(acc, _umul(lane, _XXP[1])), 31), _XXP[0])
+
+
+def _xmerge(h, v) -> str:
+    return _uadd(
+        _umul(f"xor({h}, {_xrnd('0::UBIGINT', v)})", _XXP[0]), _XXP[3]
+    )
+
+
+def _lane(hx, o, nbytes: int) -> str:
+    parts = " || ".join(
+        f"substr({hx}, 2*(({o})+{j})+1, 2)" for j in range(nbytes - 1, -1, -1)
+    )
+    return f"('0x' || {parts})::UBIGINT"
+
+
+def xxh64_cte_chain(src: str, p: str = "x") -> str:
+    """CTE chain hashing every row of `src`(key, s) with XXH64 seed
+    42; the terminal CTE ``{p}out``(key, h) bit-matches Spark's
+    F.xxhash64 over the same strings (signed). Embed under a
+    ``WITH RECURSIVE`` prologue."""
+    M = 1 << 64
+    v0 = [
+        (42 + _XXP[0] + _XXP[1]) % M,
+        (42 + _XXP[1]) % M,
+        42,
+        (42 - _XXP[0]) % M,
+    ]
+    stripe_next = ", ".join(
+        f"{_xrnd(f'v{i + 1}', _lane('hx', f'32*k+{8 * i}', 8))} AS v{i + 1}"
+        for i in range(4)
+    )
+    rot_sum = _uadd(
+        _uadd(_rotl("v1", 1), _rotl("v2", 7)),
+        _uadd(_rotl("v3", 12), _rotl("v4", 18)),
+    )
+    h_merged = rot_sum
+    for i in range(4):
+        h_merged = _xmerge(h_merged, f"v{i + 1}")
+
+    def tail_step(kind: str) -> str:
+        if kind == "t8":
+            need, adv = 8, 8
+            nh = _uadd(
+                _umul(
+                    _rotl(f"xor(h, {_xrnd('0::UBIGINT', _lane('hx', 'i', 8))})", 27),
+                    _XXP[0],
+                ),
+                _XXP[3],
+            )
+        elif kind == "t4":
+            need, adv = 4, 4
+            nh = _uadd(
+                _umul(
+                    _rotl(f"xor(h, {_umul(_lane('hx', 'i', 4), _XXP[0])})", 23),
+                    _XXP[1],
+                ),
+                _XXP[2],
+            )
+        else:
+            need, adv = 1, 1
+            nh = _umul(
+                _rotl(f"xor(h, {_umul(_lane('hx', 'i', 1), _XXP[4])})", 11),
+                _XXP[0],
+            )
+        return (
+            f"SELECT key, hx, n, "
+            f"CASE WHEN n - i >= {need} THEN i + {adv} ELSE i END AS i, "
+            f"CASE WHEN n - i >= {need} THEN {nh} ELSE h END AS h"
+        )
+
+    steps = ["t8", "t8", "t8", "t4", "t1", "t1", "t1"]
+    tail = ",\n".join(
+        f"{p}t{j + 1} AS ({tail_step(kind)} FROM {p}t{j})"
+        for j, kind in enumerate(steps)
+    )
+    av1 = _umul("xor(h, h >> 33)", _XXP[1])
+    av2 = _umul(f"xor({av1}, ({av1}) >> 29)", _XXP[2])
+    signed = (
+        f"CASE WHEN h >= 9223372036854775808::UBIGINT "
+        f"THEN (h::HUGEINT - 18446744073709551616::HUGEINT)::BIGINT "
+        f"ELSE h::BIGINT END"
+    )
+    return f"""{p}b AS (
+  SELECT key, hex(encode(s)) AS hx,
+         CAST(octet_length(encode(s)) AS BIGINT) AS n
+  FROM {src}
+),
+{p}stripe AS (
+  SELECT key, hx, n, n // 32 AS nstr, CAST(0 AS BIGINT) AS k,
+         {v0[0]}::UBIGINT AS v1, {v0[1]}::UBIGINT AS v2,
+         {v0[2]}::UBIGINT AS v3, {v0[3]}::UBIGINT AS v4
+  FROM {p}b WHERE n >= 32
+  UNION ALL
+  SELECT key, hx, n, nstr, k + 1, {stripe_next}
+  FROM {p}stripe WHERE k < nstr
+),
+{p}t0 AS (
+  SELECT key, hx, n, 32 * nstr AS i, {_uadd(h_merged, 'n')} AS h
+  FROM {p}stripe WHERE k = nstr
+  UNION ALL
+  SELECT key, hx, n, CAST(0 AS BIGINT) AS i,
+         {_uadd(f'{(42 + _XXP[4]) % M}::UBIGINT', 'n')} AS h
+  FROM {p}b WHERE n < 32
+),
+{tail},
+{p}av AS (
+  SELECT key, xor({av2}, ({av2}) >> 32) AS h FROM {p}t{len(steps)}
+),
+{p}out AS (SELECT key, {signed} AS h FROM {p}av)"""
+
+
+def fingerprint_v2_sql() -> str:
+    """Mirror of text.fingerprint_v2: lexicographic-min SIGNED
+    xxhash64 over word 5-grams, xxhash64(text) fallback for short
+    docs — the hash-family v2 of `fingerprint_sql` (md5 kept there
+    for compatibility)."""
+    return f"""WITH RECURSIVE {NUMS}, {W_CTE},
+    xin AS (
+      SELECT doc_id AS key,
+             w.w[i] || ' ' || w.w[i+1] || ' ' || w.w[i+2] || ' '
+               || w.w[i+3] || ' ' || w.w[i+4] AS s
+      FROM w JOIN nums ON nums.i <= len(w.w) - 4
+      UNION ALL
+      SELECT doc_id AS key, text AS s FROM documents
+      WHERE len({WORDS}) < 5
+    ),
+    {xxh64_cte_chain('xin')}
+    SELECT key AS doc_id, min(h) AS fingerprint FROM xout GROUP BY key
+    """
+
+
 def exact_duplicates_sql() -> str:
     """Exact-dup groups over the ORGANIC corpus: the planted verbatim
     copies (and any naturally identical texts) arrive in the input —

@@ -180,6 +180,24 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     )
 
 
+def fingerprint_v2(docs: DataFrame) -> DataFrame:
+    """Hash-family v2 of `fingerprint`: lexicographic-min SIGNED
+    xxhash64 (XXH64, seed 42 — Spark's JVM intrinsic) over word
+    5-grams, falling back to xxhash64(text) for very short docs.
+    Same 1-permutation-MinHash semantics and zero-shuffle per-row
+    fold as v1; the hash swap removes v1's constant-factor hot spot
+    (md5 = a full digest round + 32-byte hex string per shingle;
+    xxhash64 = a codegen'd long — no allocation). v1 stays the
+    compatibility gate; corpora fingerprinted under one family must
+    be re-fingerprinted to compare under the other. The DuckDB
+    oracle (doc_oracles.fingerprint_v2_sql) runs a bit-exact XXH64
+    port in pure SQL. Output: (doc_id, fingerprint BIGINT)."""
+    fp = F.array_min(F.transform(shingle_array(5), lambda s: F.xxhash64(s)))
+    return docs.select(
+        "doc_id", F.coalesce(fp, F.xxhash64("text")).alias("fingerprint")
+    )
+
+
 def hash_split(
     docs: DataFrame, salt: str = "split0", val_pct: int = 5, test_pct: int = 5
 ) -> DataFrame:

@@ -823,6 +823,50 @@ def test_length_quantiles_integer_rank_selection(spark):
     assert (b["n_docs"], b["p25"], b["p90"]) == (1, 1, 1)
 
 
+def test_fingerprint_v2_parity_vs_duckdb(spark, docs):
+    """fingerprint_v2 (xxhash64 family, VERDICT r5 #3) against the
+    pure-SQL XXH64 port — bit-exact per doc, not just hash-of-sorted:
+    this pins the oracle's 128-bit arithmetic and byte handling."""
+    import duckdb
+
+    from cimpy_spark.functions import doc_oracles as O
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_TINY}/documents.parquet')"
+    )
+    sp = {r["doc_id"]: r["fingerprint"]
+          for r in T.fingerprint_v2(docs).collect()}
+    du = dict(con.execute(O.fingerprint_v2_sql()).fetchall())
+    assert sp == du
+
+
+def test_fingerprint_v2_edge_inputs(spark):
+    """Short-doc fallback (xxhash64 of the full text) and exotic
+    inputs (empty text, unicode, >32-byte shingles that exercise the
+    oracle's recursive stripe loop) stay bit-identical cross-engine."""
+    import duckdb
+
+    from cimpy_spark.functions import doc_oracles as O
+
+    rows = [
+        (1, ""),                             # empty → fallback
+        (2, "one two three four"),           # 4 words → fallback
+        (3, "ünïcode wörds häßlich çedilla fünf sechs"),
+        (4, " ".join(f"verylongword{i}extrapayload" for i in range(12))),
+        (5, "a b c d e f g h i j"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    sp = {r["doc_id"]: r["fingerprint"]
+          for r in T.fingerprint_v2(d).collect()}
+    du = dict(con.execute(O.fingerprint_v2_sql()).fetchall())
+    assert sp == du
+
+
 def test_length_quantiles_parity_vs_duckdb(spark, docs):
     import duckdb
 

@@ -4,6 +4,7 @@ be re-extracted."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from cimpy_spark.fixtures.events_transcripts import transcripts_from_events
@@ -69,8 +70,11 @@ def test_crash_between_triples_and_cmap_commits(spark, tmp_path):
         spark, "triples", lambda: new_triples, partition_by=["obj_kind"]
     )
 
-    # resume: must detect the stale cmap_full and recompute fully
-    res = ingest_increment(spark, t, d)
+    # resume: must detect the stale cmap_full and recompute fully —
+    # and WARN that the snapshot header is being recovered from the
+    # passed transcripts (the stale-meta path, materialize.py)
+    with pytest.warns(UserWarning, match="stale/legacy meta"):
+        res = ingest_increment(spark, t, d)
     full = run_pipeline(spark, t, str(tmp_path / "full"))
     for stage in ["cmap", "canon_edges", "nodes"]:
         assert res[stage].exceptAll(full[stage]).count() == 0, stage

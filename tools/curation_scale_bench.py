@@ -80,6 +80,11 @@ def main() -> None:
     timed("vocab_sketch", lambda: force(T.vocab_sketch(docs)))
     timed("heavy_hitters_cms", lambda: force(T.heavy_hitters_cms(docs)))
     timed("hash_split", lambda: force(T.hash_split(docs)))
+    # hash-family comparison (VERDICT r5 #3): identical plan shape
+    # (zero-shuffle per-row array_min fold); only the per-shingle
+    # hash differs — md5 hex string vs xxhash64 long
+    timed("fingerprint_md5", lambda: force(T.fingerprint(docs)))
+    timed("fingerprint_v2_xxh64", lambda: force(T.fingerprint_v2(docs)))
     timed("gopher_rules", lambda: force(T.gopher_rules(docs, min_mean_len=4.5)))
     timed("dup_spans", lambda: force(T.dup_spans(docs)))
     timed("bm25_score", lambda: force(T.bm25_score(docs)))
