@@ -776,6 +776,17 @@ def _q_doc_dedup_corpus(spark, sf_dir):
     return D.dedup_corpus(_organic_docs(spark, sf_dir))
 
 
+def _q_doc_minhash_candidates_v2(spark, sf_dir):
+    # xxhash64 signature family (round 6) — shingles hashed once to
+    # longs, per-seed values and band keys from fixed-width block
+    # hashes; oracle = the pure-SQL XXH64 closed forms
+    return D.minhash_candidates_v2(_docs(spark, sf_dir))
+
+
+def _q_doc_dedup_corpus_v2(spark, sf_dir):
+    return D.dedup_corpus_v2(_organic_docs(spark, sf_dir))
+
+
 def _q_doc_simhash_candidates(spark, sf_dir):
     return D.simhash_candidates(_docs(spark, sf_dir))
 
@@ -1157,6 +1168,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    through already-gated shared scans. r5-green prefix
         #    occupants displaced by this rotation lead the tail and
         #    rotate back first next round. ---------------------------
+        # -- NEW in round 6 after the 50 slots were spoken for by the
+        #    never-gated backlog (VERDICT r6 #1 takes precedence):
+        #    first driver gate rotates in next round; until then the
+        #    driver-style parity is pinned in pytest
+        #    (tests/test_dedup_v2.py — exact Spark==DuckDB compares on
+        #    both entries, plus the family-recall contract) ----------
+        "doc_minhash_candidates_v2": _q_doc_minhash_candidates_v2,
+        "doc_dedup_corpus_v2": _q_doc_dedup_corpus_v2,
         "mm_features": _q_mm_features,
         "mm_resize": _q_mm_resize,
         "mm_frame_sample": _q_mm_frame_sample,
@@ -1415,6 +1434,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_ngram_jaccard": doc_oracles.ngram_jaccard_sql(),
         "doc_simhash": doc_oracles.simhash_sql(),
         "doc_dedup_corpus": doc_oracles.dedup_corpus_sql(),
+        "doc_minhash_candidates_v2": doc_oracles.minhash_candidates_v2_sql(),
+        "doc_dedup_corpus_v2": doc_oracles.dedup_corpus_v2_sql(),
         # incremental must land on the SAME closed form as one-shot
         "doc_dedup_incremental": doc_oracles.dedup_corpus_sql(),
         "doc_simhash_candidates": doc_oracles.simhash_candidates_sql(),

@@ -317,6 +317,134 @@ def dedup_corpus(
     )
 
 
+# ---- xxhash64 MinHash family (v2) ----------------------------------
+#
+# The round-6 stage breakdown (BENCH.md) put the md5 signature fold at
+# 61s/20s (4/16 cores) on 500k docs — the dominant dedup_corpus cost
+# and memory-bandwidth heavy (each shingle × seed materializes a
+# 32-char hex string). The v2 family hashes each shingle ONCE to a
+# long (xxhash64 — the fold input is the pre-hashed array, evaluated
+# once), then derives each seed's value with two fixed-width block
+# hashes (Spark's chained xxhash64(long, int-seed) = hashLong then
+# hashInt): no per-seed string re-hash, no hex allocation, and band
+# keys become longs (tighter shuffle rows in the bucket join).
+# Measured: band keys 14-22s → 7.5s at 500k docs/32 cores. The DuckDB
+# oracle mirrors it bit-exactly via the pure-SQL XXH64 closed forms
+# (doc_oracles.xxh64_long_sql / xxh64_int_sql). v1 (md5) stays the
+# default + its gates — corpora fingerprinted under one family must
+# be re-signed to compare under the other.
+
+_MAX_LONG = (1 << 63) - 1
+
+
+def _minhash_fold_v2(n_hashes: int, finish=None):
+    """v2 signature fold: input = shingles pre-hashed to longs (ONE
+    xxhash64 per shingle), per-seed value = xxhash64(shingle_hash,
+    seed) — two block hashes, no strings. Same one-fold discipline as
+    `_minhash_fold` (the accumulator carries all running minima)."""
+    hx = F.transform(shingle_array(3), lambda s: F.xxhash64(s))
+    init = F.array(*[F.lit(_MAX_LONG).cast("bigint") for _ in range(n_hashes)])
+
+    def step(acc, h):
+        return F.array(
+            *[F.least(acc[s], F.xxhash64(h, F.lit(s))) for s in range(n_hashes)]
+        )
+
+    if finish is None:
+        return F.aggregate(hx, init, step)
+    return F.aggregate(hx, init, step, finish)
+
+
+def minhash_band_keys_v2(
+    docs: DataFrame, n_hashes: int = N_HASHES, n_bands: int = N_BANDS
+) -> DataFrame:
+    """(doc_id, band, band_key BIGINT): per-band key = chained
+    xxhash64 over the band's consecutive signature longs, built in
+    the fold's FINISH lambda (same single-fold shape as v1)."""
+    rows_per_band = n_hashes // n_bands
+
+    def finish(acc):
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(
+                        *[acc[b * rows_per_band + i] for i in range(rows_per_band)]
+                    ).alias("band_key"),
+                )
+                for b in range(n_bands)
+            ]
+        )
+
+    bands = _minhash_fold_v2(n_hashes, finish)
+    return (
+        docs.filter(has_shingles())
+        .select("doc_id", F.explode(bands).alias("bk"))
+        .select("doc_id", "bk.band", "bk.band_key")
+    )
+
+
+def minhash_candidates_v2(
+    docs: DataFrame,
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """`minhash_candidates` on the v2 family — identical bucket
+    machinery (cap, anti-join, bounded self-join), long band keys."""
+    keys = checkpoint_df(minhash_band_keys_v2(docs, n_hashes, n_bands))
+    ok = drop_oversize_buckets(keys, ["band", "band_key"], max_bucket)
+    a = ok.select("band", "band_key", F.col("doc_id").alias("doc_a"))
+    b = ok.select("band", "band_key", F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def dedup_corpus_v2(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """`dedup_corpus` on the v2 signature family. The verify stage is
+    the SAME exact n-gram Jaccard, so a pair surfaced by either family
+    gets the same verdict; only LSH recall can differ (both families
+    are 12-hash/4-band MinHash, so the collision probability curve is
+    identical — tested on the organic planted-duplicate corpus)."""
+    from cimpy_spark.operators.canonicalize import canonical_labels
+
+    if docs.filter(F.col("doc_id") < 0).limit(1).count() > 0:
+        raise ValueError(
+            "dedup_corpus_v2 requires non-negative doc_id (zero-padded "
+            "lexicographic ordering == numeric ordering); found doc_id < 0"
+        )
+    dup_pairs = ngram_jaccard(
+        docs, minhash_candidates_v2(docs, n_hashes, n_bands, max_bucket)
+    ).filter(F.col("jaccard") >= threshold)
+    pad = "%020d"
+    links = checkpoint_df(
+        dup_pairs.select(
+            F.format_string(pad, "doc_a").alias("src"),
+            F.format_string(pad, "doc_b").alias("dst"),
+        )
+    )
+    ids = docs.select(F.format_string(pad, "doc_id").alias("entity_id"))
+    labels = canonical_labels(ids, links)
+    return (
+        ids.join(labels, "entity_id")
+        .select(
+            F.col("entity_id").cast("bigint").alias("doc_id"),
+            F.col("canonical_id").cast("bigint").alias("canonical_doc_id"),
+        )
+        .withColumn("is_kept", F.col("doc_id") == F.col("canonical_doc_id"))
+    )
+
+
 def simhash(docs: DataFrame, n_bits: int = 60) -> DataFrame:
     """SimHash over distinct word tokens: bit j of a token's md5
     votes ±1; the sign of each bit-sum is the fingerprint bit.

@@ -144,6 +144,52 @@ def _lane(hx, o, nbytes: int) -> str:
     return f"('0x' || {parts})::UBIGINT"
 
 
+def _xxh_avalanche(h: str) -> str:
+    """Closed-form XXH64 final avalanche over a UBIGINT expression."""
+    a1 = _umul(f"xor({h}, ({h}) >> 33)", _XXP[1])
+    a2 = _umul(f"xor({a1}, ({a1}) >> 29)", _XXP[2])
+    return f"xor({a2}, ({a2}) >> 32)"
+
+
+def xxh64_long_sql(l: str, seed: str) -> str:
+    """Closed-form XXH64 of ONE 8-byte little-endian long (Spark's
+    XxHash64 hashLong step): no stripes, one 8-byte tail chunk,
+    avalanche. `l` and `seed` are UBIGINT expressions."""
+    h0 = _uadd(_uadd(seed, 8), _XXP[4])
+    k1 = _umul(_rotl(_umul(l, _XXP[1]), 31), _XXP[0])
+    h = _uadd(_umul(_rotl(f"xor({h0}, {k1})", 27), _XXP[0]), _XXP[3])
+    return _xxh_avalanche(h)
+
+
+def xxh64_int_sql(i: str, seed: str) -> str:
+    """Closed-form XXH64 of ONE 4-byte little-endian int (Spark's
+    hashInt step). `i` (< 2^32) and `seed` are UBIGINT expressions."""
+    h0 = _uadd(_uadd(seed, 4), _XXP[4])
+    h = _uadd(
+        _umul(_rotl(f"xor({h0}, {_umul(i, _XXP[0])})", 23), _XXP[1]),
+        _XXP[2],
+    )
+    return _xxh_avalanche(h)
+
+
+def _unsign64(x: str) -> str:
+    """Signed BIGINT expression → its 64-bit two's-complement value
+    as UBIGINT (the byte-identity Spark's hash functions operate on)."""
+    return (
+        f"(CASE WHEN ({x}) < 0 THEN (({x})::HUGEINT "
+        f"+ 18446744073709551616::HUGEINT) ELSE ({x})::HUGEINT END)::UBIGINT"
+    )
+
+
+def _signed64(h: str) -> str:
+    """UBIGINT expression → signed BIGINT (Spark's hash output)."""
+    return (
+        f"CASE WHEN ({h}) >= 9223372036854775808::UBIGINT "
+        f"THEN (({h})::HUGEINT - 18446744073709551616::HUGEINT)::BIGINT "
+        f"ELSE ({h})::BIGINT END"
+    )
+
+
 def xxh64_cte_chain(src: str, p: str = "x") -> str:
     """CTE chain hashing every row of `src`(key, s) with XXH64 seed
     42; the terminal CTE ``{p}out``(key, h) bit-matches Spark's
@@ -323,6 +369,115 @@ SIG_CTES = sig_ctes("documents")
 
 def minhash_candidates_sql() -> str:
     return f"WITH {SIG_CTES} SELECT doc_a, doc_b FROM cand"
+
+
+def sig_ctes_v2(src: str = "documents", nums_max: int = 500) -> str:
+    """v2 (xxhash64-family) signature/band/candidate CTE chain over
+    `src` — mirror of dedup._minhash_fold_v2 / minhash_band_keys_v2 /
+    minhash_candidates_v2: each DISTINCT shingle hashed once with the
+    full XXH64 string port, per-seed value = hashInt(seed,
+    hashLong(shingle_hash, 42)) (Spark's chained xxhash64(long, int)),
+    per-band key = three chained hashLongs over the band's signature
+    longs. Embed under WITH RECURSIVE (the string port's stripe loop).
+    Produces the same terminal CTE names (sh, bands, okbands, cand) as
+    `sig_ctes`, so the Jaccard/dedup tails are shared verbatim."""
+    nums = f"nums AS (SELECT unnest(generate_series(1, {nums_max})) AS i)"
+    mix1 = xxh64_long_sql("hu", "42::UBIGINT")
+    mix2 = xxh64_int_sql("seed::UBIGINT", "m1")
+    bk = [
+        xxh64_long_sql(_unsign64("hs[1]"), "42::UBIGINT"),
+        xxh64_long_sql(_unsign64("hs[2]"), "k1"),
+        xxh64_long_sql(_unsign64("hs[3]"), "k2"),
+    ]
+    return f"""
+{nums}, {_w_cte(src)}, {SH3_CTE},
+seeds AS (SELECT unnest(generate_series(0, 11)) AS seed),
+shd AS (SELECT DISTINCT shingle AS key, shingle AS s FROM sh),
+{xxh64_cte_chain('shd', 'sx')},
+shx AS (
+  SELECT sh.doc_id, {_unsign64('x.h')} AS hu
+  FROM sh JOIN sxout x ON x.key = sh.shingle
+),
+mixa AS (SELECT doc_id, {mix1} AS m1 FROM shx),
+mixb AS (SELECT doc_id, seed, {mix2} AS m2 FROM mixa, seeds),
+sig AS (
+  SELECT doc_id, seed, min({_signed64('m2')}) AS h
+  FROM mixb GROUP BY doc_id, seed
+),
+bands0 AS (
+  SELECT doc_id, seed // 3 AS band, list(h ORDER BY seed) AS hs
+  FROM sig GROUP BY doc_id, seed // 3
+),
+bk1 AS (SELECT doc_id, band, hs, {bk[0]} AS k1 FROM bands0),
+bk2 AS (SELECT doc_id, band, hs, {bk[1]} AS k2 FROM bk1),
+bands AS (SELECT doc_id, band, {_signed64(bk[2])} AS band_key FROM bk2),
+okbands AS (
+  SELECT band, band_key FROM bands
+  GROUP BY band, band_key HAVING count(*) <= {MINHASH_MAX_BUCKET}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+  JOIN okbands k ON k.band = a.band AND k.band_key = a.band_key
+)
+"""
+
+
+def minhash_candidates_v2_sql() -> str:
+    return f"WITH RECURSIVE {sig_ctes_v2('documents')} SELECT doc_a, doc_b FROM cand"
+
+
+_JAC_TAIL = """
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+),
+jac AS (
+  SELECT c.doc_a, c.doc_b,
+         round(COALESCE(i.n_inter, 0) * 1.0
+               / (za.n + zb.n - COALESCE(i.n_inter, 0)), 6) AS jaccard
+  FROM cand c
+  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+  JOIN sizes za ON za.doc_id = c.doc_a
+  JOIN sizes zb ON zb.doc_id = c.doc_b
+)
+"""
+
+_DEDUP_TAIL = """
+dup AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= {threshold}),
+sym AS (SELECT doc_a AS a, doc_b AS b FROM dup
+        UNION SELECT doc_b, doc_a FROM dup),
+reach(a, b) AS (
+  SELECT doc_id, doc_id FROM {src}
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN sym e ON r.b = e.a
+),
+cmapd AS (SELECT a AS doc_id, min(b) AS canonical_doc_id
+          FROM reach GROUP BY a)
+SELECT doc_id, canonical_doc_id,
+       doc_id = canonical_doc_id AS is_kept
+FROM cmapd
+"""
+
+
+def jac_ctes_v2(src: str = "documents", nums_max: int = 500) -> str:
+    return f"{sig_ctes_v2(src, nums_max)},{_JAC_TAIL}"
+
+
+def dedup_corpus_v2_sql(threshold: float = 0.8) -> str:
+    """End-to-end dedup oracle on the v2 signature family over the
+    organic corpus — sig_ctes_v2 + the SAME Jaccard/CC/election tail
+    as dedup_corpus_sql."""
+    return (
+        f"WITH RECURSIVE {ORGANIC_DOCS_CTE.strip()}, "
+        f"{jac_ctes_v2('orgdocs')},"
+        + _DEDUP_TAIL.format(threshold=threshold, src="orgdocs")
+    )
 
 
 def jac_ctes(src: str = "documents", nums_max: int = 500) -> str:
