@@ -183,6 +183,11 @@ def main() -> None:
     )
     docs.count()
     timed("doc_dedup_corpus", lambda: dedup_corpus(docs).count())
+    # v2 = xxhash64 signature family (round 6) — same composition,
+    # long band keys, no per-seed string hashing; BENCH.md round-6
+    from cimpy_spark.functions.dedup import dedup_corpus_v2
+
+    timed("doc_dedup_corpus_v2", lambda: dedup_corpus_v2(docs).count())
     timed("doc_corpus_filter", lambda: corpus_filter(docs).count())
 
     # incremental-arrival dedup (side metric): bootstrap on 90% of the
@@ -207,6 +212,7 @@ def main() -> None:
         "extract_steady",
         "stream_extract",
         "doc_dedup_corpus",
+        "doc_dedup_corpus_v2",
         "doc_corpus_filter",
         "doc_dedup_ingest_batch",
     }
