@@ -38,6 +38,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.1")
 REP = int(os.environ.get("REP", "100"))
+# DEDUP_FAMILY=v2 measures the xxhash64 signature family
+# (dedup_corpus_v2) with the identical discipline
+FAMILY = os.environ.get("DEDUP_FAMILY", "v1")
 N_BASE = int(os.environ.get("SCALING_BASE_CORES", "4"))
 N_PARTITIONS = int(os.environ.get("SCALING_PARTITIONS", "64"))
 TIMED_RUNS = int(os.environ.get("TIMED_RUNS", "3"))
@@ -78,8 +81,10 @@ def stage_corpus() -> None:
 def run_level(cores: int) -> dict:
     from pyspark.sql import functions as F
 
-    from cimpy_spark.functions.dedup import dedup_corpus
+    from cimpy_spark.functions.dedup import dedup_corpus, dedup_corpus_v2
     from cimpy_spark.session import get_spark
+
+    op = dedup_corpus_v2 if FAMILY == "v2" else dedup_corpus
 
     spark = get_spark(f"scaling-dedup-{cores}", cores=cores)
     spark.sparkContext.setLogLevel("ERROR")
@@ -88,7 +93,7 @@ def run_level(cores: int) -> dict:
 
     def one_pass() -> float:
         t0 = time.perf_counter()
-        out = dedup_corpus(docs)
+        out = op(docs)
         out.select(
             F.sum(F.pmod(F.xxhash64(*out.columns), F.lit(1_000_000_007)))
             .alias("h")
@@ -134,7 +139,7 @@ def main() -> None:
         (results[hi]["docs_per_sec"] / results[lo]["docs_per_sec"]) / 4, 3
     )
     print(json.dumps({
-        "metric": f"dedup_corpus_scaling_efficiency_{lo}_to_{hi}",
+        "metric": f"dedup_corpus_{FAMILY}_scaling_efficiency_{lo}_to_{hi}",
         "value": eff,
         "unit": "ratio",
         "levels": results,
