@@ -633,6 +633,7 @@ def dedup_ingest(
     n_bands: int = N_BANDS,
     max_bucket: int = MAX_BUCKET,
     broadcast_touched_max: int = BROADCAST_TOUCHED_MAX,
+    family: str = "md5",
 ) -> DataFrame:
     """Incremental near-duplicate dedup: per arriving batch, re-LSH
     only the NEW documents and re-pair only the buckets the batch
@@ -682,6 +683,14 @@ def dedup_ingest(
     tested): the final pair set per bucket depends only on final
     bucket contents, links only on pairs + cached Jaccard, labels
     only on links.
+
+    ``family`` selects the signature hash family: "md5" (v1, the
+    gated default) or "xxh64" (v2 — long band keys, ~2× signature
+    fold; BENCH.md round-6). The committed state encodes the family
+    in the band_key column type, so an out_dir bootstrapped under one
+    family must keep it (mixing families against one ledger would
+    read the other family's parquet with the wrong schema and fail
+    loudly at the scan, never silently).
     """
     from cimpy_spark.operators.canonicalize import canonical_labels
     from cimpy_spark.plans.lineage import LineageLedger
@@ -694,7 +703,13 @@ def dedup_ingest(
     ledger = LineageLedger(out_dir)
     docs = docs.select("doc_id", "text")
 
-    arrival_schema = "doc_id long, band int, band_key string"
+    if family == "xxh64":
+        keys_fn, key_type = minhash_band_keys_v2, "bigint"
+    elif family == "md5":
+        keys_fn, key_type = minhash_band_keys, "string"
+    else:
+        raise ValueError(f"unknown signature family: {family!r}")
+    arrival_schema = f"doc_id long, band int, band_key {key_type}"
     booted = ledger.is_append_committed("doc_arrivals")
     # staleness BEFORE this batch's append: a crash between a previous
     # arrivals commit and its pairs rewrite leaves a pair snapshot
@@ -713,13 +728,13 @@ def dedup_ingest(
         fresh = docs
 
     def _arrivals():
-        keys = minhash_band_keys(fresh, n_hashes, n_bands)
+        keys = keys_fn(fresh, n_hashes, n_bands)
         keyless = (
             fresh.join(keys.select("doc_id").distinct(), "doc_id", "left_anti")
             .select(
                 "doc_id",
                 F.lit(None).cast("int").alias("band"),
-                F.lit(None).cast("string").alias("band_key"),
+                F.lit(None).cast(key_type).alias("band_key"),
             )
         )
         return keys.unionByName(keyless)
@@ -737,7 +752,7 @@ def dedup_ingest(
     # buckets touched by this batch: re-pair them against CURRENT
     # contents; every other bucket's pairs carry over verbatim. With a
     # stale/missing pair snapshot, EVERY bucket is touched (recovery).
-    pair_schema = "band int, band_key string, doc_a long, doc_b long"
+    pair_schema = f"band int, band_key {key_type}, doc_a long, doc_b long"
     if pairs_usable:
         touched = fresh_keys.select("band", "band_key").distinct()
         # size gate for the touched-side broadcast (see _touched_joins).

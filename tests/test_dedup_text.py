@@ -272,10 +272,28 @@ def test_signature_ops_are_pure_projections(spark, docs, emb):
     """Plan regression (PLANS.md): simhash and lsh_buckets must stay
     ZERO-exchange projections — a reintroduced explode/shuffle in the
     signature path is a scale regression even if results stay right."""
-    for df in (D.simhash(docs), SIM.lsh_buckets(emb), T.fingerprint(docs)):
+    for df in (
+        D.simhash(docs),
+        SIM.lsh_buckets(emb),
+        T.fingerprint(docs),
+        # round 6: the xxhash64 fingerprint family and the zip-shift
+        # _gram_array must ALSO stay zero-exchange pure projections —
+        # the quadratic-HOF fix may not reintroduce a shuffle or an
+        # explode, and neither may the v2 signature fold
+        T.fingerprint_v2(docs),
+        docs.select("doc_id", T._gram_array(5).alias("g")),
+    ):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, plan
         assert "Generate" not in plan, plan  # no explodes
+    # v2 band keys: exactly ONE Generate (the band explode), zero
+    # Exchange — same contract as v1's minhash_band_keys
+    plan = (
+        D.minhash_band_keys_v2(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+    assert plan.count("Generate") == 1, plan
 
 
 def test_hash_split_stable_under_corpus_growth(spark, docs):

@@ -94,3 +94,30 @@ def test_v2_vs_v1_differences_are_borderline_only(spark, docs):
         org, spark.createDataFrame(sym, "doc_a long, doc_b long")
     )
     assert jac.filter(F.col("jaccard") >= 1.0).count() == 0
+
+
+def test_v2_two_batch_ingest_equals_one_shot(spark, docs, tmp_path):
+    """The incremental path on the xxh64 family: batch-wise ingest
+    must equal the one-shot dedup_corpus_v2 of the full corpus, same
+    equivalence contract as v1 (test_dedup_incremental.py)."""
+    org = organic_documents(docs).cache()
+    out_dir = str(tmp_path / "v2_ingest")
+    first = F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(2)) == 0
+    D.dedup_ingest(spark, org.filter(first), out_dir, family="xxh64")
+    inc = D.dedup_ingest(spark, org, out_dir, family="xxh64")
+    got = {tuple(r) for r in inc.collect()}
+    want = {tuple(r) for r in D.dedup_corpus_v2(org).collect()}
+    assert got == want
+
+
+def test_ingest_family_mismatch_fails_loudly(spark, docs, tmp_path):
+    """An out_dir bootstrapped under one family must not silently
+    accept the other: the committed band_key column type differs, so
+    the arrivals read-back errors at the scan."""
+    org = organic_documents(docs)
+    out_dir = str(tmp_path / "fammix")
+    D.dedup_ingest(spark, org, out_dir, family="md5")
+    with pytest.raises(Exception):
+        D.dedup_ingest(spark, org, out_dir, family="xxh64")
+    with pytest.raises(ValueError, match="unknown signature family"):
+        D.dedup_ingest(spark, org, out_dir, family="sha9")
