@@ -1155,17 +1155,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- gated prefix boundary (50) -----------------------------
         # -- rotation tail: every entry below is r5-GREEN in
         #    CORRECTNESS_r05 (or r4-green under the r5 rotation
-        #    contract, stated per-entry in the r5 revision) and its
-        #    exercised code is UNCHANGED in round 6. The r6 diff
-        #    touches: analytics.asof_join (gated via event_attribution
-        #    in the prefix; purchase_click_window shares only the
-        #    events scan), bpe.bpe_token_count (gated doc_bpe_tokens),
-        #    conversations.conv_dedup_exact (prefix),
+        #    contract, stated per-entry in the r5 revision). The r6
+        #    diff touches, with its gates: analytics.asof_join (prefix
+        #    event_attribution), bpe.bpe_token_count (prefix
+        #    doc_bpe_tokens), conversations.conv_dedup_exact (prefix),
         #    similarity.emb_contamination (prefix), text.fingerprint_v2
-        #    (NEW, prefix), dedup.py comments only, and
-        #    fixtures/oracles.lpa_sql consumed by prefix kg_lpa.
-        #    Nothing below executes any of those changed lines except
-        #    through already-gated shared scans. r5-green prefix
+        #    (NEW, prefix), fixtures/oracles.lpa_sql (prefix kg_lpa),
+        #    text._gram_array (REWRITTEN linear, value-identical —
+        #    exercised by MANY prefix rows: doc_curation_pipeline,
+        #    doc_setsim_join, doc_dup_spans/stats, doc_repetition,
+        #    doc_winnow, doc_bpe_*; tail gram consumers
+        #    doc_fingerprint / doc_dedup_corpus / doc_ngram_jaccard /
+        #    doc_minhash_candidates / doc_dedup_incremental /
+        #    doc_contamination / stream_dedup_corpus were additionally
+        #    re-verified against their oracles with tools/compare.py
+        #    after the rewrite, all green), text.script_profile
+        #    (translate char-map, value-identical, prefix row
+        #    re-verified), dedup.dedup_ingest family parameter (md5
+        #    default path re-verified green; xxh64 is new code gated
+        #    by tests/test_dedup_v2.py until its r7 row), and new
+        #    dedup *_v2 functions (below, tail head). r5-green prefix
         #    occupants displaced by this rotation lead the tail and
         #    rotate back first next round. ---------------------------
         # -- NEW in round 6 after the 50 slots were spoken for by the
