@@ -1164,12 +1164,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    text._gram_array (REWRITTEN linear, value-identical —
         #    exercised by MANY prefix rows: doc_curation_pipeline,
         #    doc_setsim_join, doc_dup_spans/stats, doc_repetition,
-        #    doc_winnow, doc_bpe_*; tail gram consumers
-        #    doc_fingerprint / doc_dedup_corpus / doc_ngram_jaccard /
-        #    doc_minhash_candidates / doc_dedup_incremental /
-        #    doc_contamination / stream_dedup_corpus were additionally
-        #    re-verified against their oracles with tools/compare.py
-        #    after the rewrite, all green), text.script_profile
+        #    doc_winnow, doc_bpe_*, stream_dedup_corpus; tail gram
+        #    consumers doc_fingerprint / doc_dedup_corpus /
+        #    doc_ngram_jaccard / doc_minhash_candidates /
+        #    doc_dedup_incremental / doc_contamination were
+        #    additionally re-verified against their oracles with
+        #    tools/compare.py after the rewrite, all green),
+        #    text.script_profile
         #    (translate char-map, value-identical, prefix row
         #    re-verified), dedup.dedup_ingest family parameter (md5
         #    default path re-verified green; xxh64 is new code gated

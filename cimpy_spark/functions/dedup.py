@@ -182,11 +182,23 @@ def oversize_buckets(
     )
 
 
+def _band_keys_fn(family: str):
+    """The ONE family-dispatch point shared by every MinHash consumer
+    (candidates, corpus dedup, ingest): "md5" = v1 hex keys, "xxh64"
+    = v2 long keys (see the v2 section below)."""
+    if family == "md5":
+        return minhash_band_keys
+    if family == "xxh64":
+        return minhash_band_keys_v2
+    raise ValueError(f"unknown signature family: {family!r}")
+
+
 def minhash_candidates(
     docs: DataFrame,
     n_hashes: int = N_HASHES,
     n_bands: int = N_BANDS,
     max_bucket: int = MAX_BUCKET,
+    family: str = "md5",
 ) -> DataFrame:
     """Near-duplicate candidate pairs (doc_a < doc_b) sharing any LSH
     band bucket of size ≤ max_bucket. Oversize buckets (boilerplate)
@@ -197,7 +209,7 @@ def minhash_candidates(
     # signature computation is the expensive part (measured 4x
     # recompute without this). At cluster scale this is the stage-1
     # checkpoint of the dedup pipeline.
-    keys = checkpoint_df(minhash_band_keys(docs, n_hashes, n_bands))
+    keys = checkpoint_df(_band_keys_fn(family)(docs, n_hashes, n_bands))
     ok = drop_oversize_buckets(keys, ["band", "band_key"], max_bucket)
     a = ok.select("band", "band_key", F.col("doc_id").alias("doc_a"))
     b = ok.select("band", "band_key", F.col("doc_id").alias("doc_b"))
@@ -263,6 +275,7 @@ def dedup_corpus(
     n_hashes: int = N_HASHES,
     n_bands: int = N_BANDS,
     max_bucket: int = MAX_BUCKET,
+    family: str = "md5",
 ) -> DataFrame:
     """End-to-end near-duplicate corpus dedup — the composition a
     training-data pipeline actually runs:
@@ -291,9 +304,9 @@ def dedup_corpus(
             "dedup_corpus requires non-negative doc_id (zero-padded "
             "lexicographic ordering == numeric ordering); found doc_id < 0"
         )
-    dup_pairs = ngram_jaccard(docs, minhash_candidates(docs, n_hashes, n_bands, max_bucket)).filter(
-        F.col("jaccard") >= threshold
-    )
+    dup_pairs = ngram_jaccard(
+        docs, minhash_candidates(docs, n_hashes, n_bands, max_bucket, family)
+    ).filter(F.col("jaccard") >= threshold)
     pad = "%020d"  # int64 max is 19 digits — padding must cover it
     # materialize the verified pairs ONCE, in parallel, before handing
     # them to the CC operator: its small-graph limit-probe otherwise
@@ -384,65 +397,23 @@ def minhash_band_keys_v2(
     )
 
 
-def minhash_candidates_v2(
-    docs: DataFrame,
-    n_hashes: int = N_HASHES,
-    n_bands: int = N_BANDS,
-    max_bucket: int = MAX_BUCKET,
-) -> DataFrame:
+def minhash_candidates_v2(docs: DataFrame, **kw) -> DataFrame:
     """`minhash_candidates` on the v2 family — identical bucket
-    machinery (cap, anti-join, bounded self-join), long band keys."""
-    keys = checkpoint_df(minhash_band_keys_v2(docs, n_hashes, n_bands))
-    ok = drop_oversize_buckets(keys, ["band", "band_key"], max_bucket)
-    a = ok.select("band", "band_key", F.col("doc_id").alias("doc_a"))
-    b = ok.select("band", "band_key", F.col("doc_id").alias("doc_b"))
-    return (
-        a.join(b, ["band", "band_key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    machinery (cap, anti-join, bounded self-join), long band keys.
+    Thin wrapper over the family parameter (review finding: the
+    one-shot and ingest paths must select families the same way, and
+    the shared machinery must exist once)."""
+    return minhash_candidates(docs, family="xxh64", **kw)
 
 
-def dedup_corpus_v2(
-    docs: DataFrame,
-    threshold: float = 0.8,
-    n_hashes: int = N_HASHES,
-    n_bands: int = N_BANDS,
-    max_bucket: int = MAX_BUCKET,
-) -> DataFrame:
+def dedup_corpus_v2(docs: DataFrame, **kw) -> DataFrame:
     """`dedup_corpus` on the v2 signature family. The verify stage is
     the SAME exact n-gram Jaccard, so a pair surfaced by either family
     gets the same verdict; only LSH recall can differ (both families
     are 12-hash/4-band MinHash, so the collision probability curve is
-    identical — tested on the organic planted-duplicate corpus)."""
-    from cimpy_spark.operators.canonicalize import canonical_labels
-
-    if docs.filter(F.col("doc_id") < 0).limit(1).count() > 0:
-        raise ValueError(
-            "dedup_corpus_v2 requires non-negative doc_id (zero-padded "
-            "lexicographic ordering == numeric ordering); found doc_id < 0"
-        )
-    dup_pairs = ngram_jaccard(
-        docs, minhash_candidates_v2(docs, n_hashes, n_bands, max_bucket)
-    ).filter(F.col("jaccard") >= threshold)
-    pad = "%020d"
-    links = checkpoint_df(
-        dup_pairs.select(
-            F.format_string(pad, "doc_a").alias("src"),
-            F.format_string(pad, "doc_b").alias("dst"),
-        )
-    )
-    ids = docs.select(F.format_string(pad, "doc_id").alias("entity_id"))
-    labels = canonical_labels(ids, links)
-    return (
-        ids.join(labels, "entity_id")
-        .select(
-            F.col("entity_id").cast("bigint").alias("doc_id"),
-            F.col("canonical_id").cast("bigint").alias("canonical_doc_id"),
-        )
-        .withColumn("is_kept", F.col("doc_id") == F.col("canonical_doc_id"))
-    )
+    identical — tested on the organic planted-duplicate corpus).
+    Thin wrapper over the family parameter."""
+    return dedup_corpus(docs, family="xxh64", **kw)
 
 
 def simhash(docs: DataFrame, n_bits: int = 60) -> DataFrame:
@@ -703,12 +674,8 @@ def dedup_ingest(
     ledger = LineageLedger(out_dir)
     docs = docs.select("doc_id", "text")
 
-    if family == "xxh64":
-        keys_fn, key_type = minhash_band_keys_v2, "bigint"
-    elif family == "md5":
-        keys_fn, key_type = minhash_band_keys, "string"
-    else:
-        raise ValueError(f"unknown signature family: {family!r}")
+    keys_fn = _band_keys_fn(family)
+    key_type = "bigint" if family == "xxh64" else "string"
     arrival_schema = f"doc_id long, band int, band_key {key_type}"
     booted = ledger.is_append_committed("doc_arrivals")
     # staleness BEFORE this batch's append: a crash between a previous

@@ -290,7 +290,12 @@ def fingerprint_v2_sql() -> str:
     """Mirror of text.fingerprint_v2: lexicographic-min SIGNED
     xxhash64 over word 5-grams, xxhash64(text) fallback for short
     docs — the hash-family v2 of `fingerprint_sql` (md5 kept there
-    for compatibility)."""
+    for compatibility). Every doc gets a row, v1's LEFT JOIN shape:
+    a NULL-text doc hashes to 42 (Spark's hash functions SKIP null
+    children, leaving the seed — verified against F.xxhash64 on a
+    null column), so the fallback is coalesce(…, 42), not a dropped
+    row (review finding: the first cut filtered null texts out of
+    the xin CTE entirely)."""
     return f"""WITH RECURSIVE {NUMS}, {W_CTE},
     xin AS (
       SELECT doc_id AS key,
@@ -299,10 +304,12 @@ def fingerprint_v2_sql() -> str:
       FROM w JOIN nums ON nums.i <= len(w.w) - 4
       UNION ALL
       SELECT doc_id AS key, text AS s FROM documents
-      WHERE len({WORDS}) < 5
+      WHERE text IS NOT NULL AND len({WORDS}) < 5
     ),
-    {xxh64_cte_chain('xin')}
-    SELECT key AS doc_id, min(h) AS fingerprint FROM xout GROUP BY key
+    {xxh64_cte_chain('xin')},
+    xagg AS (SELECT key AS doc_id, min(h) AS fp FROM xout GROUP BY key)
+    SELECT d.doc_id, coalesce(a.fp, 42) AS fingerprint
+    FROM documents d LEFT JOIN xagg a USING (doc_id)
     """
 
 
@@ -481,27 +488,11 @@ def dedup_corpus_v2_sql(threshold: float = 0.8) -> str:
 
 
 def jac_ctes(src: str = "documents", nums_max: int = 500) -> str:
-    """Candidate-pair exact-Jaccard CTE chain over `src`."""
+    """Candidate-pair exact-Jaccard CTE chain over `src` — the SAME
+    `_JAC_TAIL` the v2 family uses, so the verify semantics cannot
+    drift between families (review finding)."""
     return f"""
-{sig_ctes(src, nums_max)},
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-inter AS (
-  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
-  FROM cand c
-  JOIN sh sa ON sa.doc_id = c.doc_a
-  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
-  GROUP BY c.doc_a, c.doc_b
-),
-jac AS (
-  SELECT c.doc_a, c.doc_b,
-         round(COALESCE(i.n_inter, 0) * 1.0
-               / (za.n + zb.n - COALESCE(i.n_inter, 0)), 6) AS jaccard
-  FROM cand c
-  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
-  JOIN sizes za ON za.doc_id = c.doc_a
-  JOIN sizes zb ON zb.doc_id = c.doc_b
-)
-"""
+{sig_ctes(src, nums_max)},{_JAC_TAIL}"""
 
 
 JAC_CTES = jac_ctes("documents")
@@ -517,22 +508,11 @@ def dedup_corpus_sql(threshold: float = 0.8) -> str:
     verified dup pairs -> transitive closure -> min-id canonical
     election. The corpus arrives as a plain input relation — the
     operator under test never manufactures its own duplicates."""
-    return f"""
-    WITH RECURSIVE {ORGANIC_DOCS_CTE.strip()}, {jac_ctes("orgdocs")},
-    dup AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= {threshold}),
-    sym AS (SELECT doc_a AS a, doc_b AS b FROM dup
-            UNION SELECT doc_b, doc_a FROM dup),
-    reach(a, b) AS (
-      SELECT doc_id, doc_id FROM orgdocs
-      UNION
-      SELECT r.a, e.b FROM reach r JOIN sym e ON r.b = e.a
-    ),
-    cmapd AS (SELECT a AS doc_id, min(b) AS canonical_doc_id
-              FROM reach GROUP BY a)
-    SELECT doc_id, canonical_doc_id,
-           doc_id = canonical_doc_id AS is_kept
-    FROM cmapd
-    """
+    return (
+        f"WITH RECURSIVE {ORGANIC_DOCS_CTE.strip()}, "
+        f"{jac_ctes('orgdocs')},"
+        + _DEDUP_TAIL.format(threshold=threshold, src="orgdocs")
+    )
 
 
 def _simhash_ctes(n_bits: int = 16) -> str:

@@ -108,7 +108,12 @@ def _gram_array(n: int, col: str = "text"):
     shorter than w) are cut by the final slice to len-n+1 grams."""
     w = _words(col)
     if n == 1:
-        return w
+        # preserve the contract for degenerate inputs: null text must
+        # yield [] like every other n (review finding — returning the
+        # raw split would yield NULL)
+        return F.when(F.size(w) >= 1, w).otherwise(
+            F.array().cast("array<string>")
+        )
     big = 1 << 30
     acc = F.zip_with(
         w,

@@ -874,6 +874,7 @@ def test_fingerprint_v2_edge_inputs(spark):
         (3, "ünïcode wörds häßlich çedilla fünf sechs"),
         (4, " ".join(f"verylongword{i}extrapayload" for i in range(12))),
         (5, "a b c d e f g h i j"),
+        (6, None),                           # NULL text → 42 (seed), not a dropped row
     ]
     d = spark.createDataFrame(rows, "doc_id long, text string")
     con = duckdb.connect()

@@ -86,15 +86,15 @@ def run_level(mem: str) -> dict:
     ).collect()[0]["h"]
     n = out.count()
 
+    # read the ACTUAL bound UI url — Spark silently binds port+1 on
+    # conflict, and querying the configured port could read another
+    # application's metrics (review finding)
+    ui = spark.sparkContext.uiWebUrl
     app = json.load(
-        urllib.request.urlopen(
-            f"http://localhost:{UI_PORT}/api/v1/applications"
-        )
+        urllib.request.urlopen(f"{ui}/api/v1/applications")
     )[0]["id"]
     stages = json.load(
-        urllib.request.urlopen(
-            f"http://localhost:{UI_PORT}/api/v1/applications/{app}/stages"
-        )
+        urllib.request.urlopen(f"{ui}/api/v1/applications/{app}/stages")
     )
     spilled_mem = sum(s.get("memoryBytesSpilled", 0) for s in stages)
     spilled_disk = sum(s.get("diskBytesSpilled", 0) for s in stages)
