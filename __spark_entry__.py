@@ -739,10 +739,15 @@ def _q_doc_dedup_exact(spark, sf_dir):
 
 
 def _q_doc_minhash_candidates(spark, sf_dir):
-    return D.minhash_candidates(_docs(spark, sf_dir))
+    # family pinned: since the round-7 xxh64 default graduation this
+    # entry is the md5 (v1) family's gate — "md5 stays available and
+    # gated" (VERDICT r6 #2); the default path gates via the _v2 entry
+    return D.minhash_candidates(_docs(spark, sf_dir), family="md5")
 
 
 def _q_doc_ngram_jaccard(spark, sf_dir):
+    # candidates on the DEFAULT family (xxh64 since round 7) — the
+    # oracle is ngram_jaccard_v2_sql in lockstep
     docs = _docs(spark, sf_dir)
     return D.ngram_jaccard(docs, D.minhash_candidates(docs))
 
@@ -772,8 +777,10 @@ def _q_doc_dedup_corpus(spark, sf_dir):
     # organic corpus: exact copies + controlled-Jaccard mutations
     # planted in the input exercise the 0.8 threshold on an organic
     # similarity distribution (trunc90 ≈ 0.88 kept, trunc60 ≈ 0.57
-    # candidates rejected at verify, append ≈ 0.95 kept)
-    return D.dedup_corpus(_organic_docs(spark, sf_dir))
+    # candidates rejected at verify, append ≈ 0.95 kept).
+    # family pinned md5 since the round-7 graduation (see
+    # _q_doc_minhash_candidates); the default gates via the _v2 entry
+    return D.dedup_corpus(_organic_docs(spark, sf_dir), family="md5")
 
 
 def _q_doc_minhash_candidates_v2(spark, sf_dir):
@@ -1402,8 +1409,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_dup_spans_arrow": doc_oracles.dup_spans_sql(),
         "doc_length_quantiles": doc_oracles.length_quantiles_sql(),
         # the streamed drain must leave the same committed dedup state
-        # as one batch run over all input — same closed form
-        "stream_dedup_corpus": doc_oracles.dedup_corpus_sql(),
+        # as one batch run over all input — same closed form, on the
+        # DEFAULT family (xxh64) the foreachBatch dedup_ingest inherits
+        "stream_dedup_corpus": doc_oracles.dedup_corpus_v2_sql(),
         "doc_temperature_mixture": doc_oracles.temperature_mixture_sql(),
         "kg_triangles": oracles.triangle_stats_sql(),
         "emb_knn_graph": doc_oracles.knn_graph_sql(),
@@ -1441,13 +1449,15 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint_v2": doc_oracles.fingerprint_v2_sql(),
         "doc_dedup_exact": doc_oracles.exact_duplicates_sql(),
         "doc_minhash_candidates": doc_oracles.minhash_candidates_sql(),
-        "doc_ngram_jaccard": doc_oracles.ngram_jaccard_sql(),
+        # verify over DEFAULT-family (xxh64) candidates since round 7
+        "doc_ngram_jaccard": doc_oracles.ngram_jaccard_v2_sql(),
         "doc_simhash": doc_oracles.simhash_sql(),
         "doc_dedup_corpus": doc_oracles.dedup_corpus_sql(),
         "doc_minhash_candidates_v2": doc_oracles.minhash_candidates_v2_sql(),
         "doc_dedup_corpus_v2": doc_oracles.dedup_corpus_v2_sql(),
-        # incremental must land on the SAME closed form as one-shot
-        "doc_dedup_incremental": doc_oracles.dedup_corpus_sql(),
+        # incremental must land on the SAME closed form as one-shot —
+        # on the DEFAULT family (xxh64) dedup_ingest inherits
+        "doc_dedup_incremental": doc_oracles.dedup_corpus_v2_sql(),
         "doc_simhash_candidates": doc_oracles.simhash_candidates_sql(),
         "doc_corpus_filter": doc_oracles.corpus_filter_sql(),
         "kg_adjacency": oracles.adjacency_sql(max_neighbors=4),

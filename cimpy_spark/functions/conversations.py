@@ -81,6 +81,24 @@ def conv_alternation(transcripts: DataFrame) -> DataFrame:
     )
 
 
+def _turn_key(s):
+    """Canonical per-turn string under md5: ``role:text`` with NULLs
+    coalesced to '' — one definition for conv_dedup_exact and
+    conv_hash_docs, mirrored verbatim by _TURN_KEY_SQL (ADVICE r6:
+    the two engines must degrade a NULL text the same way)."""
+    return F.concat_ws(
+        ":",
+        F.coalesce(s["role"], F.lit("")),
+        F.coalesce(s["text"], F.lit("")),
+    )
+
+
+# DuckDB mirror of _turn_key: coalesce keeps the turn in string_agg
+# instead of NULLing the whole ``||`` chain (which would silently drop
+# it from the fingerprint while Spark kept it)
+_TURN_KEY_SQL = "coalesce(role, '') || ':' || coalesce(text, '')"
+
+
 def conv_dedup_exact(transcripts: DataFrame) -> DataFrame:
     """Whole-conversation exact dedup: md5 each turn-ordered (role,
     text) pair FIRST, concat the fixed-width turn hashes, md5 the
@@ -93,7 +111,11 @@ def conv_dedup_exact(transcripts: DataFrame) -> DataFrame:
     (or a crafted ``role:text`` prefix) can no longer collide two
     distinct conversations onto one fingerprint, which the previous
     raw ``concat_ws('\\n', role:text)`` construction allowed (review
-    finding; same per-turn hash as conv_neardup's turn units).
+    finding; same per-turn hash as conv_neardup's turn units). A
+    NULL role/text coalesces to '' IDENTICALLY on both engines
+    (ADVICE r6: Spark's concat_ws silently skips NULL children while
+    the oracle's ``||`` nulls the whole turn hash out of string_agg —
+    the turn would vanish from the oracle fingerprint only).
 
     Shape: one conv_id aggregate (collect_list is bounded by
     conversation length — the bound the whole pipeline already
@@ -102,7 +124,7 @@ def conv_dedup_exact(transcripts: DataFrame) -> DataFrame:
     ≪ the turn count."""
     lines = F.transform(
         F.array_sort(F.collect_list(F.struct("turn_idx", "role", "text"))),
-        lambda s: F.md5(F.concat_ws(":", s["role"], s["text"])),
+        lambda s: F.md5(_turn_key(s)),
     )
     canon = transcripts.groupBy("conv_id").agg(
         F.md5(F.concat_ws("\n", lines)).alias("fp")
@@ -329,7 +351,7 @@ def conv_dedup_exact_sql(mod: int = 10) -> str:
     {planted_cte_sql(mod)},
     canon AS (
       SELECT conv_id,
-             md5(string_agg(md5(role || ':' || text), chr(10) ORDER BY turn_idx)) AS fp
+             md5(string_agg(md5({_TURN_KEY_SQL}), chr(10) ORDER BY turn_idx)) AS fp
       FROM planted
       GROUP BY conv_id
     )
@@ -450,7 +472,7 @@ def conv_hash_docs(transcripts: DataFrame) -> DataFrame:
     k = F.substring(F.col("conv_id"), 2, 1000000).cast("bigint")
     hashes = F.transform(
         F.array_sort(F.collect_list(F.struct("turn_idx", "role", "text"))),
-        lambda s: F.md5(F.concat_ws(":", s["role"], s["text"])),
+        lambda s: F.md5(_turn_key(s)),
     )
     return (
         transcripts.groupBy("conv_id")
@@ -547,11 +569,13 @@ def planted_near_cte_sql(mod: int = 10) -> str:
 
 def conv_neardup_sql(threshold: float = 0.8, mod: int = 10) -> str:
     """DuckDB mirror of conv_neardup over the planted-near corpus:
-    turn-hash convdocs → the shared jac_ctes chain (nums_max=4000
-    bounds shingle positions at 4k TURNS per conversation — the word
-    cap of the doc-level chain does not apply because words here are
-    per-turn hashes) → transitive closure → min-id election."""
-    from cimpy_spark.functions.doc_oracles import jac_ctes
+    turn-hash convdocs → the shared jac_ctes_v2 chain (the xxhash64
+    family conv_neardup inherits from dedup_corpus since the round-7
+    default graduation; nums_max=4000 bounds shingle positions at 4k
+    TURNS per conversation — the word cap of the doc-level chain does
+    not apply because words here are per-turn hashes) → transitive
+    closure → min-id election."""
+    from cimpy_spark.functions.doc_oracles import jac_ctes_v2
 
     back = (
         lambda c: f"(CASE {c} % 3 WHEN 0 THEN 'c' WHEN 1 THEN 'd' "
@@ -564,11 +588,11 @@ def conv_neardup_sql(threshold: float = 0.8, mod: int = 10) -> str:
       SELECT (CASE substr(conv_id, 1, 1) WHEN 'c' THEN 0
               WHEN 'd' THEN 1 ELSE 2 END)
              + 3 * CAST(substr(conv_id, 2) AS BIGINT) AS doc_id,
-             string_agg(md5(role || ':' || text), ' ' ORDER BY turn_idx)
+             string_agg(md5({_TURN_KEY_SQL}), ' ' ORDER BY turn_idx)
                AS text
       FROM plnear GROUP BY conv_id
     ),
-    {jac_ctes("convdocs", nums_max=4000)},
+    {jac_ctes_v2("convdocs", nums_max=4000)},
     dup AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= {threshold}),
     sym AS (SELECT doc_a AS a, doc_b AS b FROM dup
             UNION SELECT doc_b, doc_a FROM dup),
@@ -589,9 +613,13 @@ def conv_neardup_sql(threshold: float = 0.8, mod: int = 10) -> str:
     # oracle battery); MATERIALIZE the non-recursive levels.
     import re
 
-    for name in ("convdocs", "w", "sh", "seeds", "sig", "bands",
-                 "okbands", "cand", "sizes", "inter", "jac", "dup",
-                 "sym", "cmapd"):
+    # v2-chain members included; the recursive sxstripe (the XXH64
+    # string port's stripe loop) and its direct tail consumers stay
+    # un-materialized — only plain CTEs take the hint
+    for name in ("convdocs", "w", "sh", "seeds", "shd", "shx",
+                 "mixa", "mixb", "sig", "bands0", "bk1", "bk2",
+                 "bands", "okbands", "cand", "sizes", "inter", "jac",
+                 "dup", "sym", "cmapd", "sxout"):
         # anchored: "w"/"sh"/"sym" must not match inside longer names
         sql = re.sub(
             rf"(?<![A-Za-z0-9_]){name} AS \(",

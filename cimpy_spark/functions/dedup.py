@@ -1,12 +1,21 @@
 """Deduplication operators for training-data pipelines: exact,
 MinHash+LSH, SimHash, n-gram Jaccard.
 
-Everything is built from JVM-side column expressions over a portable
-hash (md5 of strings), so results are engine-independent — the same
-computation is expressible in DuckDB for the correctness oracle, and
-the lexicographic min of ``md5(shingle || '#' || seed)`` is a valid
-MinHash permutation family (each seed suffix induces an independent
-uniform order on shingles).
+Everything is built from JVM-side column expressions over portable
+hashes, so results are engine-independent — the same computation is
+expressible in DuckDB for the correctness oracle. Two signature
+families share one bucket/verify/CC machinery:
+
+- "xxh64" (v2, the DEFAULT since round 7): each shingle hashed once
+  to a long, per-seed values and band keys from fixed-width block
+  hashes — ~2× the md5 fold, LONG band keys (tighter shuffle rows),
+  scaling efficiency 0.667 vs 0.541 at 4→16 cores (BENCH.md r6).
+  Oracle = the bit-exact pure-SQL XXH64 port (doc_oracles).
+- "md5" (v1, kept available and gated): the lexicographic min of
+  ``md5(shingle || '#' || seed)`` is a valid MinHash permutation
+  family (each seed suffix induces an independent uniform order on
+  shingles). Corpora fingerprinted under one family must be re-signed
+  to compare under the other.
 
 Scale notes (100 TB corpus):
 - signatures and band keys are computed as NARROW per-row array
@@ -198,7 +207,7 @@ def minhash_candidates(
     n_hashes: int = N_HASHES,
     n_bands: int = N_BANDS,
     max_bucket: int = MAX_BUCKET,
-    family: str = "md5",
+    family: str = "xxh64",
 ) -> DataFrame:
     """Near-duplicate candidate pairs (doc_a < doc_b) sharing any LSH
     band bucket of size ≤ max_bucket. Oversize buckets (boilerplate)
@@ -275,7 +284,7 @@ def dedup_corpus(
     n_hashes: int = N_HASHES,
     n_bands: int = N_BANDS,
     max_bucket: int = MAX_BUCKET,
-    family: str = "md5",
+    family: str = "xxh64",
 ) -> DataFrame:
     """End-to-end near-duplicate corpus dedup — the composition a
     training-data pipeline actually runs:
@@ -343,9 +352,12 @@ def dedup_corpus(
 # keys become longs (tighter shuffle rows in the bucket join).
 # Measured: band keys 14-22s → 7.5s at 500k docs/32 cores. The DuckDB
 # oracle mirrors it bit-exactly via the pure-SQL XXH64 closed forms
-# (doc_oracles.xxh64_long_sql / xxh64_int_sql). v1 (md5) stays the
-# default + its gates — corpora fingerprinted under one family must
-# be re-signed to compare under the other.
+# (doc_oracles.xxh64_long_sql / xxh64_int_sql). Graduated to the
+# DEFAULT family in round 7 (VERDICT r6 #2: 1.7-2.1× absolute at both
+# measured parallelism levels, scaling 0.667 vs 0.541); v1 (md5)
+# stays available via family="md5" and keeps its own gates — corpora
+# fingerprinted under one family must be re-signed to compare under
+# the other.
 
 _MAX_LONG = (1 << 63) - 1
 
@@ -402,7 +414,9 @@ def minhash_candidates_v2(docs: DataFrame, **kw) -> DataFrame:
     machinery (cap, anti-join, bounded self-join), long band keys.
     Thin wrapper over the family parameter (review finding: the
     one-shot and ingest paths must select families the same way, and
-    the shared machinery must exist once)."""
+    the shared machinery must exist once). Since the round-7
+    graduation this equals the default; the explicit spelling stays
+    because the *_v2 gate entries pin the family by name."""
     return minhash_candidates(docs, family="xxh64", **kw)
 
 
@@ -604,7 +618,7 @@ def dedup_ingest(
     n_bands: int = N_BANDS,
     max_bucket: int = MAX_BUCKET,
     broadcast_touched_max: int = BROADCAST_TOUCHED_MAX,
-    family: str = "md5",
+    family: str = "xxh64",
 ) -> DataFrame:
     """Incremental near-duplicate dedup: per arriving batch, re-LSH
     only the NEW documents and re-pair only the buckets the batch
@@ -655,9 +669,10 @@ def dedup_ingest(
     bucket contents, links only on pairs + cached Jaccard, labels
     only on links.
 
-    ``family`` selects the signature hash family: "md5" (v1, the
-    gated default) or "xxh64" (v2 — long band keys, ~2× signature
-    fold; BENCH.md round-6). The committed state encodes the family
+    ``family`` selects the signature hash family: "xxh64" (v2, the
+    default since round 7 — long band keys, ~2× signature fold;
+    BENCH.md round-6) or "md5" (v1, kept available and gated). The
+    committed state encodes the family
     in the band_key column type, so an out_dir bootstrapped under one
     family must keep it (mixing families against one ledger would
     read the other family's parquet with the wrong schema and fail

@@ -295,7 +295,9 @@ def fingerprint_v2_sql() -> str:
     children, leaving the seed — verified against F.xxhash64 on a
     null column), so the fallback is coalesce(…, 42), not a dropped
     row (review finding: the first cut filtered null texts out of
-    the xin CTE entirely)."""
+    the xin CTE entirely). NUMS caps gram positions at 500 — the
+    fixture word-length CONTRACT documented on `sig_ctes` (ADVICE
+    r6: a >504-word doc needs a larger bound, not this oracle)."""
     return f"""WITH RECURSIVE {NUMS}, {W_CTE},
     xin AS (
       SELECT doc_id AS key,
@@ -343,7 +345,14 @@ def sig_ctes(src: str = "documents", nums_max: int = 500) -> str:
 
     `nums_max` bounds the shingle-position series (default matches the
     historical 500-word documents cap; conversation-level callers pass
-    a larger bound because their "words" are per-turn hashes)."""
+    a larger bound because their "words" are per-turn hashes).
+
+    CONTRACT, not a latent mismatch (ADVICE r6): a doc longer than
+    nums_max+4 words would produce grams in Spark that this oracle
+    never hashes. The `documents` fixture generator caps texts well
+    under 500 words (TESTDATA.md); any caller gating a longer-text
+    corpus must pass a nums_max derived from its max doc length (the
+    conv_neardup oracle does exactly that with 4000 turns)."""
     nums = f"nums AS (SELECT unnest(generate_series(1, {nums_max})) AS i)"
     return f"""
 {nums}, {_w_cte(src)}, {SH3_CTE},
@@ -387,7 +396,8 @@ def sig_ctes_v2(src: str = "documents", nums_max: int = 500) -> str:
     per-band key = three chained hashLongs over the band's signature
     longs. Embed under WITH RECURSIVE (the string port's stripe loop).
     Produces the same terminal CTE names (sh, bands, okbands, cand) as
-    `sig_ctes`, so the Jaccard/dedup tails are shared verbatim."""
+    `sig_ctes`, so the Jaccard/dedup tails are shared verbatim.
+    Inherits sig_ctes' nums_max word-length CONTRACT (see there)."""
     nums = f"nums AS (SELECT unnest(generate_series(1, {nums_max})) AS i)"
     mix1 = xxh64_long_sql("hu", "42::UBIGINT")
     mix2 = xxh64_int_sql("seed::UBIGINT", "m1")
@@ -502,6 +512,16 @@ def ngram_jaccard_sql() -> str:
     return f"WITH {JAC_CTES} SELECT doc_a, doc_b, jaccard FROM jac"
 
 
+def ngram_jaccard_v2_sql() -> str:
+    """Verify-stage oracle over v2 (default-family) candidates — the
+    mirror of ngram_jaccard(docs, minhash_candidates(docs)) after the
+    round-7 family graduation."""
+    return (
+        f"WITH RECURSIVE {jac_ctes_v2('documents')} "
+        "SELECT doc_a, doc_b, jaccard FROM jac"
+    )
+
+
 def dedup_corpus_sql(threshold: float = 0.8) -> str:
     """End-to-end dedup oracle over the ORGANIC corpus (planted exact
     copies + controlled-Jaccard mutations, fixtures/organic.py):
@@ -578,6 +598,8 @@ def simhash_candidates_sql(
 def corpus_filter_sql(
     min_quality: float = 0.5, dedup_threshold: float = 0.8
 ) -> str:
+    # dedup branch on the v2 (xxhash64) family — the engine default
+    # corpus_filter inherits since the round-7 graduation
     return f"""
     SELECT q.doc_id, q.quality, l.lang_pred, d.is_kept,
            (q.quality >= {min_quality}
@@ -585,7 +607,7 @@ def corpus_filter_sql(
             AND d.is_kept) AS selected
     FROM ({quality_score_sql()}) q
     JOIN ({lang_id_sql()}) l USING (doc_id)
-    JOIN ({dedup_corpus_sql(dedup_threshold)}) d USING (doc_id)
+    JOIN ({dedup_corpus_v2_sql(dedup_threshold)}) d USING (doc_id)
     """
 
 

@@ -1184,8 +1184,8 @@ def corpus_card(docs: DataFrame) -> DataFrame:
         .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_dup_docs"))
     )
     return (
-        stats.crossJoin(qsum)
-        .crossJoin(dup_docs)
+        stats.crossJoin(F.broadcast(qsum))
+        .crossJoin(F.broadcast(dup_docs))
         .select(
             F.col("n_docs").cast("long").alias("n_docs"),
             F.col("n_sources").cast("long").alias("n_sources"),

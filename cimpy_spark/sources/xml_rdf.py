@@ -30,8 +30,17 @@ IR mapping (cimpy/cimimport.py:150-151, 255-345 analog):
 - rdf:resource="…#Scheme.Value" (external enum URI)
                                 → (x, 'Class.attr', 'Scheme.Value',
                                   'enum') — suffix after the last
-                                  '#', cimpy's enum handling
-                                  (cimpy/cimimport.py:334-345)
+                                  '#'. DELIBERATELY richer than
+                                  cimpy's enum handling: the analog
+                                  (cimpy/cimimport.py:345) rsplits
+                                  once more on '.' and keeps only
+                                  'Value'; this IR retains the scheme
+                                  prefix so kg_enum_dictionary /
+                                  kg_enum_roundtrip can rebuild the
+                                  full URI losslessly (the export
+                                  sink needs it), and the scheme is
+                                  trivially droppable downstream
+                                  (ADVICE r6 docstring fix)
 - any other rdf:resource (e.g. "urn:uuid:…") stays a 'ref' to the
   full value — unresolvable targets surface in the quarantine, never
   silently dropped.

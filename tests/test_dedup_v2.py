@@ -2,10 +2,12 @@
 vs its DuckDB oracle (the pure-SQL XXH64 closed forms), plus the
 family-recall contract on the organic planted-duplicate corpus.
 
-v1 (md5) stays the default and keeps its gates; v2 exists because the
-round-6 stage breakdown put the md5 signature fold at the top of the
-dedup cost (BENCH.md round-6 scaling section) and the v2 fold hashes
-each shingle once to a long + two fixed-width block hashes per seed."""
+v2 exists because the round-6 stage breakdown put the md5 signature
+fold at the top of the dedup cost (BENCH.md round-6 scaling section)
+and the v2 fold hashes each shingle once to a long + two fixed-width
+block hashes per seed. Round 7 graduated xxh64 to the DEFAULT family
+(VERDICT r6 #2); v1 (md5) stays available via family="md5" and keeps
+its own gates (doc_minhash_candidates / doc_dedup_corpus pin it)."""
 
 from __future__ import annotations
 
