@@ -46,9 +46,103 @@ def _scratch_dir(prefix: str) -> str:
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: transcript → triple extraction at sf0.001."""
+    """Flagship: transcript → triple extraction at sf0.001. Also
+    stages the CIGRE XML triple IR for the kg_xml_link gate
+    (best-effort: skipped when the reference fixture is absent)."""
+    try:
+        _stage_xml_ir(spark)
+    except FileNotFoundError:
+        pass
     transcripts = transcripts_from_events(spark, "/root/testdata/sf0.001")
     return extract_triples(transcripts)
+
+
+# --------------------------------------------------------------------------
+# Real-fixture XML ingest gate (VERDICT r6 #4)
+# --------------------------------------------------------------------------
+
+_CIGRE_DIR = "/root/reference/cimpy/examples/sampledata/CIGRE_MV"
+_XML_IR_DIR = "/tmp/cimpy_xml_ir_v1/triples"
+_XML_STAGE_CACHE: set[str] = set()
+
+
+def _stage_xml_ir(spark: SparkSession) -> str:
+    """Stage the CIGRE MV triple IR (sources/xml_rdf.py over the
+    reference's own read-only fixture) to a deterministic parquet
+    path BOTH engines read — the independence boundary of the
+    kg_xml_link gate is the downstream election/linking/quarantine,
+    not the XML tokenizer (tests/test_xml_import.py:36-41). Memoized
+    per applicationId; re-staging is an idempotent overwrite of the
+    same content (the fixture is static)."""
+    import glob
+
+    app = spark.sparkContext.applicationId
+    if app not in _XML_STAGE_CACHE:
+        from cimpy_spark.sources.xml_rdf import read_rdf_xml
+
+        paths = sorted(glob.glob(f"{_CIGRE_DIR}/*.xml"))
+        if not paths:
+            raise FileNotFoundError(
+                f"reference CIGRE MV fixture absent under {_CIGRE_DIR}"
+            )
+        read_rdf_xml(spark, paths).coalesce(4).write.mode(
+            "overwrite"
+        ).parquet(_XML_IR_DIR)
+        _XML_STAGE_CACHE.add(app)
+    return _XML_IR_DIR
+
+
+def _q_kg_xml_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity linking over REAL CIM RDF/XML (the CIGRE MV estate, the
+    first directly data-comparable gate): first-declaration-wins type
+    election + reference resolution with quarantine flags over the
+    staged triple IR. One row per ref-kind triple:
+    (src, pred, dst, resolved, src_type). `sf_dir` is unused — the
+    input is the reference's own fixture."""
+    from pyspark.sql import functions as F
+
+    from cimpy_spark.operators import link as L
+
+    body = spark.read.parquet(_stage_xml_ir(spark)).filter(
+        F.col("role") != "xml_meta"
+    )
+    ents = L.declared_entities(body)
+    resolved = L.resolve_references(body, ents)
+    src_types = ents.select(
+        F.col("entity_id").alias("src"), F.col("type").alias("src_type")
+    )
+    return resolved.join(F.broadcast(src_types), "src", "left").select(
+        "src", "pred", "dst", "resolved", "src_type"
+    )
+
+
+def _kg_xml_link_oracle() -> str:
+    """Independent DuckDB derivation over the SAME staged IR: window
+    election instead of min_by, join-flag membership instead of the
+    operator's AQE-tri-state join."""
+    return f"""
+    WITH triples AS (
+      SELECT * FROM read_parquet('{_XML_IR_DIR}/*.parquet')
+      WHERE role <> 'xml_meta'
+    ),
+    ents AS (
+      SELECT entity_id, type FROM (
+        SELECT subj AS entity_id, obj AS type,
+               row_number() OVER (
+                 PARTITION BY subj
+                 ORDER BY conv_id, turn_idx, mention_idx
+               ) AS rn
+        FROM triples WHERE pred = 'rdf_type'
+      ) WHERE rn = 1
+    )
+    SELECT t.subj AS src, t.pred, t.obj AS dst,
+           (ed.entity_id IS NOT NULL) AS resolved,
+           es.type AS src_type
+    FROM triples t
+    LEFT JOIN ents ed ON t.obj = ed.entity_id
+    LEFT JOIN ents es ON t.subj = es.entity_id
+    WHERE t.obj_kind = 'ref' AND t.pred <> 'sameAs'
+    """
 
 
 # --------------------------------------------------------------------------
@@ -1087,122 +1181,104 @@ def _q_emb_dedup_incremental(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered by GATING PRIORITY, not by topic: the driver evaluates
     a bounded prefix (50 rows), so entries that most need a fresh
-    CORRECTNESS row come first. Round 6 spends the ENTIRE prefix on
-    (a) the 37 entries that had never had a driver row (VERDICT r5
-    #1 — composites, then the graph battery, then the laggards, then
-    the rest), (b) the three entries whose code changed or arrived
-    this round, and (c) the ten 2-round-stale load-bearing pipeline
-    entries. The tail holds queries that are r5-GREEN (or r4-green
-    via the r5 rotation contract) with exercised code verifiably
-    unchanged this round — see the tail comment. Rotate per round so
-    every entry's newest green row stays at most ~one round old."""
+    CORRECTNESS row come first. The round-7 prefix = (a) every entry
+    whose code or oracle changed this round (the xxh64 default
+    graduation, the turn-hash null fix, the corpus_card broadcast
+    hints, the NEW kg_xml_link gate) including the two v2 entries
+    getting their FIRST driver row, (b) the six entries VERDICT r6
+    flagged as changed-in-r6-but-gated-in-an-older-round, (c) all 36
+    entries whose newest green row was r4 (2-round-stale cohort), and
+    (d) the two oldest r6-displaced r5-green occupants (mm_features,
+    mm_resize). The tail holds only entries r5- or r6-green with
+    exercised code verifiably unchanged since — see the tail comment.
+    Rotate per round so every entry's newest green row stays at most
+    ~one round old."""
     return {
-        # -- never-gated (VERDICT r5 #1): multi-op composites ---------
-        "doc_curation_pipeline": _q_doc_curation_pipeline,
-        "doc_setsim_join": _q_doc_setsim_join,
-        "doc_dup_spans": _q_doc_dup_spans,
-        "doc_dup_span_stats": _q_doc_dup_span_stats,
-        "doc_dup_spans_arrow": _q_doc_dup_spans_arrow,
-        "doc_line_dedup": _q_doc_line_dedup,
-        "doc_bpe_merges": _q_doc_bpe_merges,
-        "doc_bpe_tokens": _q_doc_bpe_tokens,
-        "stream_dedup_corpus": _q_stream_dedup_corpus,
-        # -- never-gated: the graph battery ----------------------------
-        "kg_kcore": _q_kg_kcore,
-        "kg_lpa": _q_kg_lpa,
-        "kg_landmarks": _q_kg_landmarks,
-        "kg_linkpred": _q_kg_linkpred,
-        "kg_cooccurrence": _q_kg_cooccurrence,
-        "kg_triangles": _q_triangle_stats,
-        "kg_negative_samples": _q_kg_negative_samples,
-        "kg_neighbor_sample": _q_kg_neighbor_sample,
-        "kg_graph_diff": _q_kg_graph_diff,
-        "kg_degree_distribution": _q_kg_degree_distribution,
-        # -- never-gated: the five-round laggards ----------------------
-        "event_attribution": A.event_attribution,
-        "purchase_click_window": A.purchase_click_window,
-        # -- never-gated: the rest of the r5 continuation tail ---------
-        "doc_length_quantiles": _q_doc_length_quantiles,
-        "doc_temperature_mixture": _q_doc_temperature_mixture,
-        "emb_knn_graph": _q_emb_knn_graph,
-        "doc_domain_flags": _q_doc_domain_flags,
-        "doc_corpus_card": _q_doc_corpus_card,
-        "doc_script_profile": _q_doc_script_profile,
-        "doc_mad_outliers": _q_doc_mad_outliers,
-        "doc_epoch_allocation": _q_doc_epoch_allocation,
-        "doc_source_terms": _q_doc_source_terms,
-        "doc_source_overlap": _q_doc_source_overlap,
-        "doc_winnow": _q_doc_winnow,
-        "conv_truncate": _q_conv_truncate,
-        "doc_quality_percentile": _q_doc_quality_percentile,
-        "doc_normalize": _q_doc_normalize,
-        "emb_label_centroids": _q_emb_label_centroids,
-        "doc_repetition": _q_doc_repetition,
-        # -- changed or new in round 6 (code must be gated on arrival):
-        #    conv_dedup_exact = per-turn md5 fingerprint;
-        #    emb_contamination = uncapped bench buckets by default;
-        #    doc_fingerprint_v2 = NEW xxhash64 hash family (the one
-        #    verdict-mandated addition; other additions stay frozen
-        #    until the gate backlog clears) -------------------------
-        "conv_dedup_exact": _q_conv_dedup_exact,
-        "emb_contamination": _q_emb_contamination,
-        "doc_fingerprint_v2": _q_doc_fingerprint_v2,
-        # -- load-bearing pipeline core, now 2 rounds stale (r4-green,
-        #    displaced from the r5 prefix) — rotate back in ----------
-        "stream_extract_triples": _q_stream_extract,
-        "stream_conv_state": _q_stream_conv_state,
-        "kg_transcripts": _q_transcripts,
-        "kg_extract_triples": _q_extract,
-        "kg_entities": _q_entities,
-        "kg_link_edges": _q_link_edges,
-        "kg_link_quarantine": _q_link_quarantine,
-        "kg_canonical_edges": _q_canonical_edges,
-        "kg_nodes": _q_nodes,
-        "kg_input_validation": _q_input_validation,
-        # ---- gated prefix boundary (50) -----------------------------
-        # -- rotation tail: every entry below is r5-GREEN in
-        #    CORRECTNESS_r05 (or r4-green under the r5 rotation
-        #    contract, stated per-entry in the r5 revision). The r6
-        #    diff touches, with its gates: analytics.asof_join (prefix
-        #    event_attribution), bpe.bpe_token_count (prefix
-        #    doc_bpe_tokens), conversations.conv_dedup_exact (prefix),
-        #    similarity.emb_contamination (prefix), text.fingerprint_v2
-        #    (NEW, prefix), fixtures/oracles.lpa_sql (prefix kg_lpa),
-        #    text._gram_array (REWRITTEN linear, value-identical —
-        #    exercised by MANY prefix rows: doc_curation_pipeline,
-        #    doc_setsim_join, doc_dup_spans/stats, doc_repetition,
-        #    doc_winnow, doc_bpe_*, stream_dedup_corpus; tail gram
-        #    consumers doc_fingerprint / doc_dedup_corpus /
-        #    doc_ngram_jaccard / doc_minhash_candidates /
-        #    doc_dedup_incremental / doc_contamination were
-        #    additionally re-verified against their oracles with
-        #    tools/compare.py after the rewrite, all green),
-        #    text.script_profile
-        #    (translate char-map, value-identical, prefix row
-        #    re-verified), dedup.dedup_ingest family parameter (md5
-        #    default path re-verified green; xxh64 is new code gated
-        #    by tests/test_dedup_v2.py until its r7 row), and new
-        #    dedup *_v2 functions (below, tail head). r5-green prefix
-        #    occupants displaced by this rotation lead the tail and
-        #    rotate back first next round. ---------------------------
-        # -- NEW in round 6 after the 50 slots were spoken for by the
-        #    never-gated backlog (VERDICT r6 #1 takes precedence):
-        #    first driver gate rotates in next round; until then the
-        #    driver-style parity is pinned in pytest
-        #    (tests/test_dedup_v2.py — exact Spark==DuckDB compares on
-        #    both entries, plus the family-recall contract) ----------
+        # -- changed or NEW this round (code gated on arrival):
+        #    kg_xml_link = NEW real-fixture ingest gate (VERDICT r6
+        #    #4); *_v2 = first driver rows (r6 tail head); the rest
+        #    inherit the xxh64 default-family graduation (engine +
+        #    oracle moved in one commit), the conv turn-hash null
+        #    coalesce, or the corpus_card broadcast hints ------------
+        "kg_xml_link": _q_kg_xml_link,
         "doc_minhash_candidates_v2": _q_doc_minhash_candidates_v2,
         "doc_dedup_corpus_v2": _q_doc_dedup_corpus_v2,
+        "conv_dedup_exact": _q_conv_dedup_exact,
+        "conv_neardup": _q_conv_neardup,
+        "doc_corpus_filter": _q_doc_corpus_filter,
+        "stream_dedup_corpus": _q_stream_dedup_corpus,
+        "doc_corpus_card": _q_doc_corpus_card,
+        "doc_dedup_incremental": _q_doc_dedup_incremental,
+        "doc_ngram_jaccard": _q_doc_ngram_jaccard,
+        "doc_dedup_corpus": _q_doc_dedup_corpus,
+        "doc_minhash_candidates": _q_doc_minhash_candidates,
+        # -- r6-changed code whose newest row predated the change
+        #    (VERDICT r6 "what's wrong" #1; the other four of the six
+        #    are above with r7 changes of their own) ------------------
+        "doc_fingerprint": _q_doc_fingerprint,
+        "doc_contamination": _q_doc_contamination,
+        # -- the remaining 34 of the 36 r4-stale entries (VERDICT r6
+        #    #1: the 2-round-stale cohort takes the rest of the
+        #    prefix) --------------------------------------------------
+        "doc_dedup_exact": _q_doc_dedup_exact,
+        "doc_hash_split": _q_doc_hash_split,
+        "doc_lang_id": _q_doc_lang_id,
+        "doc_quality": _q_doc_quality,
+        "doc_simhash": _q_doc_simhash,
+        "doc_source_quota": _q_doc_source_quota,
+        "doc_token_count": _q_doc_token_count,
+        "emb_dedup_corpus": _q_emb_dedup_corpus,
+        "emb_neardup_pairs": _q_emb_neardup,
+        "kg_adjacency": _q_kg_adjacency,
+        "kg_assembly": _q_assembly,
+        "kg_bus_branch": _q_bus_branch,
+        "kg_canonical_map": _q_canonical_map,
+        "kg_contract_controls": _q_contract_controls,
+        "kg_default_suppression": _q_default_suppression,
+        "kg_delete_t0": _q_delete_t0,
+        "kg_enum_dictionary": _q_enum_dictionary,
+        "kg_enum_roundtrip": _q_enum_roundtrip,
+        "kg_incremental_edges": _q_incremental_edges,
+        "kg_multihop": _q_multihop,
+        "kg_multiplicity_check": _q_multiplicity_check,
+        "kg_multivalued_attrs": _q_multivalued_attrs,
+        "kg_node_degree": _q_node_degree,
+        "kg_per_type_stats": _q_per_type_stats,
+        "kg_profile_routing": _q_profile_routing,
+        "kg_reachability": _q_reachability,
+        "kg_results_writeback": _q_results_writeback,
+        "kg_reverse_edges": _q_reverse_edges,
+        "kg_schema_cast": _q_schema_cast,
+        "kg_snapshot_meta": _q_snapshot_meta,
+        "kg_sql_interface": _q_sql_interface,
+        "kg_type_dispatch": _q_type_dispatch,
+        "kg_typed_attrs": _q_typed_attrs,
+        "kg_value_rollup": _q_value_rollup,
+        # -- last 2 slots: the oldest r6-displaced r5-green occupants
+        #    (they lead the displaced cohort per the rotation
+        #    contract) ------------------------------------------------
         "mm_features": _q_mm_features,
         "mm_resize": _q_mm_resize,
+        # ---- gated prefix boundary (50) -----------------------------
+        # -- rotation tail, two cohorts, newest-green last:
+        #    (1) r5-green entries whose exercised code is unchanged in
+        #    r6 AND r7 (the r6 tail comment's per-entry claims carry;
+        #    the r7 diff touches dedup family defaults + oracles
+        #    [every affected entry is in the prefix above], the conv
+        #    turn-hash [conv_dedup_exact / conv_neardup in prefix],
+        #    corpus_card [prefix], xml sources/sinks [kg_xml_link in
+        #    prefix; export is pytest-gated in
+        #    tests/test_export_roundtrip.py], and nothing else the
+        #    tail exercises);
+        #    (2) entries r6-green in CORRECTNESS_r06 displaced from
+        #    the r6 prefix by this rotation — 1 round old, unchanged
+        #    in r7 by the same diff audit. -----------------------------
         "mm_frame_sample": _q_mm_frame_sample,
         "emb_cosine_topk": _q_emb_cosine_topk,
         "emb_lsh_buckets": _q_emb_lsh_buckets,
         "emb_ivf_topk": _q_emb_ivf_topk,
         "emb_kmeans_ivf_topk": _q_emb_kmeans_ivf_topk,
         "doc_simhash_candidates": _q_doc_simhash_candidates,
-        "doc_corpus_filter": _q_doc_corpus_filter,
-        "doc_ngram_jaccard": _q_doc_ngram_jaccard,
         "kg_khop": _q_khop,
         "kg_extract_metrics": _q_extract_metrics,
         "kg_incremental_nodes": _q_incremental_nodes,
@@ -1227,56 +1303,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_gopher_rules": _q_doc_gopher_rules,
         "doc_bm25": _q_doc_bm25,
         "emb_quantize": _q_emb_quantize,
-        "doc_dedup_incremental": _q_doc_dedup_incremental,
         "emb_dedup_incremental": _q_emb_dedup_incremental,
         "doc_repetition_arrow": _q_doc_repetition_arrow,
         "doc_contamination_arrow": _q_doc_contamination_arrow,
         "conv_profile": _q_conv_profile,
         "conv_alternation": _q_conv_alternation,
-        "conv_neardup": _q_conv_neardup,
         "kg_pagerank": _q_pagerank,
         "conv_pairs": _q_conv_pairs,
         "conv_tool_stats": _q_conv_tool_stats,
         "conv_tool_transitions": _q_conv_tool_transitions,
         "conv_latency": _q_conv_latency,
-        "doc_fingerprint": _q_doc_fingerprint,
-        "doc_dedup_corpus": _q_doc_dedup_corpus,
-        "doc_hash_split": _q_doc_hash_split,
-        "doc_minhash_candidates": _q_doc_minhash_candidates,
-        "doc_contamination": _q_doc_contamination,
-        "kg_reachability": _q_reachability,
-        "kg_assembly": _q_assembly,
-        "kg_results_writeback": _q_results_writeback,
-        "kg_schema_cast": _q_schema_cast,
-        "kg_profile_routing": _q_profile_routing,
-        "kg_per_type_stats": _q_per_type_stats,
-        "kg_enum_roundtrip": _q_enum_roundtrip,
-        "kg_multiplicity_check": _q_multiplicity_check,
-        "kg_multivalued_attrs": _q_multivalued_attrs,
-        "kg_snapshot_meta": _q_snapshot_meta,
-        "kg_default_suppression": _q_default_suppression,
-        "kg_incremental_edges": _q_incremental_edges,
-        "doc_token_count": _q_doc_token_count,
-        "doc_quality": _q_doc_quality,
-        "doc_lang_id": _q_doc_lang_id,
-        "doc_simhash": _q_doc_simhash,
-        "doc_source_quota": _q_doc_source_quota,
-        "doc_dedup_exact": _q_doc_dedup_exact,
-        "emb_neardup_pairs": _q_emb_neardup,
-        "emb_dedup_corpus": _q_emb_dedup_corpus,
-        "kg_sql_interface": _q_sql_interface,
-        "kg_reverse_edges": _q_reverse_edges,
-        "kg_canonical_map": _q_canonical_map,
-        "kg_typed_attrs": _q_typed_attrs,
-        "kg_node_degree": _q_node_degree,
-        "kg_multihop": _q_multihop,
-        "kg_type_dispatch": _q_type_dispatch,
-        "kg_value_rollup": _q_value_rollup,
-        "kg_delete_t0": _q_delete_t0,
-        "kg_enum_dictionary": _q_enum_dictionary,
-        "kg_contract_controls": _q_contract_controls,
-        "kg_bus_branch": _q_bus_branch,
-        "kg_adjacency": _q_kg_adjacency,
+        # -- cohort (2): r6-green, displaced by this rotation ---------
+        "doc_curation_pipeline": _q_doc_curation_pipeline,
+        "doc_setsim_join": _q_doc_setsim_join,
+        "doc_dup_spans": _q_doc_dup_spans,
+        "doc_dup_span_stats": _q_doc_dup_span_stats,
+        "doc_dup_spans_arrow": _q_doc_dup_spans_arrow,
+        "doc_line_dedup": _q_doc_line_dedup,
+        "doc_bpe_merges": _q_doc_bpe_merges,
+        "doc_bpe_tokens": _q_doc_bpe_tokens,
+        "kg_kcore": _q_kg_kcore,
+        "kg_lpa": _q_kg_lpa,
+        "kg_landmarks": _q_kg_landmarks,
+        "kg_linkpred": _q_kg_linkpred,
+        "kg_cooccurrence": _q_kg_cooccurrence,
+        "kg_triangles": _q_triangle_stats,
+        "kg_negative_samples": _q_kg_negative_samples,
+        "kg_neighbor_sample": _q_kg_neighbor_sample,
+        "kg_graph_diff": _q_kg_graph_diff,
+        "kg_degree_distribution": _q_kg_degree_distribution,
+        "event_attribution": A.event_attribution,
+        "purchase_click_window": A.purchase_click_window,
+        "doc_length_quantiles": _q_doc_length_quantiles,
+        "doc_temperature_mixture": _q_doc_temperature_mixture,
+        "emb_knn_graph": _q_emb_knn_graph,
+        "doc_domain_flags": _q_doc_domain_flags,
+        "doc_script_profile": _q_doc_script_profile,
+        "doc_mad_outliers": _q_doc_mad_outliers,
+        "doc_epoch_allocation": _q_doc_epoch_allocation,
+        "doc_source_terms": _q_doc_source_terms,
+        "doc_source_overlap": _q_doc_source_overlap,
+        "doc_winnow": _q_doc_winnow,
+        "conv_truncate": _q_conv_truncate,
+        "doc_quality_percentile": _q_doc_quality_percentile,
+        "doc_normalize": _q_doc_normalize,
+        "emb_label_centroids": _q_emb_label_centroids,
+        "doc_repetition": _q_doc_repetition,
+        "emb_contamination": _q_emb_contamination,
+        "doc_fingerprint_v2": _q_doc_fingerprint_v2,
+        "stream_extract_triples": _q_stream_extract,
+        "stream_conv_state": _q_stream_conv_state,
+        "kg_transcripts": _q_transcripts,
+        "kg_extract_triples": _q_extract,
+        "kg_entities": _q_entities,
+        "kg_link_edges": _q_link_edges,
+        "kg_link_quarantine": _q_link_quarantine,
+        "kg_canonical_edges": _q_canonical_edges,
+        "kg_nodes": _q_nodes,
+        "kg_input_validation": _q_input_validation,
     }
 
 
@@ -1338,6 +1422,11 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT conv_id, turn_idx, role, text, tool FROM ({transcripts})"
         ),
         "kg_extract_triples": triples_oracle_sql("//", "events"),
+        # real-fixture gate: both engines read the SAME staged triple
+        # IR parquet (entry() stages it); the verified surface is the
+        # downstream election/linking/quarantine, derived differently
+        # on each side (VERDICT r6 #4)
+        "kg_xml_link": _kg_xml_link_oracle(),
         "kg_extract_metrics": metrics_oracle_sql("//", "events"),
         "kg_input_validation": oracles.input_validation_sql(transcripts),
         "kg_entities": oracles.entities_sql(),
