@@ -6,6 +6,17 @@ The headline metric is end-to-end pipeline wall time; `queries` holds
 per-stage seconds. `turns_per_sec` (triple-extraction throughput, the
 BASELINE.json metric) rides along as an extra key. Scaling-efficiency
 evidence (local[8] vs local[32]) lives in scaling_bench.py → BENCH.md.
+
+Noise self-defense (VERDICT r6 #3/#5): this is a SHARED host — r6's
+driver artifact ran under ambient loadavg 11.8-20.7 and read 75%
+slower than the same code in a quiet window, making artifact-vs-
+artifact comparison useless without prose. The artifact now defends
+itself: if the first full run's ambient load exceeds
+$SPARK_GRAFT_LOAD_THRESHOLD (default 8.0 on this 32-core box — quiet
+rounds measured 2-5, noisy 11-21), the bench waits briefly and runs
+ONE more full sample, emits the lower-load sample as the headline,
+and records BOTH samples plus an explicit `all_windows_noisy` marker
+when neither window was quiet.
 """
 
 from __future__ import annotations
@@ -29,19 +40,15 @@ from cimpy_spark.operators.canonicalize import (  # noqa: E402
 )
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    sf = float(sf_dir.rstrip("/").split("sf")[-1])
-
+def run_once(sf_dir: str, cores: int, sf: float) -> dict:
+    """One full bench pass in a fresh SparkSession; returns the
+    result dict (the former main body, unchanged measurements)."""
     spark = get_spark("cimpy-spark-bench", cores=cores)
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
-    # ambient-load disclosure: this is a SHARED host (co-tenant spikes
-    # have moved recorded stage times ±20% between rounds with no code
-    # change) — record the 1-min loadavg at each stage boundary so the
-    # artifact carries its own noise evidence
+    # ambient-load disclosure: record the 1-min loadavg at each stage
+    # boundary so the artifact carries its own noise evidence
     loadavg: dict[str, float] = {"start": round(os.getloadavg()[0], 2)}
 
     def timed(name: str, fn):
@@ -182,12 +189,10 @@ def main() -> None:
         .cache()
     )
     docs.count()
+    # default family = xxh64 since round 7; the v1 (md5) family rides
+    # along for the cross-family delta the round-6/7 BENCH notes track
+    timed("doc_dedup_corpus_v1", lambda: dedup_corpus(docs, family="md5").count())
     timed("doc_dedup_corpus", lambda: dedup_corpus(docs).count())
-    # v2 = xxhash64 signature family (round 6) — same composition,
-    # long band keys, no per-seed string hashing; BENCH.md round-6
-    from cimpy_spark.functions.dedup import dedup_corpus_v2
-
-    timed("doc_dedup_corpus_v2", lambda: dedup_corpus_v2(docs).count())
     timed("doc_corpus_filter", lambda: corpus_filter(docs).count())
 
     # incremental-arrival dedup (side metric): bootstrap on 90% of the
@@ -212,7 +217,7 @@ def main() -> None:
         "extract_steady",
         "stream_extract",
         "doc_dedup_corpus",
-        "doc_dedup_corpus_v2",
+        "doc_dedup_corpus_v1",
         "doc_corpus_filter",
         "doc_dedup_ingest_batch",
     }
@@ -222,26 +227,57 @@ def main() -> None:
     # extraction throughput (BASELINE.json headline metric)
     turns_per_sec = round(n_turns / timings["extract_steady"], 1)
 
-    print(
-        json.dumps(
-            {
-                "metric": "kg_pipeline_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "turns": n_turns,
-                "extract_turns_per_sec": turns_per_sec,
-                "extract_steady_samples": steady_samples,
-                "stream_turns_per_sec": round(
-                    n_turns / timings["stream_extract"], 1
-                ),
-                "loadavg": loadavg,
-                "cores": cores,
-            }
-        )
-    )
+    result = {
+        "metric": "kg_pipeline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "turns": n_turns,
+        "extract_turns_per_sec": turns_per_sec,
+        "extract_steady_samples": steady_samples,
+        "stream_turns_per_sec": round(
+            n_turns / timings["stream_extract"], 1
+        ),
+        "loadavg": loadavg,
+        "cores": cores,
+    }
     spark.stop()
+    return result
+
+
+def _mean_load(result: dict) -> float:
+    vals = list(result["loadavg"].values())
+    return round(sum(vals) / len(vals), 2)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    threshold = float(os.environ.get("SPARK_GRAFT_LOAD_THRESHOLD", "8.0"))
+
+    samples = [run_once(sf_dir, cores, sf)]
+    if _mean_load(samples[0]) > threshold:
+        # noisy window: one bounded retry after a short settle, then
+        # keep whichever sample saw less ambient load
+        time.sleep(30)
+        samples.append(run_once(sf_dir, cores, sf))
+    samples.sort(key=_mean_load)
+    headline = samples[0]
+    headline["load_threshold"] = threshold
+    headline["mean_loadavg"] = _mean_load(headline)
+    headline["all_windows_noisy"] = _mean_load(headline) > threshold
+    if len(samples) > 1:
+        # the rejected noisier sample rides along, summarized
+        noisy = samples[1]
+        headline["rejected_sample"] = {
+            "value": noisy["value"],
+            "extract_turns_per_sec": noisy["extract_turns_per_sec"],
+            "queries": noisy["queries"],
+            "mean_loadavg": _mean_load(noisy),
+        }
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":
