@@ -1188,8 +1188,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     getting their FIRST driver row, (b) the six entries VERDICT r6
     flagged as changed-in-r6-but-gated-in-an-older-round, (c) all 36
     entries whose newest green row was r4 (2-round-stale cohort), and
-    (d) the two oldest r6-displaced r5-green occupants (mm_features,
-    mm_resize). The tail holds only entries r5- or r6-green with
+    (d) the two entries whose exercised code changed late in r7 —
+    line_dedup's boilerplate count was restructured (in-row per-doc
+    distinct, checkpoint removed), so doc_line_dedup and the
+    doc_curation_pipeline composite gate fresh; the mm_* fillers they
+    displace are r5-green-unchanged and lead the displaced-cohort
+    tail. The tail holds only entries r5- or r6-green with
     exercised code verifiably unchanged since — see the tail comment.
     Rotate per round so every entry's newest green row stays at most
     ~one round old."""
@@ -1254,11 +1258,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_type_dispatch": _q_type_dispatch,
         "kg_typed_attrs": _q_typed_attrs,
         "kg_value_rollup": _q_value_rollup,
-        # -- last 2 slots: the oldest r6-displaced r5-green occupants
-        #    (they lead the displaced cohort per the rotation
-        #    contract) ------------------------------------------------
-        "mm_features": _q_mm_features,
-        "mm_resize": _q_mm_resize,
+        # -- last 2 slots: line_dedup's exercised code changed late in
+        #    r7 (in-row pre-distinct boiler count, checkpoint removed)
+        #    so its gate and the composite that consumes it take the
+        #    two filler slots; the r5-green mm_* occupants they
+        #    displace return to the tail head (unchanged-code
+        #    contract carries) ----------------------------------------
+        "doc_line_dedup": _q_doc_line_dedup,
+        "doc_curation_pipeline": _q_doc_curation_pipeline,
         # ---- gated prefix boundary (50) -----------------------------
         # -- rotation tail, two cohorts, newest-green last:
         #    (1) r5-green entries whose exercised code is unchanged in
@@ -1313,13 +1320,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_tool_stats": _q_conv_tool_stats,
         "conv_tool_transitions": _q_conv_tool_transitions,
         "conv_latency": _q_conv_latency,
-        # -- cohort (2): r6-green, displaced by this rotation ---------
-        "doc_curation_pipeline": _q_doc_curation_pipeline,
+        # -- cohort (2): displaced by this rotation (mm_* r5-green —
+        #    displaced late-r7 by the line_dedup gates — the rest
+        #    r6-green; all unchanged-code per the r7 diff audit) ------
+        "mm_features": _q_mm_features,
+        "mm_resize": _q_mm_resize,
         "doc_setsim_join": _q_doc_setsim_join,
         "doc_dup_spans": _q_doc_dup_spans,
         "doc_dup_span_stats": _q_doc_dup_span_stats,
         "doc_dup_spans_arrow": _q_doc_dup_spans_arrow,
-        "doc_line_dedup": _q_doc_line_dedup,
         "doc_bpe_merges": _q_doc_bpe_merges,
         "doc_bpe_tokens": _q_doc_bpe_tokens,
         "kg_kcore": _q_kg_kcore,
