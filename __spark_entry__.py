@@ -736,6 +736,18 @@ def _q_emb_knn_graph(spark, sf_dir):
     return SIM.knn_graph(_organic_emb(spark, sf_dir))
 
 
+def _q_emb_semdedup(spark, sf_dir):
+    # organic corpus: the amplitude-modulated copies at cos ≈ 0.98
+    # land in their base vector's cell and are dropped (min-id-wins:
+    # base id < base+1M); the sign-flipped hard negatives at cos ≈ 0
+    # survive — both branches of the keep rule are live
+    from cimpy_spark.fixtures.organic import ORGANIC_COS_THRESHOLD
+
+    return SIM.semdedup(
+        _organic_emb(spark, sf_dir), threshold=ORGANIC_COS_THRESHOLD
+    )
+
+
 def _q_triangle_stats(spark, sf_dir):
     return P.triangle_stats(_graph(spark, sf_dir).canon_edges)
 
@@ -1346,6 +1358,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_length_quantiles": _q_doc_length_quantiles,
         "doc_temperature_mixture": _q_doc_temperature_mixture,
         "emb_knn_graph": _q_emb_knn_graph,
+        # new in r7 (tail until its first driver row; driver-style
+        # parity pinned in tests/test_semdedup.py)
+        "emb_semdedup": _q_emb_semdedup,
         "doc_domain_flags": _q_doc_domain_flags,
         "doc_script_profile": _q_doc_script_profile,
         "doc_mad_outliers": _q_doc_mad_outliers,
@@ -1513,6 +1528,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_temperature_mixture": doc_oracles.temperature_mixture_sql(),
         "kg_triangles": oracles.triangle_stats_sql(),
         "emb_knn_graph": doc_oracles.knn_graph_sql(),
+        "emb_semdedup": doc_oracles.semdedup_sql(),
         "doc_domain_flags": doc_oracles.domain_flags_sql(),
         "doc_corpus_card": doc_oracles.corpus_card_sql(),
         "doc_line_dedup": doc_oracles.line_dedup_sql(),

@@ -706,25 +706,21 @@ def ivf_topk_sql(n_queries: int = 8, k: int = 5, nprobe: int = 2) -> str:
 NEARDUP_MAX_BUCKET = _NEARDUP_CAP
 
 
-def kmeans_ivf_topk_sql(
-    k: int = 4,
-    iters: int = 2,
-    n_queries: int = 8,
-    topk: int = 5,
-    nprobe: int = 2,
-) -> str:
-    """IVF with a trained Lloyd quantizer — same deterministic recipe
-    as the engine: seed centroids = vec_id<k, per-iter argmin on
-    dist² rounded 6dp (tie → smaller cell), per-dim means rounded 9dp,
-    empty cells keep their centroid."""
+def _lloyd_cte_parts(k: int, iters: int, src: str = "e") -> list[str]:
+    """Unrolled deterministic Lloyd CTE chain over `src`(vec_id, emb)
+    — the engine's `kmeans_cells` recipe: seed centroids = vec_id<k,
+    per-iter argmin on dist² rounded 6dp (tie → smaller cell),
+    per-dim means rounded 9dp, empty cells keep their centroid. Ends
+    with `afinal`(vec_id, emb, cell), MATERIALIZED (it fans out to
+    several consumers and DuckDB inlines plain CTEs per consumer)."""
     d2 = (
         "round(list_dot_product(a.emb, a.emb)"
         " - 2 * list_dot_product(a.emb, c.cemb)"
         " + list_dot_product(c.cemb, c.cemb), 6)"
     )
     parts = [
-        "e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)",
-        f"c0 AS (SELECT vec_id AS cell, emb AS cemb FROM e WHERE vec_id < {k})",
+        f"c0 AS (SELECT vec_id AS cell, emb AS cemb FROM {src}"
+        f" WHERE vec_id < {k})",
     ]
     for it in range(1, iters + 1):
         prev = f"c{it - 1}"
@@ -734,7 +730,7 @@ def kmeans_ivf_topk_sql(
         SELECT a.vec_id, a.emb, c.cell,
                row_number() OVER (PARTITION BY a.vec_id
                  ORDER BY {d2} ASC, c.cell ASC) AS rk
-        FROM e a, {prev} c
+        FROM {src} a, {prev} c
       ) WHERE rk = 1
     )""")
         parts.append(f"""
@@ -751,16 +747,31 @@ def kmeans_ivf_topk_sql(
       SELECT p.cell, COALESCE(m.cemb, p.cemb) AS cemb
       FROM {prev} p LEFT JOIN m{it} m USING (cell)
     )""")
-    last_c = f"c{iters}"
     parts.append(f"""
-    afinal AS (
+    afinal AS MATERIALIZED (
       SELECT vec_id, emb, cell FROM (
         SELECT a.vec_id, a.emb, c.cell,
                row_number() OVER (PARTITION BY a.vec_id
                  ORDER BY {d2} ASC, c.cell ASC) AS rk
-        FROM e a, {last_c} c
+        FROM {src} a, c{iters} c
       ) WHERE rk = 1
     )""")
+    return parts
+
+
+def kmeans_ivf_topk_sql(
+    k: int = 4,
+    iters: int = 2,
+    n_queries: int = 8,
+    topk: int = 5,
+    nprobe: int = 2,
+) -> str:
+    """IVF with a trained Lloyd quantizer — same deterministic recipe
+    as the engine (`_lloyd_cte_parts`)."""
+    parts = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)",
+    ] + _lloyd_cte_parts(k, iters, src="e")
+    last_c = f"c{iters}"
     parts.append(f"q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < {n_queries})")
     parts.append(f"""
     cellsim AS (
@@ -796,6 +807,45 @@ def kmeans_ivf_topk_sql(
       SELECT *, row_number() OVER (PARTITION BY query_id
                ORDER BY sim DESC, neighbor_id ASC) AS rank FROM sims
     ) WHERE rank <= {topk}
+    """
+    )
+
+
+def semdedup_sql(
+    k: int = 4, iters: int = 2, threshold: float = 0.95
+) -> str:
+    """Independent SemDeDup oracle over the ORGANIC embedding corpus:
+    the shared Lloyd chain (`_lloyd_cte_parts`) assigns cells, then a
+    brute-force within-cell a<b cosine pass and the min-id-wins keep
+    rule — max_sim_lower = max 6dp cosine to any lower-id cell-mate
+    (NULL when none), is_kept = no lower-id cell-mate at >=
+    threshold."""
+    parts = [
+        ORGANIC_EMB_CTE.strip(),
+        "e AS (SELECT vec_id, emb FROM eorg)",
+    ] + _lloyd_cte_parts(k, iters, src="e")
+    parts.append("""
+    pairsim AS (
+      SELECT b.vec_id,
+             round(list_dot_product(a.emb, b.emb)
+                   / (sqrt(list_dot_product(a.emb, a.emb))
+                      * sqrt(list_dot_product(b.emb, b.emb))), 6) AS sim
+      FROM afinal a JOIN afinal b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+    )""")
+    parts.append("""
+    low AS (
+      SELECT vec_id, max(sim) AS max_sim_lower
+      FROM pairsim GROUP BY vec_id
+    )""")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+    SELECT f.vec_id, f.cell, l.max_sim_lower,
+           (l.max_sim_lower IS NULL OR l.max_sim_lower < {threshold})
+             AS is_kept
+    FROM afinal f LEFT JOIN low l USING (vec_id)
     """
     )
 

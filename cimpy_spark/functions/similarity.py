@@ -849,6 +849,85 @@ def knn_graph(
     )
 
 
+def semdedup(
+    embeddings: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    threshold: float = 0.95,
+    sample_fraction: float = 1.0,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
+    deduplication via k-means cluster-then-prune: cluster the corpus
+    with the deterministic Lloyd quantizer (`kmeans_cells` — the same
+    trained assignment the IVF gate verifies cross-engine), compute
+    pairwise cosine WITHIN each cluster only, and drop every vector
+    that has an ε-similar cluster-mate that outranks it.
+
+    Two deterministic departures from the paper, both part of the
+    operator contract:
+    - keep rule: the paper keeps a RANDOM member per ε-group; here a
+      vector is dropped iff a LOWER-vec_id cluster-mate has cosine >=
+      threshold with it (min-id-wins). One-shot, not chained: the
+      decision looks at raw lower-id neighbors, not surviving ones,
+      so A~B, B~C, A!~C drops both B and C (the paper's ε-grouping
+      has the same non-transitivity; transitive-closure semantics is
+      what `emb_dedup_corpus`'s connected components provide).
+    - seeding: fixed seeds (vec_id < k), no RNG — reproducible across
+      engines and runs.
+
+    Scale shape: k is the scale lever — the paper runs k ≈ 50k on
+    LAION so clusters stay O(10³); within-cluster pairwise is the
+    op's intrinsic Σ|c|² cost and never crosses clusters. The
+    (vec_id, cell) assignment is checkpointed (fixed-width rows, no
+    embeddings copied) and pair enumeration joins ids+cell only; the
+    two embedding fetches are by-key joins AFTER enumeration (the
+    `neardup_pairs` discipline). `sample_fraction` trains Lloyd on a
+    deterministic hash sample; assignment still covers every vector.
+    Output: (vec_id, cell, max_sim_lower nullable — max 6dp cosine to
+    any lower-id cluster-mate, threshold or not, for audit —
+    is_kept)."""
+    cells, _ = kmeans_cells(
+        embeddings, k=k, iters=iters, sample_fraction=sample_fraction
+    )
+    cells = checkpoint_df(cells)
+    e = embeddings.select("vec_id", _as_double("embedding").alias("emb"))
+    a = cells.select(F.col("vec_id").alias("vec_a"), "cell")
+    b = cells.select(F.col("vec_id").alias("vec_b"), "cell")
+    sims = (
+        a.join(b, "cell")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .join(
+            e.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea")),
+            "vec_a",
+        )
+        .join(
+            e.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb")),
+            "vec_b",
+        )
+        .select(
+            "vec_b",
+            F.round(
+                _dot(F.col("ea"), F.col("eb"))
+                / (_norm(F.col("ea")) * _norm(F.col("eb"))),
+                6,
+            ).alias("sim"),
+        )
+    )
+    low = sims.groupBy("vec_b").agg(F.max("sim").alias("max_sim_lower"))
+    return (
+        cells.join(low, cells["vec_id"] == low["vec_b"], "left")
+        .select(
+            "vec_id",
+            "cell",
+            "max_sim_lower",
+            (
+                F.col("max_sim_lower").isNull()
+                | (F.col("max_sim_lower") < F.lit(threshold))
+            ).alias("is_kept"),
+        )
+    )
+
+
 def label_centroids(embeddings: DataFrame, scale: int = 10**9) -> DataFrame:
     """Per-label mean embedding — the class-centroid table behind
     centroid classifiers, SemDeDup cluster pruning and
