@@ -38,9 +38,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.1")
 REP = int(os.environ.get("REP", "100"))
-# DEDUP_FAMILY=v2 measures the xxhash64 signature family
-# (dedup_corpus_v2) with the identical discipline
-FAMILY = os.environ.get("DEDUP_FAMILY", "v1")
+# DEDUP_FAMILY selects the signature family: "v2"/"xxh64" = the
+# (post-r7-graduation) default xxhash64 family, "v1"/"md5" = the
+# legacy md5 family, passed EXPLICITLY — dedup_corpus's own
+# default moved to xxh64 in r7, so the old bare-call v1 label
+# would silently measure xxh64
+FAMILY = os.environ.get("DEDUP_FAMILY", "v2")
 N_BASE = int(os.environ.get("SCALING_BASE_CORES", "4"))
 N_PARTITIONS = int(os.environ.get("SCALING_PARTITIONS", "64"))
 TIMED_RUNS = int(os.environ.get("TIMED_RUNS", "3"))
@@ -81,10 +84,13 @@ def stage_corpus() -> None:
 def run_level(cores: int) -> dict:
     from pyspark.sql import functions as F
 
-    from cimpy_spark.functions.dedup import dedup_corpus, dedup_corpus_v2
+    import functools
+
+    from cimpy_spark.functions.dedup import dedup_corpus
     from cimpy_spark.session import get_spark
 
-    op = dedup_corpus_v2 if FAMILY == "v2" else dedup_corpus
+    fam = "xxh64" if FAMILY in ("v2", "xxh64") else "md5"
+    op = functools.partial(dedup_corpus, family=fam)
 
     spark = get_spark(f"scaling-dedup-{cores}", cores=cores)
     spark.sparkContext.setLogLevel("ERROR")
