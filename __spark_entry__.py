@@ -457,6 +457,12 @@ def _q_doc_temperature_mixture(spark, sf_dir):
     return T.temperature_mixture(_docs(spark, sf_dir))
 
 
+def _q_doc_dsir_weights(spark, sf_dir):
+    # src0 as the target distribution: 1/20 of the fixture corpus, so
+    # both distributions are populated and weights spread both signs
+    return T.dsir_weights(_docs(spark, sf_dir), target_source="src0")
+
+
 def _q_doc_dup_spans_arrow(spark, sf_dir):
     from cimpy_spark.functions.text_arrow import dup_spans_arrow
 
@@ -1358,9 +1364,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_length_quantiles": _q_doc_length_quantiles,
         "doc_temperature_mixture": _q_doc_temperature_mixture,
         "emb_knn_graph": _q_emb_knn_graph,
-        # new in r7 (tail until its first driver row; driver-style
-        # parity pinned in tests/test_semdedup.py)
+        # new in r7 (tail until their first driver rows; driver-style
+        # parity pinned in tests/test_semdedup.py / test_dsir.py)
         "emb_semdedup": _q_emb_semdedup,
+        "doc_dsir_weights": _q_doc_dsir_weights,
         "doc_domain_flags": _q_doc_domain_flags,
         "doc_script_profile": _q_doc_script_profile,
         "doc_mad_outliers": _q_doc_mad_outliers,
@@ -1529,6 +1536,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_triangles": oracles.triangle_stats_sql(),
         "emb_knn_graph": doc_oracles.knn_graph_sql(),
         "emb_semdedup": doc_oracles.semdedup_sql(),
+        "doc_dsir_weights": doc_oracles.dsir_sql(),
         "doc_domain_flags": doc_oracles.domain_flags_sql(),
         "doc_corpus_card": doc_oracles.corpus_card_sql(),
         "doc_line_dedup": doc_oracles.line_dedup_sql(),

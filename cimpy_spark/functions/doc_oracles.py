@@ -315,6 +315,55 @@ def fingerprint_v2_sql() -> str:
     """
 
 
+def dsir_sql(
+    target_source: str = "src0", n_buckets: int = 1024, alpha: int = 1
+) -> str:
+    """Mirror of text.dsir_weights (Xie et al. 2023): hashed
+    uni+bigram importance log-weights vs the `target_source` subset.
+    Grams are hashed with the bit-exact XXH64 port (DISTINCT grams
+    once, joined back to occurrences); per-bucket log-ratios are
+    fixed-pointed to micro-units from identical integer counts (the
+    PMI ln-rounding discipline), so the per-doc sum is an exact
+    integer. NUMS caps word positions at 500 — the fixture
+    word-length contract documented on `sig_ctes`."""
+    ab = alpha * n_buckets
+    return f"""WITH RECURSIVE {NUMS},
+    wsrc AS (SELECT doc_id, source, {WORDS} AS w FROM documents),
+    grams AS MATERIALIZED (
+      SELECT doc_id, source = '{target_source}' AS is_target,
+             ws.w[nums.i] AS g
+      FROM wsrc ws JOIN nums ON nums.i <= len(ws.w)
+      UNION ALL
+      SELECT doc_id, source = '{target_source}' AS is_target,
+             ws.w[nums.i] || ' ' || ws.w[nums.i + 1] AS g
+      FROM wsrc ws JOIN nums ON nums.i <= len(ws.w) - 1
+    ),
+    xin AS (SELECT DISTINCT g AS key, g AS s FROM grams),
+    {xxh64_cte_chain('xin')},
+    occ AS MATERIALIZED (
+      SELECT gr.doc_id, gr.is_target,
+             ((x.h % {n_buckets}) + {n_buckets}) % {n_buckets} AS b
+      FROM grams gr JOIN xout x ON gr.g = x.key
+    ),
+    cnt AS (
+      SELECT b, sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct,
+             sum(CASE WHEN is_target THEN 0 ELSE 1 END) AS cr
+      FROM occ GROUP BY b
+    ),
+    tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM cnt),
+    ratio AS (
+      SELECT b, CAST(round((ln((ct + {alpha}) / (tt + {ab}))
+                          - ln((cr + {alpha}) / (tr + {ab})))
+                     * 1000000) AS BIGINT) AS fp
+      FROM cnt, tot
+    )
+    SELECT o.doc_id, o.is_target, CAST(count(*) AS INT) AS n_grams,
+           sum(r.fp) / 1000000.0 AS logw
+    FROM occ o JOIN ratio r USING (b)
+    GROUP BY o.doc_id, o.is_target
+    """
+
+
 def exact_duplicates_sql() -> str:
     """Exact-dup groups over the ORGANIC corpus: the planted verbatim
     copies (and any naturally identical texts) arrive in the input —

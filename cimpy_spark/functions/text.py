@@ -459,6 +459,86 @@ def mixture_sample(
     )
 
 
+def dsir_weights(
+    docs: DataFrame,
+    target_source: str,
+    n_buckets: int = 1024,
+    alpha: int = 1,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169 —
+    Data Selection for Language Models via Importance Resampling):
+    score every document by how target-like its hashed-n-gram profile
+    is, log w(doc) = Σ_g [ln p_target(b(g)) − ln p_raw(b(g))], where
+    b hashes word uni+bigrams into `n_buckets` buckets and the two
+    bucket distributions are add-`alpha`-smoothed counts over the
+    target subset (`source == target_source`) vs the rest. High-logw
+    raw docs are the ones importance resampling keeps.
+
+    Determinism/cross-engine contract: per-bucket log-ratios are
+    computed once on the B-row frame from IDENTICAL integer counts
+    (ln of the same double on both engines, rounded to 6dp — the
+    kg_cooccurrence PMI discipline) and fixed-pointed to micro-units
+    (BIGINT), so the per-doc Σ is an exact integer sum — no
+    float-accumulation order anywhere; the single final /1e6 maps
+    equal integers to equal doubles. The oracle hashes grams with the
+    bit-exact pure-SQL XXH64 port over DISTINCT grams.
+
+    Scale shape: gram stream is (doc_id, is_target, bucket) — three
+    narrow ints, checkpointed once for its two consumers (the
+    B-bounded bucket count and the per-doc sum); the ratio table is B
+    rows (broadcast), totals a 1-row broadcast; one corpus-scale
+    shuffle per consumer (bucket count is map-side combinable to ≤B
+    rows per task). Output: (doc_id, is_target, n_grams, logw)."""
+    from cimpy_spark.plans.checkpoints import checkpoint_df
+
+    tgt = F.col("source") == target_source
+    grams = checkpoint_df(
+        docs.select(
+            "doc_id",
+            tgt.alias("is_target"),
+            F.explode(
+                F.concat(_gram_array(1), _gram_array(2))
+            ).alias("g"),
+        ).select(
+            "doc_id",
+            "is_target",
+            F.pmod(F.xxhash64("g"), F.lit(n_buckets)).alias("b"),
+        )
+    )
+    cnt = grams.groupBy("b").agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(~F.col("is_target"), 1).otherwise(0)).alias("cr"),
+    )
+    tot = cnt.agg(
+        F.sum("ct").alias("tt"), F.sum("cr").alias("tr")
+    )
+    denom_t = F.col("tt") + F.lit(alpha * n_buckets)
+    denom_r = F.col("tr") + F.lit(alpha * n_buckets)
+    ratio = (
+        cnt.crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.round(
+                (
+                    F.log((F.col("ct") + F.lit(alpha)) / denom_t)
+                    - F.log((F.col("cr") + F.lit(alpha)) / denom_r)
+                )
+                * F.lit(1_000_000)
+            )
+            .cast("long")
+            .alias("fp"),
+        )
+    )
+    return (
+        grams.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id", "is_target")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_grams"),
+            (F.sum("fp") / F.lit(1_000_000.0)).alias("logw"),
+        )
+    )
+
+
 def temperature_mixture(
     docs: DataFrame,
     alpha: float = 0.3,
