@@ -1211,7 +1211,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     distinct, checkpoint removed), so doc_line_dedup and the
     doc_curation_pipeline composite gate fresh; the mm_* fillers they
     displace are r5-green-unchanged and lead the displaced-cohort
-    tail. The tail holds only entries r5- or r6-green with
+    tail. Two BRAND-NEW r7 operators (emb_semdedup, doc_dsir_weights)
+    also sit in the tail awaiting their first driver rows, self-gated
+    by driver-style parity pytests (tests/test_semdedup.py,
+    tests/test_dsir.py) — the same interim contract the v2 dedup
+    entries carried in r6. Otherwise the tail holds only entries r5-
+    or r6-green with
     exercised code verifiably unchanged since — see the tail comment.
     Rotate per round so every entry's newest green row stays at most
     ~one round old."""

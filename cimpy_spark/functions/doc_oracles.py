@@ -328,13 +328,15 @@ def dsir_sql(
     word-length contract documented on `sig_ctes`."""
     ab = alpha * n_buckets
     return f"""WITH RECURSIVE {NUMS},
-    wsrc AS (SELECT doc_id, source, {WORDS} AS w FROM documents),
+    wsrc AS (SELECT doc_id,
+                    coalesce(source = '{target_source}', false)
+                      AS is_target,
+                    {WORDS} AS w FROM documents),
     grams AS MATERIALIZED (
-      SELECT doc_id, source = '{target_source}' AS is_target,
-             ws.w[nums.i] AS g
+      SELECT doc_id, is_target, ws.w[nums.i] AS g
       FROM wsrc ws JOIN nums ON nums.i <= len(ws.w)
       UNION ALL
-      SELECT doc_id, source = '{target_source}' AS is_target,
+      SELECT doc_id, is_target,
              ws.w[nums.i] || ' ' || ws.w[nums.i + 1] AS g
       FROM wsrc ws JOIN nums ON nums.i <= len(ws.w) - 1
     ),

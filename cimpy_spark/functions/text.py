@@ -471,8 +471,9 @@ def dsir_weights(
     is, log w(doc) = Σ_g [ln p_target(b(g)) − ln p_raw(b(g))], where
     b hashes word uni+bigrams into `n_buckets` buckets and the two
     bucket distributions are add-`alpha`-smoothed counts over the
-    target subset (`source == target_source`) vs the rest. High-logw
-    raw docs are the ones importance resampling keeps.
+    target subset (`source == target_source`) vs the rest — a NULL
+    source counts as raw (coalesced identically on both engines).
+    High-logw raw docs are the ones importance resampling keeps.
 
     Determinism/cross-engine contract: per-bucket log-ratios are
     computed once on the B-row frame from IDENTICAL integer counts
@@ -491,7 +492,14 @@ def dsir_weights(
     rows per task). Output: (doc_id, is_target, n_grams, logw)."""
     from cimpy_spark.plans.checkpoints import checkpoint_df
 
-    tgt = F.col("source") == target_source
+    # NULL source is RAW, not a third state: without the coalesce the
+    # when(~is_target) arm drops NULL-source grams from BOTH
+    # distributions (Spark three-valued logic), silently shifting
+    # every bucket's totals away from the oracle (review finding,
+    # confirmed divergent on a NULL-source repro)
+    tgt = F.coalesce(
+        F.col("source") == F.lit(target_source), F.lit(False)
+    )
     grams = checkpoint_df(
         docs.select(
             "doc_id",
@@ -1304,19 +1312,20 @@ def line_dedup(docs: DataFrame, min_docs: int = 2) -> DataFrame:
     shape spent a full (key, doc_id) distinct exchange before the
     count, and checkpointed the entire corpus LINE TEXT to feed three
     consumers — at corpus scale that materialization is a full-input
-    write; r7 profile: 9.7 s → 6.4 s at 500k docs/5M lines, one
-    corpus shuffle removed). The text-carrying line stream is
-    consumed exactly ONCE (the reassembly pass): it anti-joins the
-    boilerplate key set (duplicated-line keys only — orders of
-    magnitude smaller than the corpus; AQE broadcasts it when it
-    fits, shuffles when it doesn't) and ONE groupBy per doc
-    reassembles kept lines via sorted (pos, line) structs; n_lines is
-    size(split) in-row on the same pass, so nothing scans the input
-    twice and nothing is checkpointed. Hash collisions across
-    distinct normalized lines are 2^-64-scale and could only merge
-    two lines' doc counts (over-removal), never corrupt text. The
-    DuckDB oracle keys lines by md5 instead — equal lines, equal
-    removal set, either way."""
+    write; r7 profile at 500k docs/5M lines, staged multi-line
+    corpus, derivation excluded: 9.7 → 8.5 s wall — the structural
+    win is the removed full-input materialization and the one fewer
+    corpus-scale exchange). The text-carrying line stream is consumed
+    exactly ONCE (the reassembly pass): it LEFT-joins the boilerplate
+    key set (duplicated-line keys only — orders of magnitude smaller
+    than the corpus; AQE broadcasts it when it fits, shuffles when it
+    doesn't) and ONE groupBy per doc reassembles kept lines via
+    sorted (pos, line) structs; n_lines is size(split) in-row on the
+    same pass, so nothing scans the input twice and nothing is
+    checkpointed. Hash collisions across distinct normalized lines
+    are 2^-64-scale and could only merge two lines' doc counts
+    (over-removal), never corrupt text. The DuckDB oracle keys lines
+    by md5 instead — equal lines, equal removal set, either way."""
     key = lambda line: F.xxhash64(F.trim(F.lower(line)))  # noqa: E731
     # boilerplate keys: in-row per-doc distinct, then one combinable
     # count — the exploded stream is (key) only, no doc_id, no text

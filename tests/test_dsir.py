@@ -63,6 +63,39 @@ def test_dsir_selection_contract(out_rows):
     assert all(r["n_grams"] >= 1 for r in out_rows)
 
 
+def test_dsir_null_source_counts_as_raw(spark):
+    """NULL source is RAW on BOTH engines (review finding: Spark's
+    three-valued when(~is_target) silently dropped NULL-source grams
+    from both distributions while the oracle counted them as raw,
+    skewing every bucket's totals)."""
+    rows = [
+        (1, "alpha beta", "tgt"),
+        (2, "alpha beta", None),
+        (3, "gamma delta", "other"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in T.dsir_weights(df, target_source="tgt").collect()
+    }
+    con = duckdb.connect()
+    con.register("docs_in", __import__("pandas").DataFrame(
+        rows, columns=["doc_id", "text", "source"]
+    ))
+    con.execute("CREATE VIEW documents AS SELECT * FROM docs_in")
+    du = {int(d): (bool(t), int(n), round(w, 9))
+          for d, t, n, w in con.execute(O.dsir_sql("tgt")).fetchall()}
+    assert not out[2]["is_target"]
+    # the NULL-source doc shares the target doc's grams, so its raw
+    # counts must actually register: identical outputs cross-engine
+    for d, r in out.items():
+        assert du[d] == (
+            bool(r["is_target"]), int(r["n_grams"]), round(r["logw"], 9)
+        )
+
+
 def test_dsir_fixed_point_and_partition_invariance(spark, docs, out_rows):
     """logw is an exact integer count of micro-units (the per-doc sum
     is integer arithmetic — no float accumulation), so it cannot

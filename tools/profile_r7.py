@@ -169,6 +169,9 @@ def main() -> None:
                     # the (doc, key) pair stream
                     pair = np.stack([p.astype(np.uint64), h], axis=1)
                     uniq = np.unique(pair, axis=0)
+                    # ascontiguousarray: a column slice has stride 16
+                    # and same-size dtype views of non-contiguous
+                    # arrays need numpy >= 1.23
                     yield pa.RecordBatch.from_arrays(
                         [
                             pa.array(
@@ -176,7 +179,10 @@ def main() -> None:
                                 type=pa.int64(),
                             ),
                             pa.array(
-                                uniq[:, 1].view(np.int64), type=pa.int64()
+                                np.ascontiguousarray(uniq[:, 1]).view(
+                                    np.int64
+                                ),
+                                type=pa.int64(),
                             ),
                         ],
                         names=["doc_id", "tok"],
@@ -265,13 +271,7 @@ def main() -> None:
             force(clean)
 
         timed("line_reassemble", reassemble)
-
-        # variant: hash-only stream for the count side + one
-        # text-carrying pass for reassembly, NO checkpoint at all
-        def line_nockpt():
-            force(T.line_dedup(docs))
-
-        # variant measured only if we change the impl; placeholder
+        shutil.rmtree(lstage, ignore_errors=True)
 
     out["load1"] = loadavg()
     print(json.dumps(out))

@@ -44,6 +44,12 @@ REP = int(os.environ.get("REP", "100"))
 # default moved to xxh64 in r7, so the old bare-call v1 label
 # would silently measure xxh64
 FAMILY = os.environ.get("DEDUP_FAMILY", "v2")
+if FAMILY not in ("v1", "md5", "v2", "xxh64"):
+    # fail loud BEFORE the expensive corpus staging — a typo must not
+    # silently measure the wrong family
+    raise SystemExit(
+        f"DEDUP_FAMILY must be v1/md5 or v2/xxh64, got {FAMILY!r}"
+    )
 N_BASE = int(os.environ.get("SCALING_BASE_CORES", "4"))
 N_PARTITIONS = int(os.environ.get("SCALING_PARTITIONS", "64"))
 TIMED_RUNS = int(os.environ.get("TIMED_RUNS", "3"))
