@@ -855,6 +855,7 @@ def semdedup(
     iters: int = 2,
     threshold: float = 0.95,
     sample_fraction: float = 1.0,
+    max_cell: int = 100_000,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
     deduplication via k-means cluster-then-prune: cluster the corpus
@@ -877,45 +878,77 @@ def semdedup(
 
     Scale shape: k is the scale lever — the paper runs k ≈ 50k on
     LAION so clusters stay O(10³); within-cluster pairwise is the
-    op's intrinsic Σ|c|² cost and never crosses clusters. The
-    (vec_id, cell) assignment is checkpointed (fixed-width rows, no
-    embeddings copied) and pair enumeration joins ids+cell only; the
-    two embedding fetches are by-key joins AFTER enumeration (the
-    `neardup_pairs` discipline). `sample_fraction` trains Lloyd on a
-    deterministic hash sample; assignment still covers every vector.
-    Output: (vec_id, cell, max_sim_lower nullable — max 6dp cosine to
-    any lower-id cluster-mate, threshold or not, for audit —
-    is_kept)."""
+    op's intrinsic Σ|c|² COMPUTE and never crosses clusters — but it
+    must not be Σ|c|² DATA MOVEMENT: a relational pair join
+    duplicates each vector's embedding |cell| times through the
+    shuffle (measured: 100k vectors / ~400-vector cells spilled tens
+    of GB and died on disk — the r7 scale check caught it), exactly
+    the all-pairs materialization the paper avoids by computing each
+    cluster's similarity matrix locally. So the verify stage is a
+    grouped Arrow kernel (`applyInPandas` per cell — the U4
+    vectorized-kernel discipline, no per-row Python): ONE shuffle
+    moves each embedding ONCE to its cell's task, the cosine matrix
+    is per-cell local matrix math, and only (vec_id, max_sim_lower)
+    comes back. Per-pair arithmetic mirrors the SQL/oracle
+    computation (dot/(|a||b|), HALF_UP-rounded to 6dp BEFORE the
+    max, matching Spark's ROUND). A cell larger than `max_cell`
+    fails loud with the increase-k remedy — a silently skipped cell
+    would silently miss duplicates. `sample_fraction` trains Lloyd
+    on a deterministic hash sample; assignment still covers every
+    vector. Output: (vec_id, cell, max_sim_lower nullable — max 6dp
+    cosine to any lower-id cluster-mate, threshold or not, for audit
+    — is_kept)."""
+    import numpy as np
+    import pandas as pd
+
     cells, _ = kmeans_cells(
         embeddings, k=k, iters=iters, sample_fraction=sample_fraction
     )
     cells = checkpoint_df(cells)
+    oversize = (
+        cells.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > max_cell)
+        .limit(1)
+        .collect()
+    )
+    if oversize:
+        raise ValueError(
+            f"semdedup: cell {oversize[0]['n']} vectors > max_cell "
+            f"{max_cell}; increase k (cells should stay O(10^3))"
+        )
     e = embeddings.select("vec_id", _as_double("embedding").alias("emb"))
-    a = cells.select(F.col("vec_id").alias("vec_a"), "cell")
-    b = cells.select(F.col("vec_id").alias("vec_b"), "cell")
-    sims = (
-        a.join(b, "cell")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .join(
-            e.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea")),
-            "vec_a",
+
+    def _cell_sims(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        E = np.array(pdf["emb"].tolist(), dtype=np.float64)
+        norms = np.sqrt((E * E).sum(axis=1))
+        S = (E @ E.T) / np.outer(norms, norms)
+        # Spark ROUND is HALF_UP (away from zero); np.round is
+        # half-even — implement half-up so the kernel agrees with
+        # the relational/oracle rounding
+        S6 = np.sign(S) * np.floor(np.abs(S) * 1e6 + 0.5) / 1e6
+        # max over the strictly-lower-id rows of each column; the
+        # min-id row has no lower neighbor -> NULL (nullable Float64,
+        # NOT NaN — a NaN would survive isNull() and flip is_kept)
+        tri = np.triu(np.full(S6.shape, True), k=1)
+        col_max = np.where(tri, S6, -np.inf).max(axis=0)
+        vals = pd.array(col_max, dtype="Float64")
+        vals[~tri.any(axis=0)] = pd.NA
+        return pd.DataFrame(
+            {"vec_id": ids, "max_sim_lower": vals}
         )
-        .join(
-            e.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb")),
-            "vec_b",
-        )
-        .select(
-            "vec_b",
-            F.round(
-                _dot(F.col("ea"), F.col("eb"))
-                / (_norm(F.col("ea")) * _norm(F.col("eb"))),
-                6,
-            ).alias("sim"),
+
+    low = (
+        cells.join(e, "vec_id")
+        .groupBy("cell")
+        .applyInPandas(
+            _cell_sims, schema="vec_id bigint, max_sim_lower double"
         )
     )
-    low = sims.groupBy("vec_b").agg(F.max("sim").alias("max_sim_lower"))
     return (
-        cells.join(low, cells["vec_id"] == low["vec_b"], "left")
+        cells.join(low, "vec_id")
         .select(
             "vec_id",
             "cell",
