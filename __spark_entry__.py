@@ -17,6 +17,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from cimpy_spark.fixtures import oracles  # noqa: E402
 from cimpy_spark.fixtures.events_transcripts import (  # noqa: E402
+    late_window_counts_sql,
     metrics_oracle_sql,
     transcripts_from_events,
     transcripts_sql,
@@ -1032,6 +1033,39 @@ def _q_stream_kg_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked windowed aggregation with REAL late-data drops,
+    oracle-gated: stage the transcripts as a deterministic micro-batch
+    feed in which a planted subset of batch-0 rows replays ≥ 2 batches
+    after the watermark passed their window (stage_late_batches),
+    drain in APPEND mode (maxFilesPerTrigger=1 so each file is one
+    micro-batch; a trailing sentinel advances the final watermark past
+    every real window), and return the emitted per-window counts. The
+    oracle is the closed-form count EXCLUDING the planted rows — drops
+    are observable in the output, and tests/test_late_data.py pins
+    that Spark's numRowsDroppedByWatermark metric actually fired."""
+    from cimpy_spark.streaming.ingest import (
+        run_to_memory_sink,
+        stage_late_batches,
+        stream_transcripts,
+        windowed_mention_counts,
+    )
+
+    d = _scratch_dir("cimpy_late_")
+    stage_late_batches(spark, transcripts_from_events(spark, sf_dir), f"{d}/in")
+    run_to_memory_sink(
+        windowed_mention_counts(
+            stream_transcripts(spark, f"{d}/in", max_files_per_trigger=1),
+            window="10 minutes",
+            watermark="5 minutes",
+        ),
+        "stream_late_q",
+        mode="append",
+        checkpoint=f"{d}/ckpt",
+    )
+    return spark.table("stream_late_q")
+
+
 _STREAM_DEDUP_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
@@ -1211,10 +1245,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     distinct, checkpoint removed), so doc_line_dedup and the
     doc_curation_pipeline composite gate fresh; the mm_* fillers they
     displace are r5-green-unchanged and lead the displaced-cohort
-    tail. Two BRAND-NEW r7 operators (emb_semdedup, doc_dsir_weights)
-    also sit in the tail awaiting their first driver rows, self-gated
-    by driver-style parity pytests (tests/test_semdedup.py,
-    tests/test_dsir.py) — the same interim contract the v2 dedup
+    tail. Three BRAND-NEW r7 operators (emb_semdedup,
+    doc_dsir_weights, stream_late_data) also sit in the tail awaiting
+    their first driver rows, self-gated by driver-style parity
+    pytests (tests/test_semdedup.py, tests/test_dsir.py,
+    tests/test_late_data.py) — the same interim contract the v2 dedup
     entries carried in r6. Otherwise the tail holds only entries r5-
     or r6-green with
     exercised code verifiably unchanged since — see the tail comment.
@@ -1370,9 +1405,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_temperature_mixture": _q_doc_temperature_mixture,
         "emb_knn_graph": _q_emb_knn_graph,
         # new in r7 (tail until their first driver rows; driver-style
-        # parity pinned in tests/test_semdedup.py / test_dsir.py)
+        # parity pinned in tests/test_semdedup.py / test_dsir.py /
+        # test_late_data.py)
         "emb_semdedup": _q_emb_semdedup,
         "doc_dsir_weights": _q_doc_dsir_weights,
+        "stream_late_data": _q_stream_late_data,
         "doc_domain_flags": _q_doc_domain_flags,
         "doc_script_profile": _q_doc_script_profile,
         "doc_mad_outliers": _q_doc_mad_outliers,
@@ -1542,6 +1579,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_knn_graph": doc_oracles.knn_graph_sql(),
         "emb_semdedup": doc_oracles.semdedup_sql(),
         "doc_dsir_weights": doc_oracles.dsir_sql(),
+        "stream_late_data": late_window_counts_sql(),
         "doc_domain_flags": doc_oracles.domain_flags_sql(),
         "doc_corpus_card": doc_oracles.corpus_card_sql(),
         "doc_line_dedup": doc_oracles.line_dedup_sql(),

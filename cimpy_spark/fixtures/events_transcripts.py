@@ -141,6 +141,44 @@ def transcripts_sql(events_rel: str = "events") -> str:
     return transcripts_select_sql("//", events_rel)
 
 
+def late_window_counts_sql(
+    n_batches: int = 4, late_mod: int = 37, salt: str = "late"
+) -> str:
+    """Closed-form oracle for the `stream_late_data` gate: per-window,
+    per-role turn counts over the transcripts EXCLUDING the planted
+    late arrivals (batch-0 rows whose md5 bucket is 0 — the rows
+    `streaming.ingest.stage_late_batches` replays ≥ 2 batches after
+    their window's watermark passed, which Spark therefore drops).
+    Every surviving row's window is emitted by the sentinel-advanced
+    final watermark, so the oracle needs no per-batch watermark
+    simulation — the staging's ≥2-batch lateness construction makes
+    the result independent of WHICH of Spark's two watermark values
+    (eviction vs the one-batch-staler late-row filter) applies.
+    `time_bucket` and Spark's tumbling `window()` share epoch
+    alignment for 10-minute buckets (both origins are multiples of
+    600 s apart)."""
+    return f"""
+    WITH t AS ({transcripts_sql()}),
+    r AS (
+      SELECT role, ts, conv_id, turn_idx,
+             row_number() OVER (ORDER BY ts, conv_id, turn_idx) - 1 AS rk,
+             count(*) OVER () AS n
+      FROM t
+    ),
+    flagged AS (
+      SELECT role, ts, (rk * {n_batches}) // n AS batch,
+             CAST(('0x' || substring(md5('{salt}#' || conv_id || '#' ||
+               CAST(turn_idx AS STRING)), 1, 8))::BIGINT % {late_mod}
+               AS BIGINT) AS b
+      FROM r
+    )
+    SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+           role, count(*) AS n_turns
+    FROM flagged WHERE NOT (batch = 0 AND b = 0)
+    GROUP BY 1, 2
+    """
+
+
 def transcripts_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark-side transcripts derivation.
 

@@ -28,11 +28,13 @@ TRANSCRIPT_SCHEMA = (
 )
 
 
-def stream_transcripts(spark: SparkSession, input_dir: str) -> DataFrame:
+def stream_transcripts(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int = 8
+) -> DataFrame:
     """File-source stream of transcript parquet partitions."""
     return (
         spark.readStream.schema(TRANSCRIPT_SCHEMA)
-        .option("maxFilesPerTrigger", 8)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_dir)
     )
 
@@ -134,6 +136,99 @@ def stream_ingest(spark, input_dir: str, out_dir: str):
     )
     q.awaitTermination()
     return q
+
+
+LATE_MOD = 37
+LATE_SALT = "late"
+
+
+def stage_late_batches(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    out_dir: str,
+    n_batches: int = 4,
+    late_mod: int = LATE_MOD,
+) -> int:
+    """Stage a deterministic micro-batch feed with PLANTED late
+    arrivals for the watermark-drop gate (`stream_late_data`):
+
+    - rows ranked by (ts, conv_id, turn_idx) and cut into `n_batches`
+      equal batches — within the natural arrival order, so no row is
+      accidentally late across a batch boundary (batch i+1's earliest
+      ts ≥ batch i-1's max, hence its window end > any watermark
+      derivable from batches ≤ i-1);
+    - rows of batch 0 whose md5 bucket (the hash_split family) is 0
+      mod `late_mod` are MOVED to the LAST batch: they arrive ≥ 2
+      batches after the watermark passed their window, so Spark drops
+      them under EITHER of its two watermark values (the late-row
+      filter uses a watermark one batch STALER than the eviction
+      watermark — measured on this pyspark: a row arriving in the
+      very next batch after its window closed is NOT yet dropped;
+      the ≥2-batch construction makes the oracle independent of that
+      lag);
+    - one trailing sentinel file (ts = max + 1 hour) advances the
+      final watermark past every real window so append mode emits
+      them all; the sentinel's own window stays unemitted by the
+      same rule.
+
+    One parquet FILE per batch with strictly increasing mtimes, so
+    the file source (maxFilesPerTrigger=1, oldest-first) replays
+    exactly this batch sequence. The global rank is a test-harness
+    construction (single-partition window) — the product path is the
+    stream itself, not this staging. Returns the file count."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+
+    from cimpy_spark.functions.text import _md5_bucket
+
+    w = Window.orderBy("ts", "conv_id", "turn_idx")
+    n_total = transcripts.count()
+    ranked = transcripts.select(
+        "*",
+        (F.row_number().over(w) - 1).alias("_rk"),
+        F.concat_ws(
+            "#", F.col("conv_id"), F.col("turn_idx").cast("string")
+        ).alias("_rid"),
+    ).select(
+        "*",
+        F.expr(f"(_rk * {n_batches}) div {n_total}").alias("_batch"),
+        (_md5_bucket(LATE_SALT, late_mod, "_rid") == 0).alias("_late"),
+    )
+    cols = [c for c in transcripts.columns]
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _write_one(i: int, df: DataFrame) -> None:
+        tmp = f"{out_dir}/_tmp{i}"
+        df.select(*cols).coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        dst = f"{out_dir}/b{i:03d}.parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, (1_700_000_000 + i * 10,) * 2)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    for i in range(n_batches):
+        if i < n_batches - 1:
+            batch = ranked.filter(
+                (F.col("_batch") == i) & ~((F.col("_batch") == 0) & F.col("_late"))
+            )
+        else:
+            batch = ranked.filter(
+                (F.col("_batch") == i)
+                | ((F.col("_batch") == 0) & F.col("_late"))
+            )
+        _write_one(i, batch)
+    max_ts = transcripts.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    import datetime as _dt
+
+    sentinel = spark.createDataFrame(
+        [("sentinel", 0, "sentinel", "", None, max_ts + _dt.timedelta(hours=1))],
+        TRANSCRIPT_SCHEMA,
+    )
+    _write_one(n_batches, sentinel)
+    return n_batches + 1
 
 
 def run_to_memory_sink(
