@@ -1230,6 +1230,26 @@ def _q_emb_dedup_incremental(spark, sf_dir):
     return _EMB_INCR_CACHE[key]
 
 
+def _q_kg_fact_fusion(spark, sf_dir):
+    g = _graph(spark, sf_dir)
+    return P.fact_fusion(g.triples, g.cmap)
+
+
+def _q_kg_schema_induction(spark, sf_dir):
+    g = _graph(spark, sf_dir)
+    return P.schema_induction(g.triples, g.entities)
+
+
+def _q_kg_attr_history(spark, sf_dir):
+    g = _graph(spark, sf_dir)
+    return P.attr_history(g.triples, g.cmap)
+
+
+def _q_kg_entity_match(spark, sf_dir):
+    g = _graph(spark, sf_dir)
+    return P.entity_match(g.triples, g.cmap, g.canon_edges)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered by GATING PRIORITY, not by topic: the driver evaluates
     a bounded prefix (50 rows), so entries that most need a fresh
@@ -1410,6 +1430,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_semdedup": _q_emb_semdedup,
         "doc_dsir_weights": _q_doc_dsir_weights,
         "stream_late_data": _q_stream_late_data,
+        # KG fusion/quality wave (late r7 — tail until their first
+        # driver rows; driver-style parity pinned in
+        # tests/test_kg_fusion.py)
+        "kg_fact_fusion": _q_kg_fact_fusion,
+        "kg_schema_induction": _q_kg_schema_induction,
+        "kg_attr_history": _q_kg_attr_history,
+        "kg_entity_match": _q_kg_entity_match,
         "doc_domain_flags": _q_doc_domain_flags,
         "doc_script_profile": _q_doc_script_profile,
         "doc_mad_outliers": _q_doc_mad_outliers,
@@ -1580,6 +1607,10 @@ def oracle_sql() -> dict[str, str]:
         "emb_semdedup": doc_oracles.semdedup_sql(),
         "doc_dsir_weights": doc_oracles.dsir_sql(),
         "stream_late_data": late_window_counts_sql(),
+        "kg_fact_fusion": oracles.fact_fusion_sql(),
+        "kg_schema_induction": oracles.schema_induction_sql(),
+        "kg_attr_history": oracles.attr_history_sql(),
+        "kg_entity_match": oracles.entity_match_sql(),
         "doc_domain_flags": doc_oracles.domain_flags_sql(),
         "doc_corpus_card": doc_oracles.corpus_card_sql(),
         "doc_line_dedup": doc_oracles.line_dedup_sql(),

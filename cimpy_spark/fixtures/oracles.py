@@ -973,3 +973,163 @@ def degree_distribution_sql() -> str:
            round(n_nodes * 1.0 / n_total, 6) AS pct
     FROM dh CROSS JOIN dt
     """
+
+
+def fact_fusion_sql() -> str:
+    """Majority-vote fusion oracle (pipeline.fact_fusion): per
+    (canonical entity, attr), the most-asserted value with the
+    lexicographically-smallest tie-break — computed with a window
+    rank instead of the engine's min_by struct."""
+    return PIPELINE_CTES + """
+    , asserts AS (
+      SELECT c.canonical_id AS entity_id, tr.pred AS attr, tr.obj AS value
+      FROM triples tr JOIN cmap c ON tr.subj = c.entity_id
+      WHERE tr.obj_kind IN ('type', 'literal', 'enum')
+    ),
+    votes AS (
+      SELECT entity_id, attr, value, count(*) AS support
+      FROM asserts GROUP BY 1, 2, 3
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY entity_id, attr ORDER BY support DESC, value
+      ) AS rn FROM votes
+    ),
+    totals AS (
+      SELECT entity_id, attr,
+             CAST(sum(support) AS BIGINT) AS n_assertions,
+             CAST(count(*) AS INT) AS n_values
+      FROM votes GROUP BY 1, 2
+    )
+    SELECT r.entity_id, r.attr, r.value AS fused_value, r.support,
+           t.n_assertions, t.n_values, t.n_values > 1 AS has_conflict
+    FROM ranked r
+    JOIN totals t ON r.entity_id = t.entity_id AND r.attr = t.attr
+    WHERE r.rn = 1
+    """
+
+
+def schema_induction_sql() -> str:
+    """Schema-induction oracle (pipeline.schema_induction): per-pred
+    dominant (domain, range) signature via window rank over signature
+    counts; range classes replicate the engine's CASE order."""
+    return PIPELINE_CTES + """
+    , sig_rows AS (
+      SELECT tr.pred,
+             COALESCE(es.type, 'UNDECLARED') AS domain,
+             COALESCE(eo.type, 'UNRESOLVED') AS range
+      FROM triples tr
+      LEFT JOIN entities es ON tr.subj = es.entity_id
+      LEFT JOIN entities eo ON tr.obj = eo.entity_id
+      WHERE tr.obj_kind = 'ref'
+      UNION ALL
+      SELECT tr.pred,
+             COALESCE(es.type, 'UNDECLARED') AS domain,
+             CASE WHEN tr.obj_kind = 'enum' THEN 'enum'
+                  WHEN tr.obj IN ('true', 'false') THEN 'bool'
+                  WHEN regexp_matches(tr.obj, '^-?[0-9]+$') THEN 'int'
+                  ELSE 'string' END AS range
+      FROM triples tr
+      LEFT JOIN entities es ON tr.subj = es.entity_id
+      WHERE tr.obj_kind IN ('literal', 'enum')
+    ),
+    sig AS (
+      SELECT pred, domain, range, count(*) AS n
+      FROM sig_rows GROUP BY 1, 2, 3
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY pred ORDER BY n DESC, domain, range
+      ) AS rn FROM sig
+    ),
+    totals AS (
+      SELECT pred, max(n) AS n_dom, CAST(sum(n) AS BIGINT) AS n_total,
+             CAST(count(*) AS INT) AS n_signatures
+      FROM sig GROUP BY 1
+    )
+    SELECT r.pred, r.domain AS dom_domain, r.range AS dom_range,
+           t.n_dom, t.n_total, t.n_signatures,
+           round(t.n_dom * 1.0 / t.n_total, 6) AS conformance
+    FROM ranked r JOIN totals t ON r.pred = t.pred
+    WHERE r.rn = 1
+    """
+
+
+def attr_history_sql() -> str:
+    """SCD2 attribute-timeline oracle (pipeline.attr_history): lag +
+    running change-sum over the stable mention order, run provenance
+    via min_by on the in-window row_number."""
+    return PIPELINE_CTES + """
+    , a AS (
+      SELECT c.canonical_id AS entity_id, tr.pred AS attr,
+             tr.obj AS value, tr.conv_id, tr.turn_idx, tr.mention_idx
+      FROM triples tr JOIN cmap c ON tr.subj = c.entity_id
+      WHERE tr.obj_kind IN ('literal', 'enum')
+    ),
+    r AS (
+      SELECT *,
+             row_number() OVER (
+               PARTITION BY entity_id, attr
+               ORDER BY conv_id, turn_idx, mention_idx
+             ) AS rn,
+             CASE WHEN lag(value) OVER (
+                    PARTITION BY entity_id, attr
+                    ORDER BY conv_id, turn_idx, mention_idx
+                  ) IS DISTINCT FROM value THEN 1 ELSE 0 END AS chg
+      FROM a
+    ),
+    v AS (
+      SELECT *, sum(chg) OVER (
+        PARTITION BY entity_id, attr
+        ORDER BY conv_id, turn_idx, mention_idx
+        ROWS UNBOUNDED PRECEDING
+      ) AS version FROM r
+    )
+    SELECT entity_id, attr, CAST(version AS INT) AS version,
+           min(value) AS value,
+           min_by(conv_id, rn) AS from_conv_id,
+           min_by(turn_idx, rn) AS from_turn_idx,
+           min_by(mention_idx, rn) AS from_mention_idx,
+           count(*) AS n_assertions
+    FROM v GROUP BY entity_id, attr, version
+    """
+
+
+ENTITY_FEATS_CTE = """
+feats AS (
+  SELECT DISTINCT c.canonical_id AS entity_id,
+         'a:' || tr.pred || '=' || tr.obj AS feat
+  FROM triples tr JOIN cmap c ON tr.subj = c.entity_id
+  WHERE tr.obj_kind IN ('type', 'literal', 'enum')
+  UNION
+  SELECT DISTINCT src AS entity_id, 'o:' || pred || '>' || dst AS feat
+  FROM canon_edges
+  UNION
+  SELECT DISTINCT dst AS entity_id, 'i:' || pred || '<' || src AS feat
+  FROM canon_edges
+)
+"""
+
+
+def entity_match_sql(num: int = 2, den: int = 5) -> str:
+    """INDEPENDENT oracle for pipeline.entity_match: brute-force
+    all-pairs feature-set Jaccard (no prefix filter, no hashing — a
+    different algorithm computing the same exact answer), integer
+    threshold comparison, same 6dp jaccard."""
+    return PIPELINE_CTES + f"""
+    , {ENTITY_FEATS_CTE.strip()},
+    sizes AS (SELECT entity_id, count(*) AS n FROM feats GROUP BY 1),
+    inter AS (
+      SELECT a.entity_id AS entity_a, b.entity_id AS entity_b,
+             count(*) AS c
+      FROM feats a JOIN feats b
+        ON a.feat = b.feat AND a.entity_id < b.entity_id
+      GROUP BY 1, 2
+    )
+    SELECT entity_a, entity_b, CAST(c AS INT) AS n_inter,
+           round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON entity_a = sa.entity_id
+    JOIN sizes sb ON entity_b = sb.entity_id
+    WHERE {den} * c >= {num} * (sa.n + sb.n - c)
+    """

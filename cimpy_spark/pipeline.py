@@ -1010,3 +1010,364 @@ def degree_distribution(canon_edges: DataFrame) -> DataFrame:
             "pct"
         ),
     )
+
+
+def fact_fusion(triples: DataFrame, cmap: DataFrame) -> DataFrame:
+    """Majority-vote truth discovery over conflicting attribute
+    assertions — the fact-fusion stage of KG construction (Dong et
+    al., "Data Fusion: Resolving Conflicts from Multiple Sources",
+    VLDB'09 family). `canonical_nodes` resolves conflicts by the
+    reference's processing-order rule (last setattr wins,
+    cimpy/cimimport.py:255-273); this view is the complementary
+    *voting* resolution a multi-source KG needs when no source order
+    is trustworthy: for every (canonical entity, attr), elect the
+    value with the MOST independent assertions, tie-broken by
+    lexicographically smallest value (deterministic, order-free).
+
+    Output: (entity_id, attr, fused_value, support, n_assertions,
+    n_values, has_conflict) — support = assertion count of the
+    winner, n_assertions = total assertions of the attr, n_values =
+    distinct competing values, has_conflict = n_values > 1.
+
+    Scale shape: one cmap equi-join (AQE broadcasts the map — it is
+    entity-count-sized) + two hash aggregations, both map-side
+    combinable (votes keyed by (entity, attr, value), the election by
+    (entity, attr)); min_by on a (-support, value) struct keeps the
+    election a single aggregation with no window sort. No floats
+    anywhere."""
+    asserts = triples.filter(
+        F.col("obj_kind").isin("type", "literal", "enum")
+    ).join(
+        cmap.select(F.col("entity_id").alias("subj"), "canonical_id"), "subj"
+    ).select(
+        F.col("canonical_id").alias("entity_id"),
+        F.col("pred").alias("attr"),
+        F.col("obj").alias("value"),
+    )
+    votes = asserts.groupBy("entity_id", "attr", "value").agg(
+        F.count(F.lit(1)).alias("support")
+    )
+    key = F.struct((-F.col("support")).alias("ns"), F.col("value"))
+    return (
+        votes.groupBy("entity_id", "attr")
+        .agg(
+            F.min_by("value", key).alias("fused_value"),
+            F.max("support").alias("support"),
+            F.sum("support").alias("n_assertions"),
+            F.count(F.lit(1)).alias("n_values"),
+        )
+        .select(
+            "entity_id",
+            "attr",
+            "fused_value",
+            "support",
+            "n_assertions",
+            F.col("n_values").cast("int").alias("n_values"),
+            (F.col("n_values") > 1).alias("has_conflict"),
+        )
+    )
+
+
+def schema_induction(triples: DataFrame, entities: DataFrame) -> DataFrame:
+    """Ontology/schema induction from instance data — infer every
+    predicate's domain/range signature distribution and how uniform it
+    is. The reference gets its schema from generated class metadata
+    (the cimgen zoo SURVEY §1.3 maps to a broadcast table); a KG built
+    from noisy extraction must DISCOVER it: for each predicate, the
+    dominant (subject type, range) signature, its share, and how many
+    competing signatures exist. Reference edges take the declared type
+    of each endpoint (UNDECLARED / UNRESOLVED when the dictionary has
+    no row — the quarantine phenomenon as a schema signal); literal
+    attributes classify the VALUE's lexical type (bool/int/string),
+    enum attributes are their own class — the same cast classes the
+    reference's typed setattr dispatches on (cimpy/cimimport.py:
+    255-273).
+
+    Output: (pred, dom_domain, dom_range, n_dom, n_total,
+    n_signatures, conformance 6dp).
+
+    Scale shape: two broadcast-sized equi-joins against the entity
+    dictionary + two map-side-combinable aggregations (signature
+    counts are at most |preds|×|types|²-sized — tiny); the dominant
+    election is one min_by struct, no window."""
+    subj_t = entities.select(
+        F.col("entity_id").alias("subj"), F.col("type").alias("subj_type")
+    )
+    obj_t = entities.select(
+        F.col("entity_id").alias("obj"), F.col("type").alias("obj_type")
+    )
+    refs = (
+        triples.filter(F.col("obj_kind") == "ref")
+        .join(subj_t, "subj", "left")
+        .join(obj_t, "obj", "left")
+        .select(
+            "pred",
+            F.coalesce("subj_type", F.lit("UNDECLARED")).alias("domain"),
+            F.coalesce("obj_type", F.lit("UNRESOLVED")).alias("range"),
+        )
+    )
+    lits = (
+        triples.filter(F.col("obj_kind").isin("literal", "enum"))
+        .join(subj_t, "subj", "left")
+        .select(
+            "pred",
+            F.coalesce("subj_type", F.lit("UNDECLARED")).alias("domain"),
+            F.when(F.col("obj_kind") == "enum", F.lit("enum"))
+            .when(F.col("obj").isin("true", "false"), F.lit("bool"))
+            .when(F.col("obj").rlike("^-?[0-9]+$"), F.lit("int"))
+            .otherwise(F.lit("string"))
+            .alias("range"),
+        )
+    )
+    sig = refs.unionByName(lits).groupBy("pred", "domain", "range").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    key = F.struct((-F.col("n")).alias("nn"), "domain", "range")
+    return (
+        sig.groupBy("pred")
+        .agg(
+            F.min_by(F.struct("domain", "range"), key).alias("dom"),
+            F.max("n").alias("n_dom"),
+            F.sum("n").alias("n_total"),
+            F.count(F.lit(1)).alias("n_signatures"),
+        )
+        .select(
+            "pred",
+            F.col("dom.domain").alias("dom_domain"),
+            F.col("dom.range").alias("dom_range"),
+            "n_dom",
+            "n_total",
+            F.col("n_signatures").cast("int").alias("n_signatures"),
+            F.round(F.col("n_dom") * F.lit(1.0) / F.col("n_total"), 6).alias(
+                "conformance"
+            ),
+        )
+    )
+
+
+def attr_history(triples: DataFrame, cmap: DataFrame) -> DataFrame:
+    """Temporal attribute versioning (SCD2-style) — every canonical
+    entity's attribute TIMELINE instead of one elected value: collapse
+    the assertion stream, in the pipeline's stable (conv_id, turn_idx,
+    mention_idx) mention order (the same order `canonical_nodes`
+    elects by), into runs of consecutive equal values; each run is one
+    version row with its first-assertion provenance and run length. A
+    KG consumer uses this for as-of reconstruction and change auditing
+    (which conversations flipped an attribute, how often it churns) —
+    the temporal-fact layer the reference's one-shot import never
+    needs but a continuously-ingested transcript KG does.
+
+    Output: (entity_id, attr, version, value, from_conv_id,
+    from_turn_idx, from_mention_idx, n_assertions) — version is
+    1-based in mention order.
+
+    Scale shape: one cmap equi-join + ONE window partitioned by
+    (entity, attr) — runs are computed with lag + running sum over
+    the same window ordering, then one hash aggregation keyed by
+    (entity, attr, version); min_by on the in-window row_number picks
+    the run's first provenance without a second sort. Partitions are
+    per-(entity, attr) assertion lists — bounded by mention fan-in,
+    never corpus-scale."""
+    from pyspark.sql import Window
+
+    merged = (
+        triples.filter(F.col("obj_kind").isin("literal", "enum"))
+        .join(
+            cmap.select(F.col("entity_id").alias("subj"), "canonical_id"),
+            "subj",
+        )
+        .select(
+            F.col("canonical_id").alias("entity_id"),
+            F.col("pred").alias("attr"),
+            F.col("obj").alias("value"),
+            "conv_id",
+            "turn_idx",
+            "mention_idx",
+        )
+    )
+    w = Window.partitionBy("entity_id", "attr").orderBy(
+        "conv_id", "turn_idx", "mention_idx"
+    )
+    runs = (
+        merged.withColumn("rn", F.row_number().over(w))
+        .withColumn("prev", F.lag("value").over(w))
+        .withColumn(
+            "chg",
+            F.when(F.col("prev").isNull(), F.lit(1))
+            .when(F.col("value") != F.col("prev"), F.lit(1))
+            .otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "version",
+            F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    return (
+        runs.groupBy("entity_id", "attr", "version")
+        .agg(
+            F.min("value").alias("value"),
+            F.min_by("conv_id", "rn").alias("from_conv_id"),
+            F.min_by("turn_idx", "rn").alias("from_turn_idx"),
+            F.min_by("mention_idx", "rn").alias("from_mention_idx"),
+            F.count(F.lit(1)).alias("n_assertions"),
+        )
+        .select(
+            "entity_id",
+            "attr",
+            F.col("version").cast("int").alias("version"),
+            "value",
+            "from_conv_id",
+            "from_turn_idx",
+            "from_mention_idx",
+            "n_assertions",
+        )
+    )
+
+
+def entity_features(
+    triples: DataFrame, cmap: DataFrame, canon_edges: DataFrame
+) -> DataFrame:
+    """Per-canonical-entity feature set for similarity-based entity
+    resolution: every distinct attribute assertion (`a:pred=value`,
+    including the type), outgoing canonical edge (`o:pred>dst`) and
+    incoming canonical edge (`i:pred<src`) as a token — the standard
+    ER "entity profile" (attribute + relational context). Output:
+    (entity_id, feat) DISTINCT."""
+    attrs = (
+        triples.filter(F.col("obj_kind").isin("type", "literal", "enum"))
+        .join(
+            cmap.select(F.col("entity_id").alias("subj"), "canonical_id"),
+            "subj",
+        )
+        .select(
+            F.col("canonical_id").alias("entity_id"),
+            F.concat(F.lit("a:"), "pred", F.lit("="), "obj").alias("feat"),
+        )
+    )
+    outs = canon_edges.select(
+        F.col("src").alias("entity_id"),
+        F.concat(F.lit("o:"), "pred", F.lit(">"), "dst").alias("feat"),
+    )
+    ins = canon_edges.select(
+        F.col("dst").alias("entity_id"),
+        F.concat(F.lit("i:"), "pred", F.lit("<"), "src").alias("feat"),
+    )
+    return attrs.unionByName(outs).unionByName(ins).distinct()
+
+
+def entity_match(
+    triples: DataFrame,
+    cmap: DataFrame,
+    canon_edges: DataFrame,
+    num: int = 2,
+    den: int = 5,
+) -> DataFrame:
+    """Similarity-based entity resolution over feature profiles — the
+    approximate-alias discovery that complements the pipeline's
+    EXPLICIT sameAs canonicalization: all pairs of canonical entities
+    whose `entity_features` Jaccard is >= num/den, found with the same
+    EXACT prefix-filter algorithm as `dedup.setsim_join` (AllPairs /
+    PPJoin, Bayardo WWW'07) generalized from text shingles to feature
+    tokens. In a production KG these pairs feed a merge review queue
+    or a second canonicalization round; here they are the gated
+    surface of the ER blocking+verify pattern (never all-pairs).
+
+    Completeness argument is setsim_join's verbatim: features hash to
+    xxhash64 longs before any shuffle; ordering the vocabulary by
+    (document frequency, hash) is a consistent total order, prefix
+    length |s| - ceil(t·|s|) + 1 guarantees any qualifying pair shares
+    a prefix token, hash collisions only ADD candidates (the verify
+    intersects RAW feature sets), and the rational threshold keeps
+    every comparison integer. Verify is O(candidates): raw sets are
+    collected only for the candidate ids (broadcast semi-join), pairs
+    intersect IN-ROW via array_intersect.
+
+    Output: (entity_a, entity_b, n_inter, jaccard 6dp), entity_a <
+    entity_b. The DuckDB oracle is the independent brute-force
+    all-pairs join over the same feature sets."""
+    from cimpy_spark.plans.checkpoints import checkpoint_df
+
+    feats = entity_features(triples, cmap, canon_edges)
+    sh = checkpoint_df(
+        feats.select("entity_id", F.xxhash64("feat").alias("tok"))
+    )
+    dfreq = sh.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (
+        sh.join(dfreq, "tok")
+        .groupBy("entity_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "tok"))).alias("arr"))
+    )
+    nsz = F.size("arr")
+    ceil_tn = F.floor((F.lit(num) * nsz + F.lit(den - 1)) / F.lit(den))
+    plen = (nsz - ceil_tn + 1).cast("int")
+    prefix = ordered.select(
+        "entity_id",
+        nsz.alias("n"),
+        F.explode(
+            F.slice(F.transform("arr", lambda s: s["tok"]), F.lit(1), plen)
+        ).alias("tok"),
+    )
+    a = prefix.select(
+        F.col("entity_id").alias("entity_a"), F.col("n").alias("na"), "tok"
+    )
+    b = prefix.select(
+        F.col("entity_id").alias("entity_b"), F.col("n").alias("nb"), "tok"
+    )
+    cand = (
+        a.join(b, "tok")
+        .filter(F.col("entity_a") < F.col("entity_b"))
+        .filter(
+            F.lit(num) * F.greatest("na", "nb")
+            <= F.lit(den) * F.least("na", "nb")
+        )
+        .select("entity_a", "entity_b")
+        .distinct()
+    )
+    cand = checkpoint_df(cand)
+    cand_ids = (
+        cand.select(F.col("entity_a").alias("entity_id"))
+        .union(cand.select(F.col("entity_b").alias("entity_id")))
+        .distinct()
+    )
+    sets = (
+        feats.join(F.broadcast(cand_ids), "entity_id", "left_semi")
+        .groupBy("entity_id")
+        .agg(F.collect_set("feat").alias("s"))
+    )
+    inter = F.size(F.array_intersect("sa", "sb"))
+    return (
+        cand.join(
+            sets.select(
+                F.col("entity_id").alias("entity_a"), F.col("s").alias("sa")
+            ),
+            "entity_a",
+        )
+        .join(
+            sets.select(
+                F.col("entity_id").alias("entity_b"), F.col("s").alias("sb")
+            ),
+            "entity_b",
+        )
+        .select(
+            "entity_a",
+            "entity_b",
+            inter.alias("inter"),
+            F.size("sa").alias("na"),
+            F.size("sb").alias("nb"),
+        )
+        .filter(
+            F.lit(den) * F.col("inter")
+            >= F.lit(num) * (F.col("na") + F.col("nb") - F.col("inter"))
+        )
+        .select(
+            "entity_a",
+            "entity_b",
+            F.col("inter").cast("int").alias("n_inter"),
+            F.round(
+                F.col("inter")
+                * F.lit(1.0)
+                / (F.col("na") + F.col("nb") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
