@@ -1250,6 +1250,31 @@ def _q_kg_entity_match(spark, sf_dir):
     return P.entity_match(g.triples, g.cmap, g.canon_edges)
 
 
+def _q_kg_er_clusters(spark, sf_dir):
+    g = _graph(spark, sf_dir)
+    return P.er_clusters(g.triples, g.cmap, g.canon_edges)
+
+
+def _q_kg_truth_discovery(spark, sf_dir):
+    g = _graph(spark, sf_dir)
+    return P.truth_discovery(g.triples, g.cmap, iters=2)
+
+
+def _q_kg_source_trust(spark, sf_dir):
+    g = _graph(spark, sf_dir)
+    return P.source_trust(g.triples, g.cmap, iters=2)
+
+
+def _q_kg_type_closure(spark, sf_dir):
+    from cimpy_spark.operators.schema import (
+        fixture_class_hierarchy,
+        type_closure,
+    )
+
+    g = _graph(spark, sf_dir)
+    return type_closure(g.entities, fixture_class_hierarchy(spark))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered by GATING PRIORITY, not by topic: the driver evaluates
     a bounded prefix (50 rows), so entries that most need a fresh
@@ -1437,6 +1462,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_schema_induction": _q_kg_schema_induction,
         "kg_attr_history": _q_kg_attr_history,
         "kg_entity_match": _q_kg_entity_match,
+        # KG trust/closure wave (late r7 — tail until their first
+        # driver rows; driver-style parity pinned in
+        # tests/test_kg_trust.py)
+        "kg_truth_discovery": _q_kg_truth_discovery,
+        "kg_source_trust": _q_kg_source_trust,
+        "kg_er_clusters": _q_kg_er_clusters,
+        "kg_type_closure": _q_kg_type_closure,
         "doc_domain_flags": _q_doc_domain_flags,
         "doc_script_profile": _q_doc_script_profile,
         "doc_mad_outliers": _q_doc_mad_outliers,
@@ -1495,6 +1527,12 @@ def _default_suppression_oracle() -> str:
     from cimpy_spark.operators.schema import default_suppression_oracle_sql
 
     return default_suppression_oracle_sql(oracles.PIPELINE_CTES)
+
+
+def _type_closure_oracle() -> str:
+    from cimpy_spark.operators.schema import type_closure_oracle_sql
+
+    return type_closure_oracle_sql(oracles.PIPELINE_CTES)
 
 
 def _mm_features_oracle() -> str:
@@ -1672,5 +1710,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_incremental_nodes": oracles.nodes_sql(),
         "stream_extract_triples": triples_oracle_sql("//", "events"),
         "stream_conv_state": oracles.conv_state_sql(),
+        "kg_truth_discovery": oracles.truth_discovery_sql(iters=2),
+        "kg_source_trust": oracles.source_trust_sql(iters=2),
+        "kg_er_clusters": oracles.er_clusters_sql(),
+        "kg_type_closure": _type_closure_oracle(),
         **A.ANALYTICS_ORACLES,
     }

@@ -1111,13 +1111,13 @@ feats AS (
 """
 
 
-def entity_match_sql(num: int = 2, den: int = 5) -> str:
-    """INDEPENDENT oracle for pipeline.entity_match: brute-force
-    all-pairs feature-set Jaccard (no prefix filter, no hashing — a
-    different algorithm computing the same exact answer), integer
-    threshold comparison, same 6dp jaccard."""
-    return PIPELINE_CTES + f"""
-    , {ENTITY_FEATS_CTE.strip()},
+def _match_pair_ctes(num: int, den: int) -> str:
+    """Brute-force all-pairs feature-set match CTEs (no prefix
+    filter, no hashing — a different algorithm than the engine's
+    PPJoin, computing the same exact answer), ending in a
+    `match_pairs` CTE — shared by the entity_match and er_clusters
+    oracles."""
+    return f"""{ENTITY_FEATS_CTE.strip()},
     sizes AS (SELECT entity_id, count(*) AS n FROM feats GROUP BY 1),
     inter AS (
       SELECT a.entity_id AS entity_a, b.entity_id AS entity_b,
@@ -1125,11 +1125,123 @@ def entity_match_sql(num: int = 2, den: int = 5) -> str:
       FROM feats a JOIN feats b
         ON a.feat = b.feat AND a.entity_id < b.entity_id
       GROUP BY 1, 2
-    )
-    SELECT entity_a, entity_b, CAST(c AS INT) AS n_inter,
-           round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
-    FROM inter
-    JOIN sizes sa ON entity_a = sa.entity_id
-    JOIN sizes sb ON entity_b = sb.entity_id
-    WHERE {den} * c >= {num} * (sa.n + sb.n - c)
+    ),
+    match_pairs AS MATERIALIZED (
+      SELECT entity_a, entity_b, CAST(c AS INT) AS n_inter,
+             round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+      FROM inter
+      JOIN sizes sa ON entity_a = sa.entity_id
+      JOIN sizes sb ON entity_b = sb.entity_id
+      WHERE {den} * c >= {num} * (sa.n + sb.n - c)
+    )"""
+
+
+def entity_match_sql(num: int = 2, den: int = 5) -> str:
+    """INDEPENDENT oracle for pipeline.entity_match: brute-force
+    all-pairs feature-set Jaccard via `_match_pair_ctes`, integer
+    threshold comparison, same 6dp jaccard."""
+    return PIPELINE_CTES + f"""
+    , {_match_pair_ctes(num, den)}
+    SELECT entity_a, entity_b, n_inter, jaccard FROM match_pairs
+    """
+
+
+def er_clusters_sql(num: int = 2, den: int = 5) -> str:
+    """INDEPENDENT oracle for pipeline.er_clusters: connected
+    components over the brute-force match pairs via a recursive-CTE
+    reachability closure (cluster id = min reachable entity) — a
+    different algorithm than the engine's union-find/pointer-jumping
+    labels."""
+    return PIPELINE_CTES + f"""
+    , {_match_pair_ctes(num, den)},
+    sym AS MATERIALIZED (
+      SELECT entity_a AS a, entity_b AS b FROM match_pairs
+      UNION
+      SELECT entity_b, entity_a FROM match_pairs
+    ),
+    mreach AS (
+      SELECT a AS node, a AS peer FROM sym
+      UNION
+      SELECT r.node, s.b FROM mreach r JOIN sym s ON r.peer = s.a
+    ),
+    cl AS (
+      SELECT node AS entity_id, min(peer) AS cluster_id
+      FROM mreach GROUP BY 1
+    ),
+    sz AS (SELECT cluster_id, count(*) AS c FROM cl GROUP BY 1)
+    SELECT cl.entity_id, cl.cluster_id, CAST(sz.c AS INT) AS cluster_size
+    FROM cl JOIN sz USING (cluster_id)
+    """
+
+
+TRUTH_SCALE = 10**6
+
+
+def _truth_ctes(iters: int) -> str:
+    """Unrolled fixed-point levels for pipeline._truth_rounds: claims
+    → uniform trust t0 → per round r (score s{{r}} via window-rank
+    election w{{r}} → trust t{{r}} by integer floor division). All
+    integer micro-units, mirroring the engine exactly."""
+    levels = []
+    for i in range(1, iters + 1):
+        levels.append(f"""s{i} AS MATERIALIZED (
+  SELECT c.entity_id, c.attr, c.value,
+         CAST(sum(t.trust) AS BIGINT) AS score,
+         count(*) AS n_sources
+  FROM claims c JOIN t{i - 1} t USING (conv_id)
+  GROUP BY 1, 2, 3
+),
+w{i} AS MATERIALIZED (
+  SELECT entity_id, attr, value, score, n_sources FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY entity_id, attr ORDER BY score DESC, value
+    ) AS rn FROM s{i}
+  ) WHERE rn = 1
+),
+t{i} AS MATERIALIZED (
+  SELECT nc.conv_id,
+         CAST(({TRUTH_SCALE} * coalesce(g.n_correct, 0)) // nc.n_claims
+              AS BIGINT) AS trust,
+         coalesce(g.n_correct, 0) AS n_correct
+  FROM nc LEFT JOIN (
+    SELECT c.conv_id, count(*) AS n_correct
+    FROM claims c
+    JOIN w{i} w ON c.entity_id = w.entity_id AND c.attr = w.attr
+               AND c.value = w.value
+    GROUP BY 1
+  ) g ON nc.conv_id = g.conv_id
+)""")
+        # noqa: the loop builds t{i} consumed by round i+1
+    chain = ",\n".join(levels)
+    return f"""claims AS MATERIALIZED (
+      SELECT DISTINCT tr.conv_id, c.canonical_id AS entity_id,
+             tr.pred AS attr, tr.obj AS value
+      FROM triples tr JOIN cmap c ON tr.subj = c.entity_id
+      WHERE tr.obj_kind IN ('type', 'literal', 'enum')
+    ),
+    nc AS MATERIALIZED (
+      SELECT conv_id, count(*) AS n_claims FROM claims GROUP BY 1
+    ),
+    t0 AS (SELECT conv_id, CAST({TRUTH_SCALE} AS BIGINT) AS trust FROM nc),
+    {chain}"""
+
+
+def truth_discovery_sql(iters: int = 2) -> str:
+    """Mirror of pipeline.truth_discovery at `iters` trust rounds."""
+    return PIPELINE_CTES + f"""
+    , {_truth_ctes(iters)}
+    SELECT entity_id, attr, value, score AS score_micro,
+           CAST(n_sources AS INT) AS n_sources
+    FROM w{iters}
+    """
+
+
+def source_trust_sql(iters: int = 2) -> str:
+    """Mirror of pipeline.source_trust at `iters` trust rounds."""
+    return PIPELINE_CTES + f"""
+    , {_truth_ctes(iters)}
+    SELECT nc.conv_id, CAST(nc.n_claims AS INT) AS n_claims,
+           CAST(t.n_correct AS INT) AS n_correct,
+           t.trust AS trust_micro
+    FROM nc JOIN t{iters} t USING (conv_id)
     """

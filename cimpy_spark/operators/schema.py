@@ -668,3 +668,126 @@ def schema_cast_oracle_sql(pipeline_ctes: str) -> str:
     FROM unioned
     """
     )
+
+
+# --------------------------------------------------------------------------
+# Class hierarchy / type closure
+# --------------------------------------------------------------------------
+
+# The fixture grammar's subClassOf forest — the analog of the
+# reference's generated class INHERITANCE (every cimgen class extends
+# another, e.g. Breaker → ProtectedSwitch → Switch → ConductingEquipment,
+# cimpy/cgmes_v2_4_15/Breaker.py:4-9); SURVEY §1.3 maps that zoo to
+# broadcast tables, and this is the inheritance slice. Depth 3 on the
+# T2 chain so the closure is non-trivially transitive.
+_HIERARCHY_ROWS: list[tuple[str, str]] = [
+    ("T0", "Thing"),
+    ("T1", "T0"),
+    ("T2", "T1"),
+    ("T3", "T1"),
+    ("T4", "T0"),
+]
+
+
+def fixture_class_hierarchy(spark: SparkSession) -> DataFrame:
+    """The fixture's (child, parent) subClassOf table (in production:
+    the ontology slice of the catalog, broadcast like the schema)."""
+    return spark.createDataFrame(_HIERARCHY_ROWS, "child string, parent string")
+
+
+def hierarchy_table_sql() -> str:
+    """The SAME hierarchy rows as a DuckDB VALUES CTE body."""
+    rows = ", ".join(f"('{c}', '{p}')" for c, p in _HIERARCHY_ROWS)
+    return f"sub(child, parent) AS (VALUES {rows})"
+
+
+def type_closure(
+    entities: DataFrame, hierarchy: DataFrame, max_doublings: int = 10
+) -> DataFrame:
+    """RDFS-style rdf:type closure: every (entity, ancestor class)
+    pair implied by subClassOf transitivity, with the hop distance.
+    Output: (entity_id, type, is_a, depth) — depth 0 is the declared
+    class itself (rdfs:subClassOf is reflexive on the instance view),
+    depth k an ancestor k edges up. A KG consumer queries "all
+    Switches" and gets Breakers for free — the query-side inheritance
+    the reference gets from Python's `isinstance`.
+
+    Scale shape: the ontology is catalog-sized (hundreds to thousands
+    of classes — NOT data-sized), so the closure is computed on that
+    tiny table by iterative DOUBLING (closure ∘ closure, O(log depth)
+    rounds rather than depth rounds) and then broadcast-joined to the
+    entity dictionary — the instance table is touched exactly once,
+    with no iteration over data-scale rows. DAGs are supported
+    (multiple parents dedupe to min depth). Cycles DO converge under
+    the min-depth dedupe (a cycle's min-depth closure is finite), so
+    they are detected explicitly: any class that becomes its own
+    ancestor fails loud; `max_doublings` only guards ontologies
+    deeper than 2^max_doublings."""
+    closure = hierarchy.select(
+        "child", F.col("parent").alias("is_a"), F.lit(1).alias("depth")
+    )
+    for _ in range(max_doublings):
+        hop = (
+            closure.alias("x")
+            .join(
+                closure.alias("y"), F.col("x.is_a") == F.col("y.child")
+            )
+            .select(
+                F.col("x.child").alias("child"),
+                F.col("y.is_a").alias("is_a"),
+                (F.col("x.depth") + F.col("y.depth")).alias("depth"),
+            )
+        )
+        new = (
+            closure.unionByName(hop)
+            .groupBy("child", "is_a")
+            .agg(F.min("depth").alias("depth"))
+        )
+        n_old, n_new = closure.count(), new.count()
+        closure = new
+        if n_new == n_old:
+            break
+    else:
+        raise RuntimeError(
+            f"type_closure did not converge in {max_doublings} doublings"
+            " — ontology deeper than 2^max_doublings?"
+        )
+    if closure.filter(F.col("child") == F.col("is_a")).limit(1).count():
+        raise RuntimeError("cyclic subClassOf hierarchy")
+    self_rows = entities.select(
+        "entity_id", "type", F.col("type").alias("is_a"),
+        F.lit(0).alias("depth"),
+    )
+    inherited = entities.join(
+        F.broadcast(closure), entities["type"] == closure["child"]
+    ).select("entity_id", "type", "is_a", "depth")
+    return self_rows.unionByName(inherited).select(
+        "entity_id", "type", "is_a", F.col("depth").cast("int").alias("depth")
+    )
+
+
+def type_closure_oracle_sql(pipeline_ctes: str) -> str:
+    """DuckDB oracle for `kg_type_closure`: the SAME hierarchy rows
+    closed by a recursive CTE (path-extension recursion — a different
+    algorithm than the engine's doubling), min depth per (child,
+    ancestor), joined to the entity dictionary + reflexive rows."""
+    return (
+        pipeline_ctes
+        + ", "
+        + hierarchy_table_sql()
+        + """
+    , anc AS (
+      SELECT child, parent AS is_a, 1 AS depth FROM sub
+      UNION
+      SELECT a.child, s.parent, a.depth + 1
+      FROM anc a JOIN sub s ON a.is_a = s.child
+    ),
+    closure AS (
+      SELECT child, is_a, min(depth) AS depth FROM anc GROUP BY 1, 2
+    )
+    SELECT entity_id, type, type AS is_a, 0 AS depth FROM entities
+    UNION ALL
+    SELECT e.entity_id, e.type, c.is_a, c.depth
+    FROM entities e JOIN closure c ON e.type = c.child
+    """
+    )

@@ -1371,3 +1371,196 @@ def entity_match(
             ).alias("jaccard"),
         )
     )
+
+
+TRUST_SCALE = 10**6
+
+
+def _truth_claims(triples: DataFrame, cmap: DataFrame) -> DataFrame:
+    """DISTINCT (source, entity, attr, value) claim set for truth
+    discovery — a source (conversation) asserts a value once however
+    many times it repeats it. Same assertion universe as
+    `fact_fusion` (type/literal/enum)."""
+    return (
+        triples.filter(F.col("obj_kind").isin("type", "literal", "enum"))
+        .join(
+            cmap.select(F.col("entity_id").alias("subj"), "canonical_id"),
+            "subj",
+        )
+        .select(
+            "conv_id",
+            F.col("canonical_id").alias("entity_id"),
+            F.col("pred").alias("attr"),
+            F.col("obj").alias("value"),
+        )
+        .distinct()
+    )
+
+
+def _truth_rounds(
+    triples: DataFrame, cmap: DataFrame, iters: int
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Shared fixed-point loop for `truth_discovery` / `source_trust`
+    (Sums/TruthFinder family — Yin et al. KDD'07, Dong et al. VLDB'09
+    — reduced to its deterministic integer core): alternate
+
+      score_r(e,a,v) = Σ_s trust_{r-1}(s)      over claims (s,e,a,v)
+      win_r(e,a)     = argmax_v (score_r, v asc)
+      trust_r(s)     = ⌊SCALE · |claims of s matching win_r| / |claims of s|⌋
+
+    starting from uniform trust_0 = SCALE. All arithmetic is integer
+    micro-units — no float accumulation order anywhere, so the DuckDB
+    oracle (unrolled CTE levels) is bit-exact. `fact_fusion` IS round
+    1's election (uniform trust = majority vote); the gate runs
+    iters=2 so the re-weighted round — the actual loop body — is what
+    the oracle verifies.
+
+    Returns (claims, n_claims, winners, trust) after `iters` trust
+    updates; winners/trust are round-`iters` outputs.
+
+    Scale shape: claims are checkpointed once (consumed 2× per
+    round); each round is two hash aggregations + two equi-joins.
+    The trust/size tables are |sources|-rows — joined WITHOUT a
+    forced broadcast (sources are conversations: at 100 TB that is
+    billions of rows, so AQE must pick the strategy from runtime
+    sizes). Round outputs are checkpointed to keep lineage O(1) in
+    `iters` (the graph-loop policy, pipeline.pagerank)."""
+    from cimpy_spark.plans.checkpoints import checkpoint_df
+
+    if iters < 1:
+        raise ValueError("truth discovery needs at least one round")
+    claims = checkpoint_df(_truth_claims(triples, cmap))
+    n_claims = claims.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_claims")
+    )
+    n_claims = checkpoint_df(n_claims)
+    trust = n_claims.select(
+        "conv_id", F.lit(TRUST_SCALE).cast("long").alias("trust")
+    )
+    key = F.struct((-F.col("score")).alias("ns"), F.col("value"))
+    winners = None
+    for _ in range(iters):
+        scored = (
+            claims.join(trust, "conv_id")
+            .groupBy("entity_id", "attr", "value")
+            .agg(
+                F.sum("trust").alias("score"),
+                F.count(F.lit(1)).alias("n_sources"),
+            )
+        )
+        winners = checkpoint_df(
+            scored.groupBy("entity_id", "attr").agg(
+                F.min_by(
+                    F.struct("value", "score", "n_sources"), key
+                ).alias("w")
+            ).select(
+                "entity_id",
+                "attr",
+                F.col("w.value").alias("value"),
+                F.col("w.score").alias("score"),
+                F.col("w.n_sources").alias("n_sources"),
+            )
+        )
+        correct = (
+            claims.join(winners, ["entity_id", "attr", "value"])
+            .groupBy("conv_id")
+            .agg(F.count(F.lit(1)).alias("n_correct"))
+        )
+        trust = checkpoint_df(
+            n_claims.join(correct, "conv_id", "left")
+            .withColumn("n_correct", F.coalesce("n_correct", F.lit(0)))
+            .select(
+                "conv_id",
+                F.expr(
+                    f"(CAST({TRUST_SCALE} AS BIGINT) * n_correct)"
+                    " div n_claims"
+                ).alias("trust"),
+                "n_correct",
+            )
+        )
+    return claims, n_claims, winners, trust
+
+
+def truth_discovery(
+    triples: DataFrame, cmap: DataFrame, iters: int = 2
+) -> DataFrame:
+    """Trust-weighted truth discovery — the iterative complement to
+    `fact_fusion`'s one-shot majority vote: sources that agree with
+    elected values gain trust, and round r's election re-weights every
+    vote by round r-1's trust. Output: one row per (entity, attr) —
+    (entity_id, attr, value, score_micro, n_sources) where score_micro
+    is the winning value's summed source trust in integer micro-units
+    and n_sources its supporting-source count."""
+    _, _, winners, _ = _truth_rounds(triples, cmap, iters)
+    return winners.select(
+        "entity_id",
+        "attr",
+        "value",
+        F.col("score").alias("score_micro"),
+        F.col("n_sources").cast("int").alias("n_sources"),
+    )
+
+
+def source_trust(
+    triples: DataFrame, cmap: DataFrame, iters: int = 2
+) -> DataFrame:
+    """Per-source reliability from the same fixed point as
+    `truth_discovery`: (conv_id, n_claims, n_correct, trust_micro)
+    after `iters` trust updates — the KG-curation signal for
+    weighting or quarantining ingest sources."""
+    _, n_claims, _, trust = _truth_rounds(triples, cmap, iters)
+    return n_claims.join(trust, "conv_id").select(
+        "conv_id",
+        F.col("n_claims").cast("int").alias("n_claims"),
+        F.col("n_correct").cast("int").alias("n_correct"),
+        F.col("trust").alias("trust_micro"),
+    )
+
+
+def er_clusters(
+    triples: DataFrame,
+    cmap: DataFrame,
+    canon_edges: DataFrame,
+    num: int = 2,
+    den: int = 5,
+) -> DataFrame:
+    """Merge clusters from similarity ER — the "second
+    canonicalization round" `entity_match`'s docstring promises:
+    connected components over the match pairs, so chains of pairwise
+    matches (A~B, B~C) land in ONE cluster with a deterministic
+    min-id representative. Output: (entity_id, cluster_id,
+    cluster_size) for every matched entity (singletons — entities in
+    no pair — are excluded by construction: at corpus scale almost
+    everything is a singleton and emitting them would dwarf the
+    signal).
+
+    Scale shape: reuses `canonicalize.canonical_labels` — the SAME
+    machinery that contracts explicit sameAs links (driver union-find
+    under the small-links threshold, checkpointed pointer-jumping
+    min-label loop above it), so the 100 TB story is already proven
+    there; match pairs are orders of magnitude sparser than sameAs
+    links. The DuckDB oracle recomputes components INDEPENDENTLY via
+    a recursive-CTE reachability closure over brute-force all-pairs
+    matches."""
+    from cimpy_spark.operators.canonicalize import canonical_labels
+
+    pairs = entity_match(triples, cmap, canon_edges, num, den).select(
+        F.col("entity_a").alias("src"), F.col("entity_b").alias("dst")
+    )
+    from cimpy_spark.plans.checkpoints import checkpoint_df
+
+    pairs = checkpoint_df(pairs)
+    matched = (
+        pairs.select(F.col("src").alias("entity_id"))
+        .union(pairs.select("dst"))
+        .distinct()
+    )
+    labels = canonical_labels(matched, pairs)
+    sizes = labels.groupBy("canonical_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return labels.join(sizes, "canonical_id").select(
+        "entity_id",
+        F.col("canonical_id").alias("cluster_id"),
+        F.col("cluster_size").cast("int").alias("cluster_size"),
+    )
