@@ -1265,6 +1265,21 @@ def _q_kg_source_trust(spark, sf_dir):
     return P.source_trust(g.triples, g.cmap, iters=2)
 
 
+def _q_kg_edge_history(spark, sf_dir):
+    g = _graph(spark, sf_dir)
+    return P.edge_history(g.triples, g.entities, g.cmap)
+
+
+def _q_kg_edge_provenance(spark, sf_dir):
+    g = _graph(spark, sf_dir)
+    return P.edge_provenance(g.triples, g.entities, g.cmap)
+
+
+def _q_kg_asof_nodes(spark, sf_dir):
+    g = _graph(spark, sf_dir)
+    return P.asof_nodes(g.triples, g.cmap, conv_watermark="c3")
+
+
 def _q_kg_type_closure(spark, sf_dir):
     from cimpy_spark.operators.schema import (
         fixture_class_hierarchy,
@@ -1469,6 +1484,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_source_trust": _q_kg_source_trust,
         "kg_er_clusters": _q_kg_er_clusters,
         "kg_type_closure": _q_kg_type_closure,
+        # KG temporal/provenance wave (late r7 — tail until their
+        # first driver rows; driver-style parity pinned in
+        # tests/test_kg_temporal.py)
+        "kg_edge_history": _q_kg_edge_history,
+        "kg_edge_provenance": _q_kg_edge_provenance,
+        "kg_asof_nodes": _q_kg_asof_nodes,
         "doc_domain_flags": _q_doc_domain_flags,
         "doc_script_profile": _q_doc_script_profile,
         "doc_mad_outliers": _q_doc_mad_outliers,
@@ -1714,5 +1735,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_source_trust": oracles.source_trust_sql(iters=2),
         "kg_er_clusters": oracles.er_clusters_sql(),
         "kg_type_closure": _type_closure_oracle(),
+        "kg_edge_history": oracles.edge_history_sql(),
+        "kg_edge_provenance": oracles.edge_provenance_sql(),
+        "kg_asof_nodes": oracles.asof_nodes_sql(conv_watermark="c3"),
         **A.ANALYTICS_ORACLES,
     }

@@ -1055,43 +1055,112 @@ def schema_induction_sql() -> str:
     """
 
 
-def attr_history_sql() -> str:
-    """SCD2 attribute-timeline oracle (pipeline.attr_history): lag +
-    running change-sum over the stable mention order, run provenance
-    via min_by on the in-window row_number."""
-    return PIPELINE_CTES + """
-    , a AS (
-      SELECT c.canonical_id AS entity_id, tr.pred AS attr,
-             tr.obj AS value, tr.conv_id, tr.turn_idx, tr.mention_idx
-      FROM triples tr JOIN cmap c ON tr.subj = c.entity_id
-      WHERE tr.obj_kind IN ('literal', 'enum')
-    ),
+def _scd2_ctes(stream_cte: str, key_a: str, key_b: str, val: str) -> str:
+    """Shared SCD2 run construction: lag + running change-sum over
+    the stable mention order partitioned by (key_a, key_b), ending in
+    a `hist` CTE of version rows with first-assertion provenance —
+    used by the attr_history, asof_nodes and edge_history oracles."""
+    order = "ORDER BY conv_id, turn_idx, mention_idx"
+    part = f"PARTITION BY {key_a}, {key_b}"
+    return f"""a AS ({stream_cte}),
     r AS (
       SELECT *,
-             row_number() OVER (
-               PARTITION BY entity_id, attr
-               ORDER BY conv_id, turn_idx, mention_idx
-             ) AS rn,
-             CASE WHEN lag(value) OVER (
-                    PARTITION BY entity_id, attr
-                    ORDER BY conv_id, turn_idx, mention_idx
-                  ) IS DISTINCT FROM value THEN 1 ELSE 0 END AS chg
+             row_number() OVER ({part} {order}) AS rn,
+             CASE WHEN lag({val}) OVER ({part} {order})
+                  IS DISTINCT FROM {val} THEN 1 ELSE 0 END AS chg
       FROM a
     ),
     v AS (
       SELECT *, sum(chg) OVER (
-        PARTITION BY entity_id, attr
-        ORDER BY conv_id, turn_idx, mention_idx
-        ROWS UNBOUNDED PRECEDING
+        {part} {order} ROWS UNBOUNDED PRECEDING
       ) AS version FROM r
+    ),
+    hist AS MATERIALIZED (
+      SELECT {key_a}, {key_b}, CAST(version AS INT) AS version,
+             min({val}) AS {val},
+             min_by(conv_id, rn) AS from_conv_id,
+             min_by(turn_idx, rn) AS from_turn_idx,
+             min_by(mention_idx, rn) AS from_mention_idx,
+             count(*) AS n_assertions
+      FROM v GROUP BY {key_a}, {key_b}, version
+    )"""
+
+
+_ATTR_STREAM_SQL = """
+      SELECT c.canonical_id AS entity_id, tr.pred AS attr,
+             tr.obj AS value, tr.conv_id, tr.turn_idx, tr.mention_idx
+      FROM triples tr JOIN cmap c ON tr.subj = c.entity_id
+      WHERE tr.obj_kind IN ('literal', 'enum')
+"""
+
+
+def attr_history_sql() -> str:
+    """SCD2 attribute-timeline oracle (pipeline.attr_history): lag +
+    running change-sum over the stable mention order, run provenance
+    via min_by on the in-window row_number."""
+    return PIPELINE_CTES + f"""
+    , {_scd2_ctes(_ATTR_STREAM_SQL, "entity_id", "attr", "value")}
+    SELECT entity_id, attr, version, value, from_conv_id,
+           from_turn_idx, from_mention_idx, n_assertions
+    FROM hist
+    """
+
+
+def asof_nodes_sql(conv_watermark: str) -> str:
+    """Mirror of pipeline.asof_nodes: max-version run per (entity,
+    attr) among runs starting at or before the watermark (string
+    comparison — the mention stream's own order)."""
+    return PIPELINE_CTES + f"""
+    , {_scd2_ctes(_ATTR_STREAM_SQL, "entity_id", "attr", "value")}
+    SELECT entity_id, attr,
+           max_by(value, version) AS value,
+           CAST(max(version) AS INT) AS version
+    FROM hist
+    WHERE from_conv_id <= '{conv_watermark}'
+    GROUP BY entity_id, attr
+    """
+
+
+_EDGE_STREAM_SQL = """
+      SELECT cs.canonical_id AS src, tr.pred, cd.canonical_id AS dst,
+             tr.conv_id, tr.turn_idx, tr.mention_idx
+      FROM triples tr
+      JOIN entities en ON tr.obj = en.entity_id
+      JOIN cmap cs ON tr.subj = cs.entity_id
+      JOIN cmap cd ON tr.obj = cd.entity_id
+      WHERE tr.obj_kind = 'ref' AND tr.pred <> 'sameAs'
+"""
+
+
+def edge_history_sql() -> str:
+    """Mirror of pipeline.edge_history: the SCD2 run construction
+    over the resolved canonical edge-assertion stream."""
+    return PIPELINE_CTES + f"""
+    , {_scd2_ctes(_EDGE_STREAM_SQL, "src", "pred", "dst")}
+    SELECT src, pred, version, dst, from_conv_id,
+           from_turn_idx, from_mention_idx, n_assertions
+    FROM hist
+    """
+
+
+def edge_provenance_sql() -> str:
+    """Mirror of pipeline.edge_provenance: per-edge support counts +
+    lexicographic-first provenance via min(ROW(...))."""
+    return PIPELINE_CTES + f"""
+    , es AS ({_EDGE_STREAM_SQL}),
+    agg AS (
+      SELECT src, pred, dst,
+             count(*) AS n_asserts,
+             CAST(count(DISTINCT conv_id) AS INT) AS n_convs,
+             min(struct_pack(conv_id := conv_id, turn_idx := turn_idx,
+                             mention_idx := mention_idx)) AS first
+      FROM es GROUP BY 1, 2, 3
     )
-    SELECT entity_id, attr, CAST(version AS INT) AS version,
-           min(value) AS value,
-           min_by(conv_id, rn) AS from_conv_id,
-           min_by(turn_idx, rn) AS from_turn_idx,
-           min_by(mention_idx, rn) AS from_mention_idx,
-           count(*) AS n_assertions
-    FROM v GROUP BY entity_id, attr, version
+    SELECT src, pred, dst, n_asserts, n_convs,
+           first.conv_id AS first_conv_id,
+           first.turn_idx AS first_turn_idx,
+           first.mention_idx AS first_mention_idx
+    FROM agg
     """
 
 

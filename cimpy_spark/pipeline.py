@@ -1564,3 +1564,179 @@ def er_clusters(
         F.col("canonical_id").alias("cluster_id"),
         F.col("cluster_size").cast("int").alias("cluster_size"),
     )
+
+
+def _edge_stream(
+    triples: DataFrame, entities: DataFrame, cmap: DataFrame
+) -> DataFrame:
+    """Resolved reference assertions WITH provenance, canonical
+    endpoints — the assertion-level stream behind `canon_edges`
+    (which is its dedupe): obj_kind='ref' triples whose target is
+    declared, subject and object rewritten through the canonical
+    map. Same resolution semantics as link.resolve_references +
+    canonicalize.canonical_edges (semi-join dictionary, inner cmap
+    joins), but keeping (conv_id, turn_idx, mention_idx)."""
+    refs = triples.filter(
+        (F.col("obj_kind") == "ref") & (F.col("pred") != "sameAs")
+    ).select(
+        F.col("subj").alias("src"),
+        "pred",
+        F.col("obj").alias("dst"),
+        "conv_id",
+        "turn_idx",
+        "mention_idx",
+    )
+    resolved = refs.join(
+        entities.select(F.col("entity_id").alias("dst")), "dst", "left_semi"
+    )
+    return (
+        resolved.join(
+            cmap.select(F.col("entity_id").alias("src"),
+                        F.col("canonical_id").alias("csrc")),
+            "src",
+        )
+        .join(
+            cmap.select(F.col("entity_id").alias("dst"),
+                        F.col("canonical_id").alias("cdst")),
+            "dst",
+        )
+        .select(
+            F.col("csrc").alias("src"),
+            "pred",
+            F.col("cdst").alias("dst"),
+            "conv_id",
+            "turn_idx",
+            "mention_idx",
+        )
+    )
+
+
+def edge_history(
+    triples: DataFrame, entities: DataFrame, cmap: DataFrame
+) -> DataFrame:
+    """SCD2-style EDGE timelines — attr_history's twin for
+    ref-valued predicates: per (canonical src, pred), the resolved
+    assertion stream collapsed into runs of consecutive equal
+    targets in the stable mention order, each run one version row
+    with first-assertion provenance. Together with `attr_history`
+    this completes the temporal-fact layer: every node attribute AND
+    every relationship has an as-of reconstructable timeline.
+
+    Output: (src, pred, version, dst, from_conv_id, from_turn_idx,
+    from_mention_idx, n_assertions).
+
+    Scale shape: identical to attr_history — the resolution joins,
+    then ONE window per (src, pred) + one hash aggregation;
+    partitions are per-subject assertion lists, bounded by mention
+    fan-out."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("src", "pred").orderBy(
+        "conv_id", "turn_idx", "mention_idx"
+    )
+    runs = (
+        _edge_stream(triples, entities, cmap)
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("prev", F.lag("dst").over(w))
+        .withColumn(
+            "chg",
+            F.when(F.col("prev").isNull(), F.lit(1))
+            .when(F.col("dst") != F.col("prev"), F.lit(1))
+            .otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "version",
+            F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    return (
+        runs.groupBy("src", "pred", "version")
+        .agg(
+            F.min("dst").alias("dst"),
+            F.min_by("conv_id", "rn").alias("from_conv_id"),
+            F.min_by("turn_idx", "rn").alias("from_turn_idx"),
+            F.min_by("mention_idx", "rn").alias("from_mention_idx"),
+            F.count(F.lit(1)).alias("n_assertions"),
+        )
+        .select(
+            "src",
+            "pred",
+            F.col("version").cast("int").alias("version"),
+            "dst",
+            "from_conv_id",
+            "from_turn_idx",
+            "from_mention_idx",
+            "n_assertions",
+        )
+    )
+
+
+def edge_provenance(
+    triples: DataFrame, entities: DataFrame, cmap: DataFrame
+) -> DataFrame:
+    """Per canonical edge, its evidence: how many assertions and
+    independent conversations support it, and the first assertion's
+    provenance in the stable mention order — the confidence/audit
+    columns a production KG attaches to every relationship (the
+    dedupe in `canon_edges` erases exactly this). Output: (src, pred,
+    dst, n_asserts, n_convs, first_conv_id, first_turn_idx,
+    first_mention_idx).
+
+    Scale shape: the resolution joins + ONE map-side-combinable
+    aggregation keyed by the edge; the first-provenance election is
+    a min over a (conv, turn, mention) struct — lexicographic struct
+    ordering, identical in Spark and DuckDB (min(ROW(...)) on the
+    oracle side), no window."""
+    first = F.min(
+        F.struct("conv_id", "turn_idx", "mention_idx")
+    ).alias("first")
+    return (
+        _edge_stream(triples, entities, cmap)
+        .groupBy("src", "pred", "dst")
+        .agg(
+            F.count(F.lit(1)).alias("n_asserts"),
+            F.countDistinct("conv_id").alias("n_convs"),
+            first,
+        )
+        .select(
+            "src",
+            "pred",
+            "dst",
+            "n_asserts",
+            F.col("n_convs").cast("int").alias("n_convs"),
+            F.col("first.conv_id").alias("first_conv_id"),
+            F.col("first.turn_idx").alias("first_turn_idx"),
+            F.col("first.mention_idx").alias("first_mention_idx"),
+        )
+    )
+
+
+def asof_nodes(
+    triples: DataFrame, cmap: DataFrame, conv_watermark: str
+) -> DataFrame:
+    """Point-in-time attribute reconstruction — the consumer
+    `attr_history` exists for: the value of every (entity, attr) as
+    of ingesting all conversations up to `conv_watermark` (inclusive)
+    in the pipeline's stable mention order. A run whose FIRST
+    assertion is at or before the watermark is in force at the
+    watermark (runs carry one constant value by construction), so
+    as-of = the max-version run with from_conv_id <= watermark.
+    Output: (entity_id, attr, value, version).
+
+    The watermark compares conv ids as STRINGS — the same
+    lexicographic order the mention stream itself sorts by, so both
+    engines agree by construction.
+
+    Scale shape: attr_history's plan + one map-side-combinable
+    max_by aggregation; no second window."""
+    h = attr_history(triples, cmap).filter(
+        F.col("from_conv_id") <= F.lit(conv_watermark)
+    )
+    return (
+        h.groupBy("entity_id", "attr")
+        .agg(
+            F.max_by("value", "version").alias("value"),
+            F.max("version").alias("version"),
+        )
+        .select("entity_id", "attr", "value", "version")
+    )
