@@ -1290,6 +1290,18 @@ def _q_kg_type_closure(spark, sf_dir):
     return type_closure(g.entities, fixture_class_hierarchy(spark))
 
 
+def _q_kg_range_conformance(spark, sf_dir):
+    from cimpy_spark.operators.schema import (
+        fixture_class_hierarchy,
+        range_conformance,
+    )
+
+    g = _graph(spark, sf_dir)
+    return range_conformance(
+        g.triples, g.entities, fixture_class_hierarchy(spark)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered by GATING PRIORITY, not by topic: the driver evaluates
     a bounded prefix (50 rows), so entries that most need a fresh
@@ -1490,6 +1502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edge_history": _q_kg_edge_history,
         "kg_edge_provenance": _q_kg_edge_provenance,
         "kg_asof_nodes": _q_kg_asof_nodes,
+        "kg_range_conformance": _q_kg_range_conformance,
         "doc_domain_flags": _q_doc_domain_flags,
         "doc_script_profile": _q_doc_script_profile,
         "doc_mad_outliers": _q_doc_mad_outliers,
@@ -1554,6 +1567,12 @@ def _type_closure_oracle() -> str:
     from cimpy_spark.operators.schema import type_closure_oracle_sql
 
     return type_closure_oracle_sql(oracles.PIPELINE_CTES)
+
+
+def _range_conformance_oracle() -> str:
+    from cimpy_spark.operators.schema import range_conformance_oracle_sql
+
+    return range_conformance_oracle_sql(oracles.PIPELINE_CTES)
 
 
 def _mm_features_oracle() -> str:
@@ -1738,5 +1757,6 @@ def oracle_sql() -> dict[str, str]:
         "kg_edge_history": oracles.edge_history_sql(),
         "kg_edge_provenance": oracles.edge_provenance_sql(),
         "kg_asof_nodes": oracles.asof_nodes_sql(conv_watermark="c3"),
+        "kg_range_conformance": _range_conformance_oracle(),
         **A.ANALYTICS_ORACLES,
     }

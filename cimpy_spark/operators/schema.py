@@ -679,13 +679,15 @@ def schema_cast_oracle_sql(pipeline_ctes: str) -> str:
 # another, e.g. Breaker → ProtectedSwitch → Switch → ConductingEquipment,
 # cimpy/cgmes_v2_4_15/Breaker.py:4-9); SURVEY §1.3 maps that zoo to
 # broadcast tables, and this is the inheritance slice. Depth 3 on the
-# T2 chain so the closure is non-trivially transitive.
+# T2 chain so the closure is non-trivially transitive; T4 roots under
+# Thing OUTSIDE the T0 family so range_conformance's 'violation'
+# branch is live on the fixture (T4 targets of a T0-dominant pred).
 _HIERARCHY_ROWS: list[tuple[str, str]] = [
     ("T0", "Thing"),
     ("T1", "T0"),
     ("T2", "T1"),
     ("T3", "T1"),
-    ("T4", "T0"),
+    ("T4", "Thing"),
 ]
 
 
@@ -723,6 +725,25 @@ def type_closure(
     they are detected explicitly: any class that becomes its own
     ancestor fails loud; `max_doublings` only guards ontologies
     deeper than 2^max_doublings."""
+    closure = subclass_closure(hierarchy, max_doublings)
+    self_rows = entities.select(
+        "entity_id", "type", F.col("type").alias("is_a"),
+        F.lit(0).alias("depth"),
+    )
+    inherited = entities.join(
+        F.broadcast(closure), entities["type"] == closure["child"]
+    ).select("entity_id", "type", "is_a", "depth")
+    return self_rows.unionByName(inherited).select(
+        "entity_id", "type", "is_a", F.col("depth").cast("int").alias("depth")
+    )
+
+
+def subclass_closure(
+    hierarchy: DataFrame, max_doublings: int = 10
+) -> DataFrame:
+    """Transitive (child, is_a, depth≥1) closure of a subClassOf
+    table by iterative doubling — see `type_closure` for the scale
+    argument and cycle contract."""
     closure = hierarchy.select(
         "child", F.col("parent").alias("is_a"), F.lit(1).alias("depth")
     )
@@ -754,15 +775,115 @@ def type_closure(
         )
     if closure.filter(F.col("child") == F.col("is_a")).limit(1).count():
         raise RuntimeError("cyclic subClassOf hierarchy")
-    self_rows = entities.select(
-        "entity_id", "type", F.col("type").alias("is_a"),
-        F.lit(0).alias("depth"),
+    return closure
+
+
+def range_conformance(
+    triples: DataFrame,
+    entities: DataFrame,
+    hierarchy: DataFrame,
+    max_doublings: int = 10,
+) -> DataFrame:
+    """Ontology-aware range QA — the composition of schema induction
+    and the subclass closure: for every (pred, target type) observed
+    among RESOLVED references, classify the target against the
+    pred's DOMINANT induced range — 'exact' (the dominant class
+    itself), 'subclass' (a descendant: valid under RDFS range
+    semantics — the check the reference gets implicitly from typed
+    Python attributes accepting subclass instances), or 'violation'.
+    Output: (pred, dom_range, dst_type, kind, n_edges) — the
+    per-predicate QA report a noisy-extraction KG needs before
+    trusting its edges.
+
+    Scale shape: one resolved-refs pass joined once against the
+    (broadcast) type dictionary, ONE (pred, dst_type) aggregation —
+    at most |preds|×|types| rows — then dominant election and
+    closure lookup happen on that tiny table (broadcast left join);
+    instance data is scanned once and never re-shuffled."""
+    dst_t = entities.select(
+        F.col("entity_id").alias("dst"), F.col("type").alias("dst_type")
     )
-    inherited = entities.join(
-        F.broadcast(closure), entities["type"] == closure["child"]
-    ).select("entity_id", "type", "is_a", "depth")
-    return self_rows.unionByName(inherited).select(
-        "entity_id", "type", "is_a", F.col("depth").cast("int").alias("depth")
+    sig = (
+        triples.filter(
+            (F.col("obj_kind") == "ref") & (F.col("pred") != "sameAs")
+        )
+        .select("pred", F.col("obj").alias("dst"))
+        .join(dst_t, "dst")
+        .groupBy("pred", "dst_type")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+    )
+    key = F.struct((-F.col("n_edges")).alias("nn"), F.col("dst_type"))
+    dom = sig.groupBy("pred").agg(
+        F.min_by("dst_type", key).alias("dom_range")
+    )
+    closure = subclass_closure(hierarchy, max_doublings).select(
+        F.col("child").alias("dst_type"),
+        F.col("is_a").alias("dom_range"),
+        F.lit(True).alias("is_desc"),
+    )
+    return (
+        sig.join(F.broadcast(dom), "pred")
+        .join(F.broadcast(closure), ["dst_type", "dom_range"], "left")
+        .select(
+            "pred",
+            "dom_range",
+            "dst_type",
+            F.when(F.col("dst_type") == F.col("dom_range"), F.lit("exact"))
+            .when(F.col("is_desc"), F.lit("subclass"))
+            .otherwise(F.lit("violation"))
+            .alias("kind"),
+            "n_edges",
+        )
+    )
+
+
+HIERARCHY_CLOSURE_SQL = """
+    anc AS (
+      SELECT child, parent AS is_a, 1 AS depth FROM sub
+      UNION
+      SELECT a.child, s.parent, a.depth + 1
+      FROM anc a JOIN sub s ON a.is_a = s.child
+    ),
+    closure AS (
+      SELECT child, is_a, min(depth) AS depth FROM anc GROUP BY 1, 2
+    )
+"""
+
+
+def range_conformance_oracle_sql(pipeline_ctes: str) -> str:
+    """DuckDB oracle for `kg_range_conformance`: same hierarchy rows
+    closed by path-extension recursion, dominant range via window
+    rank, conformance kinds via the same CASE order."""
+    return (
+        pipeline_ctes
+        + ", "
+        + hierarchy_table_sql()
+        + ","
+        + HIERARCHY_CLOSURE_SQL
+        + """
+    , sig AS (
+      SELECT tr.pred, en.type AS dst_type, count(*) AS n_edges
+      FROM triples tr JOIN entities en ON tr.obj = en.entity_id
+      WHERE tr.obj_kind = 'ref' AND tr.pred <> 'sameAs'
+      GROUP BY 1, 2
+    ),
+    dom AS (
+      SELECT pred, dst_type AS dom_range FROM (
+        SELECT pred, dst_type, row_number() OVER (
+          PARTITION BY pred ORDER BY n_edges DESC, dst_type
+        ) AS rn FROM sig
+      ) WHERE rn = 1
+    )
+    SELECT s.pred, d.dom_range, s.dst_type,
+           CASE WHEN s.dst_type = d.dom_range THEN 'exact'
+                WHEN c.child IS NOT NULL THEN 'subclass'
+                ELSE 'violation' END AS kind,
+           s.n_edges
+    FROM sig s
+    JOIN dom d ON s.pred = d.pred
+    LEFT JOIN closure c
+      ON c.child = s.dst_type AND c.is_a = d.dom_range
+    """
     )
 
 

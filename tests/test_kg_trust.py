@@ -22,6 +22,7 @@ NEW_GATES = [
     "kg_source_trust",
     "kg_er_clusters",
     "kg_type_closure",
+    "kg_range_conformance",
 ]
 
 
@@ -206,6 +207,57 @@ def test_type_closure_cycle_fails_loud(spark):
     hier = _hier(spark, [("A", "B"), ("B", "A")])
     with pytest.raises(RuntimeError, match="cyclic"):
         type_closure(_ents(spark, [("e", "A")]), hier, max_doublings=4)
+
+
+def test_range_conformance_kinds(spark):
+    """Hierarchy A0→A→B→C (child→parent). Dominant range of p is B
+    (2 edges); an A0 target conforms via a DEPTH-2 subclass path, a C
+    target is an ANCESTOR of B — broader than the range, a violation
+    under RDFS semantics — and an off-ontology Z target violates."""
+    from cimpy_spark.operators.schema import range_conformance
+
+    hier = _hier(spark, [("A0", "A"), ("A", "B"), ("B", "C")])
+    ents = spark.createDataFrame(
+        [("s", "B"), ("b1", "B"), ("a0", "A0"), ("c1", "C"), ("z1", "Z")],
+        "entity_id string, type string",
+    )
+    rows = [
+        ("s", "p", "b1", "ref", "c1", 0, 0, "user"),
+        ("s", "p", "b1", "ref", "c1", 1, 0, "user"),
+        ("s", "p", "a0", "ref", "c1", 2, 0, "user"),
+        ("s", "p", "c1", "ref", "c1", 3, 0, "user"),
+        ("s", "p", "z1", "ref", "c1", 4, 0, "user"),
+        ("s", "p", "gone", "ref", "c1", 5, 0, "user"),  # unresolved: out
+    ]
+    out = {
+        r.dst_type: (r.kind, r.n_edges, r.dom_range)
+        for r in range_conformance(
+            _triples(spark, rows), ents, hier
+        ).collect()
+    }
+    assert out == {
+        "B": ("exact", 2, "B"),
+        "A0": ("subclass", 1, "B"),
+        "C": ("violation", 1, "B"),
+        "Z": ("violation", 1, "B"),
+    }
+
+
+def test_range_conformance_dominant_tiebreak(spark):
+    # equal counts → lexicographically smallest type elected dominant
+    from cimpy_spark.operators.schema import range_conformance
+
+    hier = _hier(spark, [("A", "B")])
+    ents = spark.createDataFrame(
+        [("s", "B"), ("x", "X"), ("y", "Y")],
+        "entity_id string, type string",
+    )
+    rows = [
+        ("s", "p", "x", "ref", "c1", 0, 0, "user"),
+        ("s", "p", "y", "ref", "c1", 1, 0, "user"),
+    ]
+    out = range_conformance(_triples(spark, rows), ents, hier).collect()
+    assert all(r.dom_range == "X" for r in out)
 
 
 def test_type_closure_undeclared_type_is_reflexive_only(spark):
