@@ -1290,6 +1290,11 @@ def _q_kg_type_closure(spark, sf_dir):
     return type_closure(g.entities, fixture_class_hierarchy(spark))
 
 
+def _q_kg_metapaths(spark, sf_dir):
+    g = _graph(spark, sf_dir)
+    return P.metapaths(g.canon_edges, g.entities)
+
+
 def _q_kg_range_conformance(spark, sf_dir):
     from cimpy_spark.operators.schema import (
         fixture_class_hierarchy,
@@ -1503,6 +1508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edge_provenance": _q_kg_edge_provenance,
         "kg_asof_nodes": _q_kg_asof_nodes,
         "kg_range_conformance": _q_kg_range_conformance,
+        "kg_metapaths": _q_kg_metapaths,
         "doc_domain_flags": _q_doc_domain_flags,
         "doc_script_profile": _q_doc_script_profile,
         "doc_mad_outliers": _q_doc_mad_outliers,
@@ -1758,5 +1764,6 @@ def oracle_sql() -> dict[str, str]:
         "kg_edge_provenance": oracles.edge_provenance_sql(),
         "kg_asof_nodes": oracles.asof_nodes_sql(conv_watermark="c3"),
         "kg_range_conformance": _range_conformance_oracle(),
+        "kg_metapaths": oracles.metapaths_sql(),
         **A.ANALYTICS_ORACLES,
     }

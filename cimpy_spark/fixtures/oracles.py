@@ -1314,3 +1314,22 @@ def source_trust_sql(iters: int = 2) -> str:
            t.trust AS trust_micro
     FROM nc JOIN t{iters} t USING (conv_id)
     """
+
+
+def metapaths_sql() -> str:
+    """INDEPENDENT oracle for pipeline.metapaths: brute-force 2-path
+    ENUMERATION (self-join on the mid node) + group count — the
+    quadratic-in-hub-degree algorithm the engine's factorized census
+    deliberately avoids, computing the same exact answer."""
+    return PIPELINE_CTES + """
+    , et AS (SELECT entity_id, type FROM entities)
+    SELECT ta.type AS src_type, e1.pred AS pred1, tm.type AS mid_type,
+           e2.pred AS pred2, tc.type AS dst_type,
+           count(*) AS n_paths
+    FROM canon_edges e1
+    JOIN canon_edges e2 ON e1.dst = e2.src
+    JOIN et ta ON e1.src = ta.entity_id
+    JOIN et tm ON e1.dst = tm.entity_id
+    JOIN et tc ON e2.dst = tc.entity_id
+    GROUP BY 1, 2, 3, 4, 5
+    """

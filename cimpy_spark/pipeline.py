@@ -1740,3 +1740,54 @@ def asof_nodes(
         )
         .select("entity_id", "attr", "value", "version")
     )
+
+
+def metapaths(canon_edges: DataFrame, entities: DataFrame) -> DataFrame:
+    """Type-level 2-path census over the canonical graph — the
+    schema-pattern statistics (metapath2vec / heterogeneous-GNN
+    sampling tables) a KG consumer mines before committing to path
+    queries: for every (src_type, pred1, mid_type, pred2, dst_type),
+    the EXACT number of 2-path instances. Output adds n_paths.
+
+    Scale shape: 2-paths through a hub are |in|×|out| — enumerating
+    them (self-join on mid) is quadratic in hub degree, the J5-class
+    anti-pattern. Instead the census FACTORIZES: per mid entity,
+    count in-profiles (src_type, pred1) and out-profiles (pred2,
+    dst_type) — each bounded by |types|·|preds| per node, not degree
+    — join the two profile tables on mid, MULTIPLY, and sum per
+    pattern: Σ_m in(m,·)·out(m,·) is exactly the enumeration count
+    without materializing a single path. The DuckDB oracle IS the
+    brute-force enumeration (different algorithm, same answer). Type
+    lookups are plain equi-joins against the entity dictionary (AQE
+    sizes them; the dictionary broadcast question is resolve_
+    references' — same table, same answer)."""
+    et = entities.select("entity_id", "type")
+    cnt_in = (
+        canon_edges.join(
+            et.select(F.col("entity_id").alias("src"),
+                      F.col("type").alias("src_type")),
+            "src",
+        )
+        .groupBy(F.col("dst").alias("mid"), "src_type",
+                 F.col("pred").alias("pred1"))
+        .agg(F.count(F.lit(1)).alias("n_in"))
+    )
+    cnt_out = (
+        canon_edges.join(
+            et.select(F.col("entity_id").alias("dst"),
+                      F.col("type").alias("dst_type")),
+            "dst",
+        )
+        .groupBy(F.col("src").alias("mid"),
+                 F.col("pred").alias("pred2"), "dst_type")
+        .agg(F.count(F.lit(1)).alias("n_out"))
+    )
+    mid_t = et.select(
+        F.col("entity_id").alias("mid"), F.col("type").alias("mid_type")
+    )
+    return (
+        cnt_in.join(cnt_out, "mid")
+        .join(mid_t, "mid")
+        .groupBy("src_type", "pred1", "mid_type", "pred2", "dst_type")
+        .agg(F.sum(F.col("n_in") * F.col("n_out")).alias("n_paths"))
+    )

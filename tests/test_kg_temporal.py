@@ -19,6 +19,7 @@ NEW_GATES = [
     "kg_edge_history",
     "kg_edge_provenance",
     "kg_asof_nodes",
+    "kg_metapaths",
 ]
 
 
@@ -145,6 +146,35 @@ def test_asof_nodes_watermark_semantics(spark):
     at_c9 = asof("c9")
     assert at_c9[("E", "p")] == ("c", 3)
     assert at_c9[("F", "r")] == ("z", 1)
+
+
+def test_metapaths_hub_factorization(spark):
+    """A hub mid node with 3 in-edges and 2 out-edges yields 3×2
+    pattern instances — the factorized census must equal the
+    enumeration count WITHOUT building the 6 paths; backtracking
+    paths (a→m→a) are legitimate 2-paths and counted."""
+    edges = spark.createDataFrame(
+        [
+            ("a1", "p", "m"), ("a2", "p", "m"), ("b1", "q", "m"),
+            ("m", "r", "c1"), ("m", "r", "a1"),
+        ],
+        "src string, pred string, dst string",
+    )
+    ents = spark.createDataFrame(
+        [("a1", "A"), ("a2", "A"), ("b1", "B"), ("m", "M"), ("c1", "C")],
+        "entity_id string, type string",
+    )
+    out = {
+        (r.src_type, r.pred1, r.mid_type, r.pred2, r.dst_type): r.n_paths
+        for r in P.metapaths(edges, ents).collect()
+    }
+    assert out == {
+        ("A", "p", "M", "r", "C"): 2,
+        ("A", "p", "M", "r", "A"): 2,  # includes the a1→m→a1 backtrack
+        ("B", "q", "M", "r", "C"): 1,
+        ("B", "q", "M", "r", "A"): 1,
+        ("M", "r", "A", "p", "M"): 1,  # m→a1→m: a1 is a mid too
+    }
 
 
 def test_asof_matches_full_nodes_at_max_watermark(spark, request):
