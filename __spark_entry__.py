@@ -1295,6 +1295,17 @@ def _q_kg_metapaths(spark, sf_dir):
     return P.metapaths(g.canon_edges, g.entities)
 
 
+def _q_kg_ppr(spark, sf_dir):
+    # personalized PageRank seeded with the type-T0 entities —
+    # teleport/dangling mass returns to the seeds (oracle: ppr_sql,
+    # the same integer recurrence unrolled)
+    from pyspark.sql import functions as F
+
+    g = _graph(spark, sf_dir)
+    seeds = g.entities.filter(F.col("type") == "T0").select("entity_id")
+    return P.ppr(g.canon_edges, seeds)
+
+
 def _q_kg_range_conformance(spark, sf_dir):
     from cimpy_spark.operators.schema import (
         fixture_class_hierarchy,
@@ -1533,6 +1544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_canonical_edges": _q_canonical_edges,
         "kg_nodes": _q_nodes,
         "kg_input_validation": _q_input_validation,
+        "kg_ppr": _q_kg_ppr,
     }
 
 
@@ -1765,5 +1777,6 @@ def oracle_sql() -> dict[str, str]:
         "kg_asof_nodes": oracles.asof_nodes_sql(conv_watermark="c3"),
         "kg_range_conformance": _range_conformance_oracle(),
         "kg_metapaths": oracles.metapaths_sql(),
+        "kg_ppr": oracles.ppr_sql(seed_type="T0"),
         **A.ANALYTICS_ORACLES,
     }

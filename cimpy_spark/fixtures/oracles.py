@@ -1333,3 +1333,77 @@ def metapaths_sql() -> str:
     JOIN et tc ON e2.dst = tc.entity_id
     GROUP BY 1, 2, 3, 4, 5
     """
+
+
+def ppr_sql(
+    seed_type: str = "T0", iters: int = 4, scale: int = 10**12
+) -> str:
+    """Unrolled fixed-point personalized-PageRank recurrence (mirror
+    of pipeline.ppr seeded with the entities of `seed_type`): teleport
+    and dangling mass return to the seed set uniformly. Integer-only
+    arithmetic — bit-exact vs the engine, like pagerank_sql."""
+    head = f"""
+    , ppr_edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM canon_edges)
+    , ppr_nodes AS MATERIALIZED (
+        SELECT DISTINCT id FROM (
+          SELECT src AS id FROM ppr_edges
+          UNION ALL SELECT dst FROM ppr_edges
+        )
+      )
+    , ppr_seeds AS MATERIALIZED (
+        SELECT n.id FROM ppr_nodes n
+        JOIN entities e ON e.entity_id = n.id
+        WHERE e.type = '{seed_type}'
+      )
+    , ppr_marked AS MATERIALIZED (
+        SELECT n.id, CASE WHEN s.id IS NULL THEN 0 ELSE 1 END AS is_seed
+        FROM ppr_nodes n LEFT JOIN ppr_seeds s ON s.id = n.id
+      )
+    , ppr_ns AS MATERIALIZED (SELECT count(*) AS ns FROM ppr_seeds)
+    , ppr_deg AS MATERIALIZED (
+        SELECT src AS id, count(*) AS deg FROM ppr_edges GROUP BY src
+      )
+    , ppr_r0 AS MATERIALIZED (
+        SELECT id, is_seed,
+               CAST(is_seed * ({scale} // ns) AS BIGINT) AS rank
+        FROM ppr_marked CROSS JOIN ppr_ns
+      )
+    """
+    steps = []
+    for i in range(1, iters + 1):
+        prev = f"ppr_r{i - 1}"
+        steps.append(f"""
+    , ppr_c{i} AS MATERIALIZED (
+        SELECT e.dst AS id, sum(r.rank // d.deg) AS contrib
+        FROM {prev} r
+        JOIN ppr_deg d ON d.id = r.id
+        JOIN ppr_edges e ON e.src = r.id
+        GROUP BY e.dst
+      )
+    , ppr_d{i} AS MATERIALIZED (
+        SELECT COALESCE(sum(r.rank), 0) AS dang
+        FROM {prev} r LEFT JOIN ppr_deg d ON d.id = r.id
+        WHERE d.id IS NULL
+      )
+    , ppr_r{i} AS MATERIALIZED (
+        SELECT m.id, m.is_seed,
+               CAST(m.is_seed * ({3 * scale} // (20 * n.ns))
+                    + (17 * (COALESCE(c.contrib, 0)
+                             + m.is_seed * (dg.dang // n.ns))) // 20
+                 AS BIGINT) AS rank
+        FROM ppr_marked m
+        CROSS JOIN ppr_ns n
+        CROSS JOIN ppr_d{i} dg
+        LEFT JOIN ppr_c{i} c ON c.id = m.id
+      )
+    """)
+    return (
+        PIPELINE_CTES
+        + head
+        + "".join(steps)
+        + f"""
+    SELECT id AS entity_id, CAST(is_seed AS INT) AS is_seed,
+           rank AS rank_fp, rank / {float(scale)} AS rank_frac
+    FROM ppr_r{iters}
+    """
+    )

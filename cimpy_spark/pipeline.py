@@ -1791,3 +1791,102 @@ def metapaths(canon_edges: DataFrame, entities: DataFrame) -> DataFrame:
         .groupBy("src_type", "pred1", "mid_type", "pred2", "dst_type")
         .agg(F.sum(F.col("n_in") * F.col("n_out")).alias("n_paths"))
     )
+
+
+def ppr(
+    canon_edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 4,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Personalized PageRank (random walk with restart) over the
+    canonical graph — entity relevance RELATIVE TO A SEED SET, the
+    ranking a KG consumer uses to pull the training-relevant
+    neighborhood of a topic/type out of a billion-entity graph
+    (global `pagerank` answers "important overall"; PPR answers
+    "important to THESE"). `seeds` is a one-column (id) frame;
+    teleport mass (0.15) and dangling mass return to the seeds
+    uniformly instead of to all nodes.
+
+    Same int64 fixed-point contract as `pagerank` (scale mass,
+    floor-div contributions, 17/20 damping) so the unrolled-CTE
+    DuckDB oracle (fixtures/oracles.py:ppr_sql) matches BIT-FOR-BIT —
+    the float-free discipline that makes iterative algorithms
+    oracle-able. Seeds outside the graph's node set are dropped
+    (mass is conserved over actual nodes); an empty effective seed
+    set fails loud rather than silently ranking nothing.
+
+    Scale shape: identical to pagerank — per iteration one
+    groupBy(dst) over the edge list + one 1-row dangling aggregate
+    broadcast; the is_seed flag rides the rank frame as a column so
+    no per-iteration seed join exists; localCheckpoint per iteration
+    keeps lineage O(1). The seed set itself is catalog-sized (a type
+    slice / topic list), joined once at init.
+    """
+    from cimpy_spark.plans.checkpoints import checkpoint_df
+
+    edges = checkpoint_df(canon_edges.select("src", "dst").distinct())
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    seed_ids = seeds.select(F.col(seeds.columns[0]).alias("id")).distinct()
+    marked = nodes.join(
+        seed_ids.withColumn("is_seed", F.lit(1)), "id", "left"
+    ).select("id", F.coalesce("is_seed", F.lit(0)).alias("is_seed"))
+    ns1 = marked.agg(F.sum("is_seed").alias("ns"))
+    if (ns1.collect()[0]["ns"] or 0) == 0:
+        raise ValueError("ppr: no seed id is a node of the graph")
+    ranks = checkpoint_df(
+        marked.crossJoin(F.broadcast(ns1)).select(
+            "id",
+            "is_seed",
+            "ns",
+            F.expr(f"is_seed * (CAST({scale} AS BIGINT) div ns)").alias(
+                "rank"
+            ),
+        )
+    )
+    base = f"is_seed * (CAST({3 * scale} AS BIGINT) div (20 * ns))"
+    for _ in range(iters):
+        r_deg = ranks.join(
+            deg.withColumnRenamed("src", "id"), "id", "left"
+        )
+        contribs = (
+            r_deg.filter(F.col("deg").isNotNull())
+            .join(edges, r_deg["id"] == edges["src"])
+            .select(
+                F.col("dst").alias("id"),
+                F.expr("rank div deg").alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        dang = r_deg.filter(F.col("deg").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0)).cast("bigint").alias("dang")
+        )
+        ranks = checkpoint_df(
+            ranks.select("id", "is_seed", "ns")
+            .join(contribs, "id", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "id",
+                "is_seed",
+                "ns",
+                (
+                    F.expr(base)
+                    + F.expr(
+                        "(17 * (coalesce(contrib, CAST(0 AS BIGINT))"
+                        " + is_seed * (dang div ns))) div 20"
+                    )
+                ).cast("bigint").alias("rank"),
+            )
+        )
+    return ranks.select(
+        F.col("id").alias("entity_id"),
+        F.col("is_seed").cast("int").alias("is_seed"),
+        F.col("rank").alias("rank_fp"),
+        (F.col("rank") / F.lit(float(scale))).alias("rank_frac"),
+    )
