@@ -1306,6 +1306,12 @@ def _q_kg_ppr(spark, sf_dir):
     return P.ppr(g.canon_edges, seeds)
 
 
+def _q_kg_walks(spark, sf_dir):
+    # deterministic DeepWalk corpus: md5-ranked next-step choice keyed
+    # on (walk_id, step) — oracle unrolls the same picks per step
+    return P.walk_corpus(_graph(spark, sf_dir).canon_edges)
+
+
 def _q_kg_range_conformance(spark, sf_dir):
     from cimpy_spark.operators.schema import (
         fixture_class_hierarchy,
@@ -1545,6 +1551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_nodes": _q_nodes,
         "kg_input_validation": _q_input_validation,
         "kg_ppr": _q_kg_ppr,
+        "kg_walks": _q_kg_walks,
     }
 
 
@@ -1778,5 +1785,6 @@ def oracle_sql() -> dict[str, str]:
         "kg_range_conformance": _range_conformance_oracle(),
         "kg_metapaths": oracles.metapaths_sql(),
         "kg_ppr": oracles.ppr_sql(seed_type="T0"),
+        "kg_walks": oracles.walk_corpus_sql(),
         **A.ANALYTICS_ORACLES,
     }

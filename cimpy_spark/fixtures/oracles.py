@@ -1407,3 +1407,54 @@ def ppr_sql(
     FROM ppr_r{iters}
     """
     )
+
+
+def walk_corpus_sql(
+    walks_per_node: int = 2, length: int = 4, salt: str = "wk0"
+) -> str:
+    """Unrolled mirror of pipeline.walk_corpus: per step, a join of
+    the frontier to the edge list + a row_number() pick ordered by
+    the same md5(salt|walk_id|step|dst) key. Deterministic — both
+    engines hash identical strings."""
+    ks = ", ".join(f"('{i}')" for i in range(walks_per_node))
+    head = f"""
+    , wk_edges AS MATERIALIZED (
+        SELECT DISTINCT src, dst FROM canon_edges WHERE src <> dst
+      )
+    , wk_nodes AS MATERIALIZED (
+        SELECT DISTINCT id FROM (
+          SELECT src AS id FROM wk_edges
+          UNION ALL SELECT dst FROM wk_edges
+        )
+      )
+    , wk_ks (k) AS (VALUES {ks})
+    , wk_f0 AS MATERIALIZED (
+        SELECT id || '#' || k AS walk_id, id AS node
+        FROM wk_nodes CROSS JOIN wk_ks
+      )
+    """
+    steps = []
+    for s in range(1, length + 1):
+        steps.append(f"""
+    , wk_f{s} AS MATERIALIZED (
+        SELECT walk_id, node FROM (
+          SELECT f.walk_id, e.dst AS node,
+                 row_number() OVER (
+                   PARTITION BY f.walk_id
+                   ORDER BY md5('{salt}' || '|' || f.walk_id
+                                || '|' || '{s}' || '|' || e.dst),
+                            e.dst
+                 ) AS rn
+          FROM wk_f{s - 1} f JOIN wk_edges e ON e.src = f.node
+        ) WHERE rn = 1
+      )
+    """)
+    unions = "\n    UNION ALL ".join(
+        f"SELECT walk_id, {s} AS step, node FROM wk_f{s}"
+        for s in range(length + 1)
+    )
+    return PIPELINE_CTES + head + "".join(steps) + f"""
+    SELECT walk_id, CAST(step AS INT) AS step, node FROM (
+      {unions}
+    )
+    """

@@ -1890,3 +1890,91 @@ def ppr(
         F.col("rank").alias("rank_fp"),
         (F.col("rank") / F.lit(float(scale))).alias("rank_frac"),
     )
+
+
+def walk_corpus(
+    canon_edges: DataFrame,
+    walks_per_node: int = 2,
+    length: int = 4,
+    salt: str = "wk0",
+) -> DataFrame:
+    """Deterministic random-walk corpus over the canonical graph —
+    the DeepWalk / node2vec sampling primitive (Perozzi et al. 2014):
+    `walks_per_node` truncated walks of at most `length` steps from
+    every node, the skip-gram training corpus for graph embeddings
+    (metapaths is the census of what these walks CAN traverse; this
+    generates the actual traversals). No RNG: the next step from a
+    node is the out-neighbor minimizing md5(salt|walk_id|step|dst) —
+    keyed on (walk_id, step) so different walks and different steps
+    through the SAME node draw independently (a static per-node rank
+    would make every walk exit a node the same way, collapsing corpus
+    diversity), and both engines derive the identical corpus.
+    Re-salting draws an independent corpus. Walks reaching a sink
+    stop early (standard truncation). Output: (walk_id, step, node),
+    step 0 = the root; walk_id = root#k.
+
+    Scale shape: one per-step join of the frontier (|nodes|·wpn rows,
+    shrinking as walks sink) against the edge list on the current
+    node + one rank window partitioned by walk_id — per-step cost is
+    Σ_walks deg(cur), degree-bounded like neighbor_sample (uniform
+    next-step choice must SEE each neighbor once; a hub-capped
+    adjacency bounds it further if needed). Frontier checkpointed per
+    step so step s never replays steps 0..s-1; total output is
+    ≤ nodes·wpn·(length+1) rows — linear in nodes, the property that
+    makes walk corpora the web-scale embedding input.
+    """
+    from pyspark.sql import Window
+
+    from cimpy_spark.plans.checkpoints import checkpoint_df
+
+    edges = checkpoint_df(
+        canon_edges.select("src", "dst")
+        .distinct()
+        .filter(F.col("src") != F.col("dst"))
+    )
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    replicas = spark_range_union(nodes, walks_per_node)
+    frontier = replicas.select(
+        F.concat_ws("#", "id", "k").alias("walk_id"),
+        F.col("id").alias("node"),
+    )
+    out = [
+        frontier.select("walk_id", F.lit(0).alias("step"), "node")
+    ]
+    for s in range(1, length + 1):
+        rk = F.md5(
+            F.concat_ws(
+                "|", F.lit(salt), "walk_id", F.lit(str(s)), F.col("dst")
+            )
+        )
+        w = Window.partitionBy("walk_id").orderBy(rk, F.col("dst"))
+        frontier = checkpoint_df(
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select("walk_id", "dst")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("walk_id", F.col("dst").alias("node"))
+        )
+        out.append(
+            frontier.select("walk_id", F.lit(s).alias("step"), "node")
+        )
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res
+
+
+def spark_range_union(nodes: DataFrame, k: int) -> DataFrame:
+    """Replicate a node frame k times with a replica index column —
+    explode over a literal array (one projection, no shuffle, no
+    Python), the walk-id fan-out for walk_corpus."""
+    return nodes.select(
+        "id",
+        F.explode(
+            F.array(*[F.lit(str(i)) for i in range(k)])
+        ).alias("k"),
+    )

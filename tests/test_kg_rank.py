@@ -15,7 +15,7 @@ import cimpy_spark.pipeline as P
 from tests.conftest import SF_TINY
 from tools.compare import compare
 
-NEW_GATES = ["kg_ppr"]
+NEW_GATES = ["kg_ppr", "kg_walks"]
 
 
 def test_kg_rank_oracle_parity(spark):
@@ -135,3 +135,69 @@ def test_ppr_is_seed_flag_and_seed_restriction(spark):
     assert both.exceptAll(one).count() == 0
     flags = {r["entity_id"]: r["is_seed"] for r in one.collect()}
     assert flags == {"a": 1, "b": 0}
+
+
+_walk_edges = _edges
+
+
+def test_walks_are_valid_paths(spark):
+    # every consecutive (step, step+1) pair of every walk must be an
+    # actual edge — the corpus is a set of real traversals
+    pairs = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("c", "d")]
+    walks = P.walk_corpus(_walk_edges(spark, pairs), walks_per_node=2,
+                          length=3)
+    rows = walks.collect()
+    by_walk = {}
+    for r in rows:
+        by_walk.setdefault(r["walk_id"], {})[r["step"]] = r["node"]
+    eset = set(pairs)
+    assert by_walk
+    for wid, steps in by_walk.items():
+        assert steps[0] == wid.split("#")[0]
+        for s in range(1, max(steps) + 1):
+            assert s in steps, f"{wid} skipped step {s}"
+            assert (steps[s - 1], steps[s]) in eset
+
+
+def test_walks_truncate_at_sinks(spark):
+    # path a -> b -> c with length=5: the walk runs out of edges at c
+    # and stops — steps 0..2 only, no padding rows
+    walks = P.walk_corpus(
+        _walk_edges(spark, [("a", "b"), ("b", "c")]),
+        walks_per_node=1, length=5,
+    )
+    got = {(r["walk_id"], r["step"]): r["node"] for r in walks.collect()}
+    assert got == {
+        ("a#0", 0): "a", ("a#0", 1): "b", ("a#0", 2): "c",
+        ("b#0", 0): "b", ("b#0", 1): "c",
+        ("c#0", 0): "c",
+    }
+
+
+def test_walks_fan_out_and_determinism(spark):
+    pairs = [("a", "b"), ("b", "a"), ("a", "c"), ("c", "a")]
+    w1 = P.walk_corpus(_walk_edges(spark, pairs), walks_per_node=3,
+                       length=2)
+    assert w1.select("walk_id").distinct().count() == 3 * 3
+    w2 = P.walk_corpus(_walk_edges(spark, pairs), walks_per_node=3,
+                       length=2)
+    assert w1.exceptAll(w2).count() == 0
+    assert w2.exceptAll(w1).count() == 0
+
+
+def test_walks_step_keyed_rank_gives_diversity(spark):
+    # star center with 8 out-neighbors, 8 walks from the center: the
+    # md5 rank is keyed on (walk_id, step), so different walks pick
+    # different neighbors — a static per-node rank would send all 8
+    # through the same neighbor, collapsing the corpus
+    pairs = [("hub", f"n{i}") for i in range(8)]
+    walks = P.walk_corpus(_walk_edges(spark, pairs), walks_per_node=8,
+                          length=1)
+    picked = {
+        r["node"]
+        for r in walks.filter(
+            (F.col("step") == 1)
+            & F.col("walk_id").startswith("hub#")
+        ).collect()
+    }
+    assert len(picked) >= 2
