@@ -1312,6 +1312,13 @@ def _q_kg_walks(spark, sf_dir):
     return P.walk_corpus(_graph(spark, sf_dir).canon_edges)
 
 
+def _q_kg_linkpred_eval(spark, sf_dir):
+    # MRR/Hits@k per predicate: positives ranked by common-neighbor
+    # score against their own negative_samples corruptions (filtered
+    # protocol, lexicographic tie rule, integer micro-unit MRR)
+    return P.linkpred_eval(_graph(spark, sf_dir).canon_edges)
+
+
 def _q_kg_range_conformance(spark, sf_dir):
     from cimpy_spark.operators.schema import (
         fixture_class_hierarchy,
@@ -1552,6 +1559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_input_validation": _q_input_validation,
         "kg_ppr": _q_kg_ppr,
         "kg_walks": _q_kg_walks,
+        "kg_linkpred_eval": _q_kg_linkpred_eval,
     }
 
 
@@ -1786,5 +1794,6 @@ def oracle_sql() -> dict[str, str]:
         "kg_metapaths": oracles.metapaths_sql(),
         "kg_ppr": oracles.ppr_sql(seed_type="T0"),
         "kg_walks": oracles.walk_corpus_sql(),
+        "kg_linkpred_eval": oracles.linkpred_eval_sql(),
         **A.ANALYTICS_ORACLES,
     }

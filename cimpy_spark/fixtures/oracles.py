@@ -1458,3 +1458,93 @@ def walk_corpus_sql(
       {unions}
     )
     """
+
+
+def linkpred_eval_sql(k: int = 4) -> str:
+    """Mirror of pipeline.linkpred_eval: the same md5 negative draw
+    (negative_samples_sql's CTEs), brute-force common-neighbor counts,
+    the documented lexicographic tie rule, and integer micro-unit MRR
+    — bit-exact vs the engine."""
+    return PIPELINE_CTES + f""",
+    lpe_ents AS MATERIALIZED (
+      SELECT DISTINCT ent FROM (
+        SELECT src AS ent FROM canon_edges
+        UNION ALL SELECT dst FROM canon_edges
+      )
+    ),
+    lpe_ranked AS MATERIALIZED (
+      SELECT ent, row_number() OVER (ORDER BY ent) - 1 AS r FROM lpe_ents
+    ),
+    lpe_nn AS (SELECT count(*) AS n_ents FROM lpe_ents),
+    lpe_js AS (SELECT unnest(generate_series(0, {k - 1})) AS j),
+    lpe_draws AS MATERIALIZED (
+      SELECT src, pred, dst, CAST(j AS INT) AS j,
+             ('0x' || substring(
+                md5(src || '|' || pred || '|' || dst || '|' || j), 1, 8
+             ))::BIGINT % n_ents AS r
+      FROM canon_edges CROSS JOIN lpe_js CROSS JOIN lpe_nn
+    ),
+    lpe_negs AS MATERIALIZED (
+      SELECT d.src, d.pred, d.dst, d.j, lpe_ranked.ent AS neg_dst
+      FROM lpe_draws d JOIN lpe_ranked USING (r)
+      WHERE lpe_ranked.ent <> d.src AND lpe_ranked.ent <> d.dst
+        AND NOT EXISTS (
+          SELECT 1 FROM canon_edges e
+          WHERE e.src = d.src AND e.pred = d.pred
+            AND e.dst = lpe_ranked.ent
+        )
+    ),
+    lpe_und AS MATERIALIZED (
+      SELECT DISTINCT a, b FROM (
+        SELECT src AS a, dst AS b FROM canon_edges
+        UNION ALL SELECT dst AS a, src AS b FROM canon_edges
+      ) WHERE a <> b
+    ),
+    lpe_pos AS MATERIALIZED (
+      SELECT DISTINCT src, pred, dst FROM canon_edges
+    ),
+    lpe_cands AS MATERIALIZED (
+      SELECT src, pred, dst, dst AS cand, 1 AS is_pos, -1 AS j
+      FROM lpe_pos
+      UNION ALL
+      SELECT src, pred, dst, neg_dst AS cand, 0 AS is_pos, j
+      FROM lpe_negs
+    ),
+    lpe_cn AS MATERIALIZED (
+      SELECT c.src, c.pred, c.dst, c.cand, c.is_pos, c.j,
+             count(*) AS cn
+      FROM lpe_cands c
+      JOIN lpe_und u1 ON u1.a = c.src
+      JOIN lpe_und u2 ON u2.a = c.cand AND u2.b = u1.b
+      GROUP BY 1, 2, 3, 4, 5, 6
+    ),
+    lpe_scored AS MATERIALIZED (
+      SELECT c.src, c.pred, c.dst, c.cand, c.is_pos, c.j,
+             COALESCE(n.cn, 0) AS cn
+      FROM lpe_cands c
+      LEFT JOIN lpe_cn n
+        ON n.src = c.src AND n.pred = c.pred AND n.dst = c.dst
+       AND n.cand = c.cand AND n.is_pos = c.is_pos AND n.j = c.j
+    ),
+    lpe_ranks AS MATERIALIZED (
+      SELECT p.src, p.pred, p.dst,
+             1 + COALESCE(sum(
+               CASE WHEN g.cn > p.cn
+                      OR (g.cn = p.cn AND g.cand < p.dst)
+                    THEN 1 ELSE 0 END
+             ), 0) AS rank
+      FROM lpe_scored p
+      LEFT JOIN lpe_scored g
+        ON g.is_pos = 0 AND g.src = p.src AND g.pred = p.pred
+       AND g.dst = p.dst
+      WHERE p.is_pos = 1
+      GROUP BY 1, 2, 3
+    )
+    SELECT pred, count(*) AS n_pos,
+           sum(1000000 // rank) AS sum_rr_micro,
+           sum(1000000 // rank) // count(*) AS mrr_micro,
+           sum(CASE WHEN rank <= 1 THEN 1 ELSE 0 END) AS hits1,
+           sum(CASE WHEN rank <= 3 THEN 1 ELSE 0 END) AS hits3
+    FROM lpe_ranks
+    GROUP BY pred
+    """

@@ -1978,3 +1978,116 @@ def spark_range_union(nodes: DataFrame, k: int) -> DataFrame:
             F.array(*[F.lit(str(i)) for i in range(k)])
         ).alias("k"),
     )
+
+
+def linkpred_eval(canon_edges: DataFrame, k: int = 4) -> DataFrame:
+    """Link-prediction ranking evaluation — MRR / Hits@k per
+    predicate, the metric loop that closes the linkpred/negative-
+    sampling story (Bordes et al. 2013 filtered-ranking protocol):
+    each positive edge is ranked by common-neighbor score against ITS
+    OWN k corrupted candidates from `negative_samples` (already
+    filtered of true edges, so this is the "filtered" setting), and
+    per predicate the evaluation reports n_pos, MRR and Hits@1/3.
+
+    Determinism contract: the score is the undirected common-neighbor
+    COUNT (exact integer); a negative outranks its positive iff
+    cn_neg > cn_pos OR (cn_neg == cn_pos AND neg_dst < dst) — the
+    lexicographic tie rule that replaces the undefined equal-score
+    ordering every float-scored eval harness silently inherits. MRR
+    is integer micro-units: per positive 10^6 div rank, summed, then
+    div n_pos — no float aggregation anywhere, so the DuckDB oracle
+    (linkpred_eval_sql) matches bit-for-bit.
+
+    Scale shape: candidates are (k+1)·|edges| rows; the CN scorer is
+    two equi-joins against the undirected adjacency (Σ deg(src) per
+    candidate, matched on (cand, nbr)) + one count — the wedge class
+    linkpred_features already carries, and the same hub remedy
+    applies (cap adjacency before scoring if a hub src dominates);
+    the rank is one groupBy over the positive's own k negatives
+    (bounded fan-in k), and the report is one |preds|-row aggregate.
+    Output: (pred, n_pos, sum_rr_micro, mrr_micro, hits1, hits3).
+    """
+    from cimpy_spark.plans.checkpoints import checkpoint_df
+
+    negs = negative_samples(canon_edges, k=k)
+    pos = canon_edges.select("src", "pred", "dst").distinct()
+    cands = pos.select(
+        "src", "pred", "dst",
+        F.col("dst").alias("cand"),
+        F.lit(1).alias("is_pos"),
+        F.lit(-1).alias("j"),
+    ).unionByName(
+        negs.select(
+            "src", "pred", "dst",
+            F.col("neg_dst").alias("cand"),
+            F.lit(0).alias("is_pos"),
+            "j",
+        )
+    )
+    und = checkpoint_df(
+        canon_edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionByName(
+            canon_edges.select(
+                F.col("dst").alias("a"), F.col("src").alias("b")
+            )
+        )
+        .distinct()
+        .filter(F.col("a") != F.col("b"))
+    )
+    keys = ["src", "pred", "dst", "cand", "is_pos", "j"]
+    cn = (
+        cands.join(und.withColumnRenamed("a", "src"), "src")
+        .join(und.withColumnRenamed("a", "cand"), ["cand", "b"])
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    scored = checkpoint_df(
+        cands.join(cn.select(*keys, "cn"), keys, "left").select(
+            *keys, F.coalesce("cn", F.lit(0)).alias("cn")
+        )
+    )
+    p = scored.filter(F.col("is_pos") == 1).select(
+        "src", "pred", "dst", F.col("cn").alias("cn_pos")
+    )
+    ng = scored.filter(F.col("is_pos") == 0).select(
+        "src", "pred", "dst", F.col("cand").alias("neg_dst"),
+        F.col("cn").alias("cn_neg"),
+    )
+    beaten = (
+        p.join(ng, ["src", "pred", "dst"], "left")
+        .groupBy("src", "pred", "dst")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("cn_neg") > F.col("cn_pos"))
+                    | (
+                        (F.col("cn_neg") == F.col("cn_pos"))
+                        & (F.col("neg_dst") < F.col("dst"))
+                    ),
+                    1,
+                ).otherwise(0)
+            ).alias("n_beat")
+        )
+        .select(
+            "src", "pred", "dst",
+            (F.col("n_beat") + F.lit(1)).alias("rank"),
+        )
+    )
+    return (
+        beaten.groupBy("pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_pos"),
+            F.sum(F.expr("1000000 div rank")).alias("sum_rr_micro"),
+            F.sum(F.when(F.col("rank") <= 1, 1).otherwise(0)).alias(
+                "hits1"
+            ),
+            F.sum(F.when(F.col("rank") <= 3, 1).otherwise(0)).alias(
+                "hits3"
+            ),
+        )
+        .select(
+            "pred", "n_pos", "sum_rr_micro",
+            F.expr("sum_rr_micro div n_pos").alias("mrr_micro"),
+            "hits1", "hits3",
+        )
+    )

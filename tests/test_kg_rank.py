@@ -15,7 +15,7 @@ import cimpy_spark.pipeline as P
 from tests.conftest import SF_TINY
 from tools.compare import compare
 
-NEW_GATES = ["kg_ppr", "kg_walks"]
+NEW_GATES = ["kg_ppr", "kg_walks", "kg_linkpred_eval"]
 
 
 def test_kg_rank_oracle_parity(spark):
@@ -201,3 +201,58 @@ def test_walks_step_keyed_rank_gives_diversity(spark):
         ).collect()
     }
     assert len(picked) >= 2
+
+
+def test_linkpred_eval_matches_python_reference(spark):
+    # triangle + tail: CN scores and ranks recomputed independently
+    # in Python from the SAME negative draw (negative_samples is
+    # already gated; the eval layer is what's under test here)
+    pairs = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"),
+             ("d", "e"), ("b", "e")]
+    edges = _edges(spark, pairs)
+    k = 3
+    negs = [
+        (r["src"], r["pred"], r["dst"], r["neg_dst"])
+        for r in P.negative_samples(edges, k=k).collect()
+    ]
+    und = set()
+    for a, b in pairs:
+        und.add((a, b))
+        und.add((b, a))
+    nbrs = {}
+    for a, b in und:
+        nbrs.setdefault(a, set()).add(b)
+
+    def cn(x, y):
+        return len(nbrs.get(x, set()) & nbrs.get(y, set()))
+
+    ranks = []
+    for s, d in pairs:
+        mine = [n for n in negs if n[0] == s and n[2] == d]
+        cp = cn(s, d)
+        beat = sum(
+            1
+            for (_, _, _, nd) in mine
+            if cn(s, nd) > cp or (cn(s, nd) == cp and nd < d)
+        )
+        ranks.append(1 + beat)
+    exp_n = len(pairs)
+    exp_sum = sum(10**6 // r for r in ranks)
+    got = P.linkpred_eval(edges, k=k).collect()
+    assert len(got) == 1 and got[0]["pred"] == "p"
+    assert got[0]["n_pos"] == exp_n
+    assert got[0]["sum_rr_micro"] == exp_sum
+    assert got[0]["mrr_micro"] == exp_sum // exp_n
+    assert got[0]["hits1"] == sum(1 for r in ranks if r <= 1)
+    assert got[0]["hits3"] == sum(1 for r in ranks if r <= 3)
+
+
+def test_linkpred_eval_zero_negatives_ranks_first(spark):
+    # a 2-node graph: every corruption draw is filtered (the only
+    # other entity is the true dst or the src itself), so the
+    # positive has no competitors — rank 1, perfect MRR
+    got = P.linkpred_eval(_edges(spark, [("a", "b")]), k=4).collect()
+    assert len(got) == 1
+    assert got[0]["n_pos"] == 1
+    assert got[0]["mrr_micro"] == 10**6
+    assert got[0]["hits1"] == 1
