@@ -1319,6 +1319,14 @@ def _q_kg_linkpred_eval(spark, sf_dir):
     return P.linkpred_eval(_graph(spark, sf_dir).canon_edges)
 
 
+def _q_kg_wl_colors(spark, sf_dir):
+    # 1-WL color refinement from declared types: structural node
+    # signatures after 2 rounds (oracle unrolls the same multiset
+    # string + md5 per round)
+    g = _graph(spark, sf_dir)
+    return P.wl_colors(g.canon_edges, g.entities)
+
+
 def _q_kg_range_conformance(spark, sf_dir):
     from cimpy_spark.operators.schema import (
         fixture_class_hierarchy,
@@ -1560,6 +1568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ppr": _q_kg_ppr,
         "kg_walks": _q_kg_walks,
         "kg_linkpred_eval": _q_kg_linkpred_eval,
+        "kg_wl_colors": _q_kg_wl_colors,
     }
 
 
@@ -1795,5 +1804,6 @@ def oracle_sql() -> dict[str, str]:
         "kg_ppr": oracles.ppr_sql(seed_type="T0"),
         "kg_walks": oracles.walk_corpus_sql(),
         "kg_linkpred_eval": oracles.linkpred_eval_sql(),
+        "kg_wl_colors": oracles.wl_colors_sql(),
         **A.ANALYTICS_ORACLES,
     }

@@ -1548,3 +1548,57 @@ def linkpred_eval_sql(k: int = 4) -> str:
     FROM lpe_ranks
     GROUP BY pred
     """
+
+
+def wl_colors_sql(rounds: int = 2) -> str:
+    """Unrolled mirror of pipeline.wl_colors: per round, a (node,
+    sig) count over both edge directions, string_agg of 'sig*count'
+    ordered by the element string (== the engine's sort_array of the
+    same strings — ASCII-only content, byte order both sides), and
+    md5(own_color || '||' || multiset). Hash-exact vs the engine."""
+    head = """
+    , wl_edges AS MATERIALIZED (
+        SELECT DISTINCT src, pred, dst FROM canon_edges
+      )
+    , wl_nodes AS MATERIALIZED (
+        SELECT DISTINCT id FROM (
+          SELECT src AS id FROM wl_edges
+          UNION ALL SELECT dst FROM wl_edges
+        )
+      )
+    , wl_c0 AS MATERIALIZED (
+        SELECT n.id, COALESCE(e.type, 'UNDECLARED') AS c
+        FROM wl_nodes n LEFT JOIN entities e ON e.entity_id = n.id
+      )
+    """
+    steps = []
+    for r in range(1, rounds + 1):
+        prev = f"wl_c{r - 1}"
+        steps.append(f"""
+    , wl_sig{r} AS MATERIALIZED (
+        SELECT id, sig, count(*) AS n FROM (
+          SELECT e.src AS id, '>' || '|' || e.pred || '|' || c.c AS sig
+          FROM wl_edges e JOIN {prev} c ON c.id = e.dst
+          UNION ALL
+          SELECT e.dst AS id, '<' || '|' || e.pred || '|' || c.c AS sig
+          FROM wl_edges e JOIN {prev} c ON c.id = e.src
+        ) GROUP BY id, sig
+      )
+    , wl_arr{r} AS MATERIALIZED (
+        SELECT id,
+               string_agg(sig || '*' || n, ',' ORDER BY sig || '*' || n)
+                 AS ms
+        FROM wl_sig{r} GROUP BY id
+      )
+    , wl_c{r} AS MATERIALIZED (
+        SELECT p.id, md5(p.c || '||' || COALESCE(a.ms, '')) AS c
+        FROM {prev} p LEFT JOIN wl_arr{r} a ON a.id = p.id
+      )
+    """)
+    return PIPELINE_CTES + head + "".join(steps) + f"""
+    , wl_sizes AS (
+        SELECT c, count(*) AS n_class FROM wl_c{rounds} GROUP BY c
+      )
+    SELECT f.id AS entity_id, f.c AS wl_color, s.n_class
+    FROM wl_c{rounds} f JOIN wl_sizes s ON s.c = f.c
+    """

@@ -2091,3 +2091,97 @@ def linkpred_eval(canon_edges: DataFrame, k: int = 4) -> DataFrame:
             "hits1", "hits3",
         )
     )
+
+
+def wl_colors(
+    canon_edges: DataFrame, entities: DataFrame, rounds: int = 2
+) -> DataFrame:
+    """1-dimensional Weisfeiler-Leman color refinement over the
+    canonical graph — the structural node signature behind WL graph
+    kernels and GNN expressiveness (Shervashidze et al. 2011): start
+    from the declared type, then each round re-color every node with
+    a hash of (own color, the multiset of (direction, predicate,
+    neighbor color) over its edges). After k rounds, two nodes share
+    a color only if their k-hop neighborhoods are structurally
+    indistinguishable — the cheap instance-level schema/anomaly probe
+    (one-off wiring shows up as a singleton color class) and the
+    dedup key for repeated substructures.
+
+    Determinism contract: the multiset is canonicalized as the SORTED
+    list of "sig*count" strings (duplicates collapsed by a (node,
+    sig) pre-count — so a hub's array holds its DISTINCT signatures,
+    not degree-many entries), joined with ',' and hashed with the own
+    color via md5 — both engines build the identical string, so the
+    unrolled-CTE DuckDB oracle (wl_colors_sql) is hash-exact.
+
+    Scale shape per round: two edge⋈color joins (one per direction),
+    ONE (node, sig) count (map-side combinable — this is what bounds
+    the hub), one per-node collect of distinct signatures, one
+    left-join back. Colors checkpointed per round (the LPA/pagerank
+    loop discipline). A hub's residual cost is its distinct-signature
+    count (≤ |preds|·|live colors| per direction); if that still
+    explodes, the adjacency cap applies before the sig join. Output:
+    (entity_id, wl_color, n_class) — n_class the color-class size.
+    """
+    from cimpy_spark.plans.checkpoints import checkpoint_df
+
+    edges = checkpoint_df(
+        canon_edges.select("src", "pred", "dst").distinct()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    et = entities.select(
+        F.col("entity_id").alias("id"), F.col("type").alias("t")
+    )
+    colors = checkpoint_df(
+        nodes.join(et, "id", "left").select(
+            "id", F.coalesce("t", F.lit("UNDECLARED")).alias("c")
+        )
+    )
+    for _ in range(rounds):
+        cd = colors.select(
+            F.col("id").alias("dst"), F.col("c").alias("cn")
+        )
+        cs = colors.select(
+            F.col("id").alias("src"), F.col("c").alias("cn")
+        )
+        out_sigs = edges.join(cd, "dst").select(
+            F.col("src").alias("id"),
+            F.concat_ws("|", F.lit(">"), "pred", "cn").alias("sig"),
+        )
+        in_sigs = edges.join(cs, "src").select(
+            F.col("dst").alias("id"),
+            F.concat_ws("|", F.lit("<"), "pred", "cn").alias("sig"),
+        )
+        counted = (
+            out_sigs.unionByName(in_sigs)
+            .groupBy("id", "sig")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                "id", F.concat_ws("*", "sig", "n").alias("elem")
+            )
+        )
+        agg = counted.groupBy("id").agg(
+            F.concat_ws(
+                ",", F.sort_array(F.collect_list("elem"))
+            ).alias("ms")
+        )
+        colors = checkpoint_df(
+            colors.join(agg, "id", "left").select(
+                "id",
+                F.md5(
+                    F.concat_ws(
+                        "||", "c", F.coalesce("ms", F.lit(""))
+                    )
+                ).alias("c"),
+            )
+        )
+    sizes = colors.groupBy("c").agg(F.count(F.lit(1)).alias("n_class"))
+    return colors.join(sizes, "c").select(
+        F.col("id").alias("entity_id"),
+        F.col("c").alias("wl_color"),
+        "n_class",
+    )

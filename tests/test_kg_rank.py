@@ -15,7 +15,7 @@ import cimpy_spark.pipeline as P
 from tests.conftest import SF_TINY
 from tools.compare import compare
 
-NEW_GATES = ["kg_ppr", "kg_walks", "kg_linkpred_eval"]
+NEW_GATES = ["kg_ppr", "kg_walks", "kg_linkpred_eval", "kg_wl_colors"]
 
 
 def test_kg_rank_oracle_parity(spark):
@@ -256,3 +256,71 @@ def test_linkpred_eval_zero_negatives_ranks_first(spark):
     assert got[0]["n_pos"] == 1
     assert got[0]["mrr_micro"] == 10**6
     assert got[0]["hits1"] == 1
+
+
+def _typed_ents(spark, pairs):
+    return spark.createDataFrame(
+        list(pairs.items()), "entity_id string, type string"
+    )
+
+
+def test_wl_separates_isomorphic_positions_only(spark):
+    # two disjoint triangles with identical typing are structurally
+    # indistinguishable — every corresponding position must share a
+    # color (n_class 2), and the pendant node on one triangle must
+    # break the symmetry exactly where it attaches
+    tri1 = [("a1", "b1"), ("b1", "c1"), ("c1", "a1")]
+    tri2 = [("a2", "b2"), ("b2", "c2"), ("c2", "a2")]
+    types = {x: "T" for t in (tri1, tri2) for e in t for x in e}
+    out = P.wl_colors(
+        _edges(spark, tri1 + tri2), _typed_ents(spark, types), rounds=3
+    ).collect()
+    colors = {r["entity_id"]: r["wl_color"] for r in out}
+    # positions are symmetric within AND across the triangles: one
+    # color class of size 6
+    assert len({colors[x] for x in colors}) == 1
+    assert all(r["n_class"] == 6 for r in out)
+
+
+def test_wl_pendant_breaks_symmetry(spark):
+    tri1 = [("a1", "b1"), ("b1", "c1"), ("c1", "a1")]
+    tri2 = [("a2", "b2"), ("b2", "c2"), ("c2", "a2"), ("a2", "p")]
+    types = {x: "T" for t in (tri1, tri2) for e in t for x in e}
+    out = P.wl_colors(
+        _edges(spark, tri1 + tri2), _typed_ents(spark, types), rounds=3
+    ).collect()
+    colors = {r["entity_id"]: r["wl_color"] for r in out}
+    # the pendant-bearing a2 differs from every tri1 node, and the
+    # pendant p is its own class
+    assert colors["a2"] not in {colors["a1"], colors["b1"], colors["c1"]}
+    assert sum(1 for c in colors.values() if c == colors["p"]) == 1
+
+
+def test_wl_multiset_counts_matter(spark):
+    # u has ONE T-typed out-neighbor, v has TWO: a set-based refine
+    # would merge them, the multiset must not
+    pairs = [("u", "x1"), ("v", "y1"), ("v", "y2")]
+    types = {"u": "S", "v": "S", "x1": "T", "y1": "T", "y2": "T"}
+    out = P.wl_colors(
+        _edges(spark, pairs), _typed_ents(spark, types), rounds=1
+    ).collect()
+    colors = {r["entity_id"]: r["wl_color"] for r in out}
+    assert colors["u"] != colors["v"]
+
+
+def test_wl_rounds_refine_the_partition(spark):
+    # WL is a refinement: same color at round r+1 implies same color
+    # at round r (classes split, never merge)
+    pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"),
+             ("a", "c"), ("e", "a")]
+    types = {x: "T" for e in pairs for x in e}
+    ents = _typed_ents(spark, types)
+    edges = _edges(spark, pairs)
+    c1 = {r["entity_id"]: r["wl_color"]
+          for r in P.wl_colors(edges, ents, rounds=1).collect()}
+    c2 = {r["entity_id"]: r["wl_color"]
+          for r in P.wl_colors(edges, ents, rounds=2).collect()}
+    for x in c1:
+        for y in c1:
+            if c2[x] == c2[y]:
+                assert c1[x] == c1[y]
