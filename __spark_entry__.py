@@ -737,6 +737,16 @@ def _q_doc_setsim_join(spark, sf_dir):
     return D.setsim_join(_organic_docs(spark, sf_dir))
 
 
+def _q_doc_containment(spark, sf_dir):
+    # asymmetric containment join over the organic corpus: trunc60
+    # copies (J≈0.57, invisible to the 0.8 Jaccard gate) sit at
+    # containment ≈1.0 in their source — the sub-document duplication
+    # direction; oracle = brute-force ordered all-pairs
+    from cimpy_spark.functions import dedup as D
+
+    return D.containment_join(_organic_docs(spark, sf_dir))
+
+
 def _q_emb_knn_graph(spark, sf_dir):
     # organic corpus, 3 LSH tables: the planted cos≈0.98 copies must
     # surface as rank-1 neighbors (pytest-pinned)
@@ -1569,6 +1579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_walks": _q_kg_walks,
         "kg_linkpred_eval": _q_kg_linkpred_eval,
         "kg_wl_colors": _q_kg_wl_colors,
+        "doc_containment": _q_doc_containment,
     }
 
 
@@ -1805,5 +1816,6 @@ def oracle_sql() -> dict[str, str]:
         "kg_walks": oracles.walk_corpus_sql(),
         "kg_linkpred_eval": oracles.linkpred_eval_sql(),
         "kg_wl_colors": oracles.wl_colors_sql(),
+        "doc_containment": doc_oracles.containment_join_sql(),
         **A.ANALYTICS_ORACLES,
     }

@@ -950,3 +950,108 @@ def setsim_join(
             ).alias("jaccard"),
         )
     )
+
+
+def containment_join(
+    docs: DataFrame, num: int = 9, den: int = 10, n: int = 3
+) -> DataFrame:
+    """EXACT asymmetric containment self-join with prefix filtering —
+    the directional complement to `setsim_join`: all ORDERED pairs
+    (a, b) whose shingle-set containment |A∩B| / |A| is >= num/den.
+    Containment catches what symmetric Jaccard structurally cannot: a
+    quote, excerpt or truncation is ~fully contained in its source
+    while its Jaccard can be arbitrarily low (the organic corpus's
+    trunc60 mutations sit at J≈0.57 — invisible to the 0.8 Jaccard
+    gate — with containment ≈1.0), which is exactly the sub-document
+    duplication an LLM training curation pass needs to see.
+
+    Prefix filter, containment form: if |A∩B| >= ceil(t·|A|), the
+    overlap cannot hide in A's (ceil(t·|A|)-1)-sized rarest-last
+    suffix, so A's prefix (first |A| - ceil(t·|A|) + 1 tokens in the
+    global (df, hash) order) must hit B — joining A-PREFIX tokens
+    against B's FULL token stream is complete. The b side cannot be
+    prefix-filtered (containment puts no bound relative to |B|), but
+    the join only ever touches A-prefix tokens — each doc's RAREST —
+    so the frequent-token posting lists a naive inverted index dies
+    on never enter the join. Length filter: den·|B| >= num·|A|
+    (B must be able to hold the required overlap). All thresholds
+    are integer rational arithmetic (the setsim_join contract); the
+    verify is candidate-restricted in-row array_intersect, and keeps
+    den·inter >= num·na. Output: (doc_a, doc_b, n_inter,
+    containment 6dp) — doc_a is the contained side.
+    """
+    sh = checkpoint_df(
+        docs.filter(has_shingles(n))
+        .select("doc_id", F.explode(shingle_array(n)).alias("tok"))
+        .select("doc_id", F.xxhash64("tok").alias("tok"))
+    )
+    dfreq = sh.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (
+        sh.join(dfreq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("df", "tok"))).alias("arr")
+        )
+    )
+    nsz = F.size("arr")
+    ceil_tn = F.floor((F.lit(num) * nsz + F.lit(den - 1)) / F.lit(den))
+    plen = (nsz - ceil_tn + 1).cast("int")
+    prefix = ordered.select(
+        F.col("doc_id").alias("doc_a"),
+        nsz.alias("na"),
+        F.explode(
+            F.slice(F.transform("arr", lambda s: s["tok"]), F.lit(1), plen)
+        ).alias("tok"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nb"))
+    full = sh.join(sizes, "doc_id").select(
+        F.col("doc_id").alias("doc_b"), "nb", "tok"
+    )
+    cand = (
+        prefix.join(full, "tok")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .filter(F.lit(den) * F.col("nb") >= F.lit(num) * F.col("na"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    cand = checkpoint_df(cand)
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sets = (
+        docs.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+        .filter(has_shingles(n))
+        .select("doc_id", shingle_array(n).alias("s"))
+    )
+    inter = F.size(F.array_intersect("sa", "sb"))
+    return (
+        cand.join(
+            sets.select(
+                F.col("doc_id").alias("doc_a"), F.col("s").alias("sa")
+            ),
+            "doc_a",
+        )
+        .join(
+            sets.select(
+                F.col("doc_id").alias("doc_b"), F.col("s").alias("sb")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.alias("inter"),
+            F.size("sa").alias("na"),
+        )
+        .filter(F.lit(den) * F.col("inter") >= F.lit(num) * F.col("na"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("inter").cast("int").alias("n_inter"),
+            F.round(
+                F.col("inter") * F.lit(1.0) / F.col("na"), 6
+            ).alias("containment"),
+        )
+    )

@@ -2187,3 +2187,28 @@ def normalize_lined_sql() -> str:
     {LINED_DOCS_CTE.strip()}
     {inner}
     """
+
+
+def containment_join_sql(num: int = 9, den: int = 10) -> str:
+    """INDEPENDENT oracle for dedup.containment_join over the organic
+    corpus: brute-force ORDERED all-pairs shingle join (no prefix
+    filter — a different algorithm, same exact answer), integer
+    threshold den*c >= num*|A|, same 6dp containment."""
+    return f"""
+    WITH {NUMS},
+    {ORGANIC_DOCS_CTE.strip()},
+    {_w_cte("orgdocs").strip()},
+    {SH3_CTE.strip()},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM sh a JOIN sh b
+        ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, CAST(c AS INT) AS n_inter,
+           round(c * 1.0 / sa.n, 6) AS containment
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    WHERE {den} * c >= {num} * sa.n
+    """

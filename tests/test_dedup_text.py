@@ -1493,3 +1493,70 @@ def test_continuation_ops_plan_shapes(spark, docs):
     assert "rangepartitioning" not in mad, mad
     ep = T.epoch_allocation(docs)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastExchange" in ep or "BroadcastNestedLoopJoin" in ep, ep
+
+
+def test_containment_parity_vs_duckdb(spark):
+    from tools.compare import compare
+    from tests.conftest import SF_TINY
+
+    assert compare(spark, SF_TINY, ["doc_containment"])
+
+
+def test_containment_catches_what_jaccard_misses(spark):
+    # the organic trunc60 mutation sits at J≈0.57 — below the 0.8
+    # setsim gate — but its shingles are (almost) a subset of the
+    # source's, so the containment join at 0.9 MUST report it; this
+    # is the operator's reason to exist
+    from cimpy_spark.fixtures.organic import organic_documents
+    from cimpy_spark.functions import dedup as D
+    from tests.conftest import SF_TINY
+
+    org = organic_documents(
+        spark.read.parquet(f"{SF_TINY}/documents.parquet")
+    )
+    cont = D.containment_join(org, num=9, den=10)
+    setsim = D.setsim_join(org, num=4, den=5)
+    cont_pairs = {(r["doc_a"], r["doc_b"]) for r in cont.collect()}
+    sym = {tuple(sorted(p)) for p in cont_pairs}
+    setsim_pairs = {
+        tuple(sorted((r["doc_a"], r["doc_b"]))) for r in setsim.collect()
+    }
+    only_containment = sym - setsim_pairs
+    assert only_containment, (
+        "containment found nothing beyond the symmetric Jaccard gate"
+    )
+
+
+def test_containment_is_asymmetric(spark):
+    # X's 12 words are a prefix of Y's 24: C(X->Y)=1.0 >= 0.9, while
+    # C(Y->X) ~= 0.45 — only the (X, Y) direction may appear
+    from cimpy_spark.functions import dedup as D
+
+    base = " ".join(f"w{i}" for i in range(12))
+    big = base + " " + " ".join(f"z{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [(1, base), (2, big)], "doc_id long, text string"
+    )
+    rows = D.containment_join(docs, num=9, den=10).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in rows} == {(1, 2)}
+    assert rows[0]["containment"] == 1.0
+
+
+def test_containment_integer_threshold_boundary(spark):
+    # A has 10 shingles; B shares exactly 9 -> kept at 9/10, and a
+    # C sharing 8 -> dropped: the rational threshold is exact
+    from cimpy_spark.functions import dedup as D
+
+    wa = [f"w{i}" for i in range(12)]        # 10 3-gram shingles
+    b = " ".join(wa[:11]) + " zz"            # shares 9 shingles
+    c = " ".join(wa[:10]) + " zz yy"         # shares 8 shingles
+    docs = spark.createDataFrame(
+        [(1, " ".join(wa)), (2, b), (3, c)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["n_inter"]
+        for r in D.containment_join(docs, num=9, den=10).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] == 9
+    assert (1, 3) not in got
