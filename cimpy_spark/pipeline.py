@@ -2024,6 +2024,10 @@ def linkpred_eval(canon_edges: DataFrame, k: int = 4) -> DataFrame:
             "j",
         )
     )
+    # two consumers (the CN scorer and the zero-score left join):
+    # without the checkpoint the whole negative-sampling pipeline —
+    # including its vocabulary rank window — evaluates twice
+    cands = checkpoint_df(cands)
     und = checkpoint_df(
         canon_edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
         .unionByName(

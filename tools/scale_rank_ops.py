@@ -1,0 +1,144 @@
+"""Round-7-continuation ops at ~4-5 orders of magnitude over their
+gate fixtures: ppr, walk_corpus, wl_colors, linkpred_eval on the same
+deterministic hub-skewed multigraph as tools/graph_scale_bench.py
+(src uniform, dst preferential toward low ids — node 0's undirected
+degree ≈ (E/N)·H_N), plus containment_join on a 500k-doc derived
+corpus (same generator as tools/curation_scale_bench.py's inputs).
+The gates verify CORRECTNESS at sf0.01; this shows the PLANS hold
+when the hubs and vocabularies are real.
+
+Usage: NODES=1000000 EDGES=5000000 DOCS=500000 \
+       python tools/scale_rank_ops.py
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+NODES = int(os.environ.get("NODES", "1000000"))
+EDGES = int(os.environ.get("EDGES", "5000000"))
+DOCS = int(os.environ.get("DOCS", "500000"))
+CORES = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from cimpy_spark import pipeline as P
+    from cimpy_spark.functions import dedup as D
+    from cimpy_spark.session import get_spark
+
+    spark = get_spark("scale-rank-ops", cores=CORES)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    e = spark.range(EDGES).select(
+        F.concat(F.lit("N"), (F.col("id") % NODES).cast("string")).alias(
+            "src"
+        ),
+        F.concat(
+            F.lit("N"),
+            F.pmod(F.xxhash64("id"), (F.col("id") % NODES) + 1).cast(
+                "string"
+            ),
+        ).alias("dst"),
+        F.lit("rel").alias("pred"),
+    )
+    stage = "/tmp/scale_rank_edges"
+    e.repartition(CORES).write.mode("overwrite").parquet(stage)
+    edges = spark.read.parquet(stage)
+    n_edges = edges.count()
+
+    # synthetic type dictionary for wl_colors / ppr seeds: 5 types by
+    # id hash, seeds = type T0 (~N/5 nodes — the catalog-slice shape)
+    ents = spark.range(NODES).select(
+        F.concat(F.lit("N"), F.col("id").cast("string")).alias("entity_id"),
+        F.concat(
+            F.lit("T"), F.pmod(F.xxhash64("id"), F.lit(5)).cast("string")
+        ).alias("type"),
+    )
+    seeds = ents.filter(F.col("type") == "T0").select("entity_id")
+
+    timings = {}
+
+    def force(df):
+        return df.select(
+            F.sum(
+                F.pmod(F.xxhash64(*df.columns), F.lit(1_000_000_007))
+            ).alias("h")
+        ).collect()
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 2)
+
+    timed("ppr_4", lambda: force(P.ppr(edges, seeds, iters=4)))
+    timed(
+        "walks_w1_l3",
+        lambda: force(P.walk_corpus(edges, walks_per_node=1, length=3)),
+    )
+    timed("wl_colors_2", lambda: force(P.wl_colors(edges, ents, rounds=2)))
+    timed("linkpred_eval_k2", lambda: force(P.linkpred_eval(edges, k=2)))
+
+    # containment on a derived 500k-doc corpus: base docs + planted
+    # truncations (the operator's target shape), ~40 words each
+    base = spark.range(DOCS).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[
+                F.concat(
+                    F.lit("w"),
+                    F.pmod(
+                        F.xxhash64(F.col("id") + F.lit(j * DOCS)),
+                        F.lit(50_000),
+                    ).cast("string"),
+                )
+                for j in range(40)
+            ],
+        ).alias("text"),
+    )
+    trunc = base.filter(F.col("doc_id") % 100 == 0).select(
+        (F.col("doc_id") + F.lit(10_000_000)).cast("long").alias("doc_id"),
+        # first ~60% of the words: a contained excerpt
+        F.array_join(
+            F.slice(F.split("text", " "), 1, 24), " "
+        ).alias("text"),
+    )
+    corpus = base.unionByName(trunc)
+    cstage = "/tmp/scale_rank_docs"
+    corpus.repartition(CORES).write.mode("overwrite").parquet(cstage)
+    docs = spark.read.parquet(cstage)
+    n_docs = docs.count()
+
+    timed(
+        "containment_9_10",
+        lambda: force(D.containment_join(docs, num=9, den=10)),
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "rank_ops_at_scale",
+                "value": round(sum(timings.values()), 2),
+                "unit": "sec",
+                "queries": timings,
+                "nodes": NODES,
+                "edges": n_edges,
+                "docs": n_docs,
+                "cores": CORES,
+                "loadavg": round(os.getloadavg()[0], 2),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
