@@ -1337,6 +1337,53 @@ def _q_kg_wl_colors(spark, sf_dir):
     return P.wl_colors(g.canon_edges, g.entities)
 
 
+def _q_kg_funcdeps(spark, sf_dir):
+    # functional-dependency discovery over the canonical node table.
+    # The fixture's raw attributes are mutually independent (all 30
+    # pairs violated), so the gate adds a DERIVED parity attribute —
+    # p_int -> p_int_parity holds by construction, the converse is
+    # violated — making BOTH fd_holds branches live (derived columns
+    # are where real FDs come from); the oracle derives the same one
+    from pyspark.sql import functions as F
+
+    g = _graph(spark, sf_dir)
+    parity = g.nodes.filter(F.col("attr") == "p_int").select(
+        "entity_id",
+        F.lit("p_int_parity").alias("attr"),
+        F.pmod(F.col("value").cast("bigint"), F.lit(2))
+        .cast("string")
+        .alias("value"),
+        "profile",
+    )
+    return P.funcdeps(g.nodes.unionByName(parity))
+
+
+def _q_kg_attr_impute(spark, sf_dir):
+    # type-modal imputation for missing attribute slots, strict
+    # majority threshold 1/2. The fixture graph is attribute-complete
+    # (zero missing slots at sf0.01), so the gate plants them: a
+    # deterministic ~1/5 md5 holdout of node rows — 138 slots open at
+    # sf0.01, 52 clear the majority (both threshold branches live);
+    # the oracle derives the SAME holdout
+    from pyspark.sql import functions as F
+
+    g = _graph(spark, sf_dir)
+    held = g.nodes.filter(
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", "entity_id", "attr")), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(5),
+        )
+        != 0
+    )
+    return P.attr_impute(held, g.entities, g.cmap)
+
+
 def _q_kg_range_conformance(spark, sf_dir):
     from cimpy_spark.operators.schema import (
         fixture_class_hierarchy,
@@ -1580,6 +1627,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_linkpred_eval": _q_kg_linkpred_eval,
         "kg_wl_colors": _q_kg_wl_colors,
         "doc_containment": _q_doc_containment,
+        "kg_funcdeps": _q_kg_funcdeps,
+        "kg_attr_impute": _q_kg_attr_impute,
     }
 
 
@@ -1817,5 +1866,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_linkpred_eval": oracles.linkpred_eval_sql(),
         "kg_wl_colors": oracles.wl_colors_sql(),
         "doc_containment": doc_oracles.containment_join_sql(),
+        "kg_funcdeps": oracles.funcdeps_sql(),
+        "kg_attr_impute": oracles.attr_impute_sql(),
         **A.ANALYTICS_ORACLES,
     }

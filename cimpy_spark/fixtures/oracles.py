@@ -1602,3 +1602,92 @@ def wl_colors_sql(rounds: int = 2) -> str:
     SELECT f.id AS entity_id, f.c AS wl_color, s.n_class
     FROM wl_c{rounds} f JOIN wl_sizes s ON s.c = f.c
     """
+
+
+def funcdeps_sql() -> str:
+    """FD-discovery oracle (pipeline.funcdeps): the same counting
+    form over the canonical node table — per (a1, a2), a1 values
+    mapping to more than one distinct a2 value are violations.
+    Consumes the SAME derived p_int_parity attribute as the gate
+    (the fixture's raw attributes are mutually independent; the
+    derived column gives fd_holds a live true branch)."""
+    return PIPELINE_CTES + """
+    , fd_nodes AS MATERIALIZED (
+      SELECT entity_id, attr, value FROM nodes
+      UNION ALL
+      SELECT entity_id, 'p_int_parity' AS attr,
+             CAST(value::BIGINT % 2 AS VARCHAR) AS value
+      FROM nodes WHERE attr = 'p_int'
+    ),
+    fd_pairs AS MATERIALIZED (
+      SELECT x.entity_id, x.attr AS a1, x.value AS v1,
+             y.attr AS a2, y.value AS v2
+      FROM fd_nodes x JOIN fd_nodes y
+        ON x.entity_id = y.entity_id AND x.attr <> y.attr
+    ),
+    fd_lhs AS (
+      SELECT a1, a2, v1, count(DISTINCT v2) AS n_rhs,
+             count(*) AS support
+      FROM fd_pairs GROUP BY 1, 2, 3
+    )
+    SELECT a1, a2,
+           CAST(sum(support) AS BIGINT) AS n_pairs,
+           CAST(count(*) AS BIGINT) AS n_lhs_values,
+           CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating_lhs,
+           CAST(CASE WHEN sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) = 0
+                THEN 1 ELSE 0 END AS INT) AS fd_holds
+    FROM fd_lhs GROUP BY a1, a2
+    """
+
+
+def attr_impute_sql(num: int = 1, den: int = 2) -> str:
+    """Imputation oracle (pipeline.attr_impute): type-modal election
+    by window rank (the engine uses a min_by struct), integer
+    majority threshold, anti-join against present pairs. Consumes
+    the SAME deterministic ~1/5 md5 holdout of node rows as the gate
+    (the fixture graph is attribute-complete; the holdout plants the
+    missing slots the operator exists for)."""
+    return PIPELINE_CTES + f"""
+    , ai_nodes AS MATERIALIZED (
+      SELECT * FROM nodes
+      WHERE ('0x' || substring(
+               md5(entity_id || '|' || attr), 1, 8
+             ))::BIGINT % 5 <> 0
+    ),
+    ai_ct AS MATERIALIZED (
+      SELECT DISTINCT c.canonical_id AS entity_id, e.type
+      FROM cmap c JOIN entities e ON e.entity_id = c.entity_id
+    ),
+    ai_freq AS MATERIALIZED (
+      SELECT t.type, n.attr, n.value, count(*) AS support
+      FROM ai_nodes n JOIN ai_ct t ON t.entity_id = n.entity_id
+      GROUP BY 1, 2, 3
+    ),
+    ai_tot AS (
+      SELECT type, attr, CAST(sum(support) AS BIGINT) AS n_typed
+      FROM ai_freq GROUP BY 1, 2
+    ),
+    ai_dom AS (
+      SELECT f.type, f.attr, f.value AS imputed_value,
+             CAST(f.support AS BIGINT) AS support_n, t.n_typed
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY type, attr ORDER BY support DESC, value
+        ) AS rn FROM ai_freq
+      ) f
+      JOIN ai_tot t ON t.type = f.type AND t.attr = f.attr
+      WHERE f.rn = 1 AND {den} * f.support > {num} * t.n_typed
+    )
+    SELECT s.entity_id, s.attr, s.imputed_value, s.support_n,
+           s.n_typed
+    FROM (
+      SELECT ct.entity_id, d.attr, d.imputed_value, d.support_n,
+             d.n_typed
+      FROM ai_ct ct JOIN ai_dom d ON d.type = ct.type
+    ) s
+    WHERE NOT EXISTS (
+      SELECT 1 FROM ai_nodes n
+      WHERE n.entity_id = s.entity_id AND n.attr = s.attr
+    )
+    """

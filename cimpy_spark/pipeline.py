@@ -2189,3 +2189,110 @@ def wl_colors(
         F.col("c").alias("wl_color"),
         "n_class",
     )
+
+
+def funcdeps(nodes: DataFrame) -> DataFrame:
+    """Functional-dependency discovery over the canonical node table
+    — the data-profiling pass (TANE/FDEP family, counting form) that
+    turns instance data into schema knowledge: for every ordered
+    attribute pair (a1, a2), does an entity's a1 value DETERMINE its
+    a2 value? Exact FDs feed key discovery, normalization and
+    anomaly QA (a violated near-FD is a data-quality signal the
+    range-conformance check can't see because both values are
+    type-valid). Output per (a1, a2): n_pairs (entities carrying
+    both), n_lhs_values, n_violating_lhs (a1 values mapping to >1
+    distinct a2 value), fd_holds.
+
+    Scale shape: the self-join fans out per entity as
+    |attrs(entity)|² — schema-width-bounded (attributes per entity
+    are catalog-sized, the input contract of a typed KG), NEVER
+    value- or hub-bounded; both aggregations are map-side-combinable
+    hash aggregates ((a1, a2, v1) then (a1, a2)) and the report is
+    ≤ |attrs|² rows. countDistinct expands to the standard two-phase
+    partial-distinct plan. All counts integer."""
+    nv = nodes.select("entity_id", "attr", "value")
+    a1 = nv.select(
+        "entity_id", F.col("attr").alias("a1"), F.col("value").alias("v1")
+    )
+    a2 = nv.select(
+        "entity_id", F.col("attr").alias("a2"), F.col("value").alias("v2")
+    )
+    pairs = a1.join(a2, "entity_id").filter(F.col("a1") != F.col("a2"))
+    per_lhs = pairs.groupBy("a1", "a2", "v1").agg(
+        F.countDistinct("v2").alias("n_rhs"),
+        F.count(F.lit(1)).alias("support"),
+    )
+    return (
+        per_lhs.groupBy("a1", "a2")
+        .agg(
+            F.sum("support").alias("n_pairs"),
+            F.count(F.lit(1)).alias("n_lhs_values"),
+            F.sum(
+                F.when(F.col("n_rhs") > 1, 1).otherwise(0)
+            ).alias("n_violating_lhs"),
+        )
+        .select(
+            "a1", "a2", "n_pairs", "n_lhs_values", "n_violating_lhs",
+            (F.col("n_violating_lhs") == 0).cast("int").alias("fd_holds"),
+        )
+    )
+
+
+def attr_impute(
+    nodes: DataFrame,
+    entities: DataFrame,
+    cmap: DataFrame,
+    num: int = 1,
+    den: int = 2,
+) -> DataFrame:
+    """Type-modal attribute imputation — the KG-completion pass for
+    MISSING attribute values: an entity of type T lacking attribute a
+    (which other T entities carry) is offered T's modal value when
+    that value holds in more than num/den of the typed holders — the
+    single-attribute naive-Bayes baseline every completion paper
+    starts from, and the "suggested fix" column of a curation QA
+    report. Election is (support desc, value asc) via one min_by
+    struct (fact_fusion's idiom — no window); the majority threshold
+    is integer-rational (den·support > num·n_typed, strict, so
+    den=2/num=1 means a strict majority). Type comes from the
+    CANONICAL entity (cmap's representative), matching how nodes
+    keys its rows.
+
+    Scale shape: the (type, attr, value) frequency table and the
+    (type, attr) holder/dominant tables are catalog-sized; the only
+    instance-scale frames are the canonical-entity dictionary and
+    one anti-join of (canonical entity × type's attrs — schema-width
+    fan-out) against the present (entity, attr) pairs. Output:
+    (entity_id, attr, imputed_value, support_n, n_typed) — one row
+    per imputable missing slot."""
+    canon_type = (
+        cmap.join(
+            entities.select(
+                F.col("entity_id"), F.col("type")
+            ),
+            "entity_id",
+        )
+        .select(F.col("canonical_id").alias("entity_id"), "type")
+        .distinct()
+    )
+    typed = nodes.select("entity_id", "attr", "value").join(
+        canon_type, "entity_id"
+    )
+    freq = typed.groupBy("type", "attr", "value").agg(
+        F.count(F.lit(1)).alias("support")
+    )
+    key = F.struct((-F.col("support")).alias("ns"), F.col("value"))
+    dominant = freq.groupBy("type", "attr").agg(
+        F.min_by("value", key).alias("imputed_value"),
+        F.max("support").alias("support_n"),
+        F.sum("support").alias("n_typed"),
+    ).filter(
+        F.lit(den) * F.col("support_n") > F.lit(num) * F.col("n_typed")
+    )
+    present = nodes.select("entity_id", "attr").distinct()
+    slots = canon_type.join(
+        dominant, "type"
+    ).join(present, ["entity_id", "attr"], "left_anti")
+    return slots.select(
+        "entity_id", "attr", "imputed_value", "support_n", "n_typed"
+    )

@@ -203,3 +203,139 @@ def test_entity_match_uses_edge_context(spark):
         for r in P.entity_match(triples, cmap, edges, num=1, den=2).collect()
     }
     assert ("A", "B") in got
+
+
+# --- round-7 continuation: FD discovery + type-modal imputation ---
+
+QUALITY_GATES = ["kg_funcdeps", "kg_attr_impute"]
+
+
+def test_kg_quality_oracle_parity(spark):
+    assert compare(spark, SF_TINY, QUALITY_GATES)
+
+
+def _nodes(spark, rows):
+    return spark.createDataFrame(
+        [(e, a, v, "user") for e, a, v in rows],
+        "entity_id string, attr string, value string, profile string",
+    )
+
+
+def test_funcdeps_holds_and_violations(spark):
+    # color determines code (bijective on this data); code does NOT
+    # determine size (code c1 maps to sizes s1 and s2)
+    rows = [
+        ("e1", "color", "red"), ("e1", "code", "c1"), ("e1", "size", "s1"),
+        ("e2", "color", "red"), ("e2", "code", "c1"), ("e2", "size", "s2"),
+        ("e3", "color", "blue"), ("e3", "code", "c2"), ("e3", "size", "s1"),
+    ]
+    got = {
+        (r["a1"], r["a2"]): r
+        for r in P.funcdeps(_nodes(spark, rows)).collect()
+    }
+    assert got[("color", "code")]["fd_holds"] == 1
+    assert got[("code", "color")]["fd_holds"] == 1
+    cs = got[("code", "size")]
+    assert cs["fd_holds"] == 0
+    assert cs["n_violating_lhs"] == 1          # only c1 is ambiguous
+    assert cs["n_lhs_values"] == 2
+    assert cs["n_pairs"] == 3
+    # FD direction is not symmetric: size -> code is also violated
+    # (s1 maps to c1 and c2) — both directions reported independently
+    assert got[("size", "code")]["fd_holds"] == 0
+
+
+def test_funcdeps_skips_entities_missing_either_attr(spark):
+    # e3 has only color: it contributes no (color, code) pair, so the
+    # FD judgment rests on entities carrying BOTH attrs
+    rows = [
+        ("e1", "color", "red"), ("e1", "code", "c1"),
+        ("e2", "color", "red"), ("e2", "code", "c1"),
+        ("e3", "color", "red"),
+    ]
+    got = {
+        (r["a1"], r["a2"]): r
+        for r in P.funcdeps(_nodes(spark, rows)).collect()
+    }
+    assert got[("color", "code")]["n_pairs"] == 2
+    assert got[("color", "code")]["fd_holds"] == 1
+
+
+def _ident_cmap(spark, ids):
+    return spark.createDataFrame(
+        [(i, i) for i in ids], "entity_id string, canonical_id string"
+    )
+
+
+def _typed(spark, pairs):
+    return spark.createDataFrame(
+        pairs, "entity_id string, type string"
+    )
+
+
+def test_attr_impute_modal_value_and_threshold(spark):
+    # type T: e1, e2 carry attr a = 'x'; e3 (same type) is missing a
+    # -> imputed 'x' with support 2 of 2 holders under the strict 1/2
+    # majority. attr b is split 1/1 -> NO value clears the strict
+    # majority, nothing imputed for e3.b
+    rows = [
+        ("e1", "a", "x"), ("e2", "a", "x"),
+        ("e1", "b", "p"), ("e2", "b", "q"),
+    ]
+    ents = _typed(spark, [("e1", "T"), ("e2", "T"), ("e3", "T")])
+    cmap = _ident_cmap(spark, ["e1", "e2", "e3"])
+    got = {
+        (r["entity_id"], r["attr"]): r
+        for r in P.attr_impute(
+            _nodes(spark, rows), ents, cmap, num=1, den=2
+        ).collect()
+    }
+    assert set(got) == {("e3", "a")}
+    r = got[("e3", "a")]
+    assert r["imputed_value"] == "x"
+    assert r["support_n"] == 2 and r["n_typed"] == 2
+    # with the threshold off (num=0), the split attr imputes its
+    # lexicographically-smallest modal value — the documented tie rule
+    got0 = {
+        (r["entity_id"], r["attr"]): r["imputed_value"]
+        for r in P.attr_impute(
+            _nodes(spark, rows), ents, cmap, num=0, den=1
+        ).collect()
+    }
+    assert got0[("e3", "b")] == "p"
+
+
+def test_attr_impute_respects_type_boundaries_and_presence(spark):
+    # e4 is type U: T's modal value never leaks to it; e1 already has
+    # attr a so it is never imputed
+    rows = [("e1", "a", "x"), ("e2", "a", "x")]
+    ents = _typed(
+        spark, [("e1", "T"), ("e2", "T"), ("e3", "T"), ("e4", "U")]
+    )
+    cmap = _ident_cmap(spark, ["e1", "e2", "e3", "e4"])
+    got = {
+        (r["entity_id"], r["attr"])
+        for r in P.attr_impute(
+            _nodes(spark, rows), ents, cmap, num=1, den=2
+        ).collect()
+    }
+    assert got == {("e3", "a")}
+
+
+def test_attr_impute_uses_canonical_identity(spark):
+    # e2 is an alias of e1 (cmap maps both to e1): its type row rides
+    # to the canonical id, and the canonical id is the imputation
+    # subject — the alias itself never appears
+    rows = [("e1", "a", "x"), ("e5", "a", "x")]
+    ents = _typed(spark, [("e2", "T"), ("e5", "T"), ("e6", "T")])
+    cmap = spark.createDataFrame(
+        [("e2", "e1"), ("e5", "e5"), ("e6", "e6")],
+        "entity_id string, canonical_id string",
+    )
+    got = {
+        r["entity_id"]
+        for r in P.attr_impute(
+            _nodes(spark, rows), ents, cmap, num=1, den=2
+        ).collect()
+    }
+    assert got == {"e6"}
