@@ -122,6 +122,44 @@ def main() -> None:
         lambda: force(D.containment_join(docs, num=9, den=10)),
     )
 
+    # quality wave: an 8-attr node table over NODES entities (a1
+    # derived from the entity id so one FD genuinely holds), typed
+    # 5 ways; impute over a ~1/5 holdout with the threshold off so
+    # the output is the full modal-suggestion surface
+    nodes_tbl = spark.range(NODES * 8).select(
+        F.concat(F.lit("E"), (F.col("id") % NODES).cast("string")).alias(
+            "entity_id"
+        ),
+        F.concat(
+            F.lit("a"), (F.col("id") / NODES).cast("int").cast("string")
+        ).alias("attr"),
+        F.when(
+            (F.col("id") / NODES).cast("int") == 1,
+            F.pmod(F.xxhash64(F.col("id") % NODES), F.lit(2)).cast(
+                "string"
+            ),
+        )
+        .otherwise(
+            F.pmod(F.xxhash64("id"), F.lit(100)).cast("string")
+        )
+        .alias("value"),
+        F.lit("user").alias("profile"),
+    )
+    nstage = "/tmp/scale_rank_nodes"
+    nodes_tbl.repartition(CORES).write.mode("overwrite").parquet(nstage)
+    nodes_tbl = spark.read.parquet(nstage)
+    cmap = ents.select(
+        "entity_id", F.col("entity_id").alias("canonical_id")
+    )
+    timed("funcdeps", lambda: force(P.funcdeps(nodes_tbl)))
+    held = nodes_tbl.filter(
+        F.pmod(F.xxhash64("entity_id", "attr"), F.lit(5)) != 0
+    )
+    timed(
+        "attr_impute",
+        lambda: force(P.attr_impute(held, ents, cmap, num=0, den=1)),
+    )
+
     print(
         json.dumps(
             {
