@@ -954,6 +954,17 @@ def _q_emb_kmeans_ivf_topk(spark, sf_dir):
     return SIM.kmeans_ivf_topk(_emb(spark, sf_dir))
 
 
+def _q_emb_pq_codes(spark, sf_dir):
+    # product-quantization codes: 4 subspaces x 4-centroid Lloyd
+    # codebooks (oracle = the prefixed Lloyd chain per subspace)
+    return SIM.pq_codes(_emb(spark, sf_dir))[0]
+
+
+def _q_emb_pq_topk(spark, sf_dir):
+    # ADC top-k search over the PQ codes (integer micro-unit sums)
+    return SIM.pq_topk(_emb(spark, sf_dir))
+
+
 def _q_stream_extract(spark, sf_dir):
     """Streaming-path extraction, oracle-gated: stage the transcripts
     as files, drain a bounded file-source stream through the SAME
@@ -1629,6 +1640,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_containment": _q_doc_containment,
         "kg_funcdeps": _q_kg_funcdeps,
         "kg_attr_impute": _q_kg_attr_impute,
+        "emb_pq_codes": _q_emb_pq_codes,
+        "emb_pq_topk": _q_emb_pq_topk,
     }
 
 
@@ -1868,5 +1881,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_containment": doc_oracles.containment_join_sql(),
         "kg_funcdeps": oracles.funcdeps_sql(),
         "kg_attr_impute": oracles.attr_impute_sql(),
+        "emb_pq_codes": doc_oracles.pq_codes_sql(),
+        "emb_pq_topk": doc_oracles.pq_topk_sql(),
         **A.ANALYTICS_ORACLES,
     }

@@ -757,12 +757,14 @@ def ivf_topk_sql(n_queries: int = 8, k: int = 5, nprobe: int = 2) -> str:
 NEARDUP_MAX_BUCKET = _NEARDUP_CAP
 
 
-def _lloyd_cte_parts(k: int, iters: int, src: str = "e") -> list[str]:
+def _lloyd_cte_parts(
+    k: int, iters: int, src: str = "e", prefix: str = ""
+) -> list[str]:
     """Unrolled deterministic Lloyd CTE chain over `src`(vec_id, emb)
     — the engine's `kmeans_cells` recipe: seed centroids = vec_id<k,
     per-iter argmin on dist² rounded 6dp (tie → smaller cell),
     per-dim means rounded 9dp, empty cells keep their centroid. Ends
-    with `afinal`(vec_id, emb, cell), MATERIALIZED (it fans out to
+    with `{prefix}afinal`(vec_id, emb, cell), MATERIALIZED (it fans out to
     several consumers and DuckDB inlines plain CTEs per consumer)."""
     d2 = (
         "round(list_dot_product(a.emb, a.emb)"
@@ -770,13 +772,13 @@ def _lloyd_cte_parts(k: int, iters: int, src: str = "e") -> list[str]:
         " + list_dot_product(c.cemb, c.cemb), 6)"
     )
     parts = [
-        f"c0 AS (SELECT vec_id AS cell, emb AS cemb FROM {src}"
+        f"{prefix}c0 AS (SELECT vec_id AS cell, emb AS cemb FROM {src}"
         f" WHERE vec_id < {k})",
     ]
     for it in range(1, iters + 1):
-        prev = f"c{it - 1}"
+        prev = f"{prefix}c{it - 1}"
         parts.append(f"""
-    a{it} AS (
+    {prefix}a{it} AS (
       SELECT vec_id, emb, cell FROM (
         SELECT a.vec_id, a.emb, c.cell,
                row_number() OVER (PARTITION BY a.vec_id
@@ -785,26 +787,26 @@ def _lloyd_cte_parts(k: int, iters: int, src: str = "e") -> list[str]:
       ) WHERE rk = 1
     )""")
         parts.append(f"""
-    m{it} AS (
+    {prefix}m{it} AS (
       SELECT cell, list(c ORDER BY i) AS cemb FROM (
         SELECT a.cell, nums.i AS i, round(avg(a.emb[nums.i]), 9) AS c
-        FROM a{it} a, (SELECT unnest(generate_series(1, 64)) AS i) nums
+        FROM {prefix}a{it} a, (SELECT unnest(generate_series(1, 64)) AS i) nums
         WHERE nums.i <= len(a.emb)
         GROUP BY a.cell, nums.i
       ) GROUP BY cell
     )""")
         parts.append(f"""
-    c{it} AS (
+    {prefix}c{it} AS (
       SELECT p.cell, COALESCE(m.cemb, p.cemb) AS cemb
-      FROM {prev} p LEFT JOIN m{it} m USING (cell)
+      FROM {prev} p LEFT JOIN {prefix}m{it} m USING (cell)
     )""")
     parts.append(f"""
-    afinal AS MATERIALIZED (
+    {prefix}afinal AS MATERIALIZED (
       SELECT vec_id, emb, cell FROM (
         SELECT a.vec_id, a.emb, c.cell,
                row_number() OVER (PARTITION BY a.vec_id
                  ORDER BY {d2} ASC, c.cell ASC) AS rk
-        FROM {src} a, c{iters} c
+        FROM {src} a, {prefix}c{iters} c
       ) WHERE rk = 1
     )""")
     return parts
@@ -2212,3 +2214,94 @@ def containment_join_sql(num: int = 9, den: int = 10) -> str:
     JOIN sizes sa ON doc_a = sa.doc_id
     WHERE {den} * c >= {num} * sa.n
     """
+
+
+def _pq_parts(m: int, k: int, iters: int, dim: int = 64) -> list[str]:
+    """Shared PQ CTE scaffolding: slice the embeddings into m
+    contiguous subspaces and run the prefixed Lloyd chain per
+    subspace (mirror of similarity.pq_codes — same fixed seeds, same
+    recipe). Ends with pq_codes(vec_id, sub, code)."""
+    w = dim // m
+    parts = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)",
+    ]
+    unions = []
+    for j in range(m):
+        lo, hi = j * w + 1, (j + 1) * w
+        parts.append(
+            f"s{j} AS (SELECT vec_id, emb[{lo}:{hi}] AS emb FROM e)"
+        )
+        parts += _lloyd_cte_parts(k, iters, src=f"s{j}", prefix=f"s{j}_")
+        unions.append(
+            f"SELECT vec_id, {j} AS sub, CAST(cell AS INT) AS code"
+            f" FROM s{j}_afinal"
+        )
+    parts.append(
+        "pq_codes AS MATERIALIZED (" + "\n    UNION ALL ".join(unions) + ")"
+    )
+    return parts
+
+
+def pq_codes_sql(m: int = 4, k: int = 4, iters: int = 2) -> str:
+    """Oracle for similarity.pq_codes over the embeddings table."""
+    parts = _pq_parts(m, k, iters)
+    return (
+        "WITH " + ",\n".join(parts)
+        + "\n    SELECT vec_id, CAST(sub AS INT) AS sub, code FROM pq_codes"
+    )
+
+
+def pq_topk_sql(
+    m: int = 4,
+    k: int = 4,
+    iters: int = 2,
+    n_queries: int = 8,
+    topk: int = 5,
+) -> str:
+    """Oracle for similarity.pq_topk: the same per-subspace Lloyd
+    codebooks, an (n_queries·m·k)-row ADC lookup table with the
+    engine's round-6dp-then-micro-int discipline, integer sums,
+    (adc asc, vec_id asc) ranking, self excluded."""
+    parts = _pq_parts(m, k, iters)
+    dim = 64
+    w = dim // m
+    lut_unions = []
+    for j in range(m):
+        lo, hi = j * w + 1, (j + 1) * w
+        d2 = (
+            "round(list_dot_product(q.qe, q.qe)"
+            " - 2 * list_dot_product(q.qe, c.cemb)"
+            " + list_dot_product(c.cemb, c.cemb), 6)"
+        )
+        lut_unions.append(f"""
+      SELECT q.vec_id AS query_id, {j} AS sub,
+             CAST(c.cell AS INT) AS code,
+             CAST(round({d2} * 1000000.0, 0) AS BIGINT) AS d2_micro
+      FROM (SELECT vec_id, emb[{lo}:{hi}] AS qe FROM e
+            WHERE vec_id < {n_queries}) q,
+           s{j}_c{iters} c""")
+    parts.append(
+        "pq_lut AS MATERIALIZED ("
+        + "\n      UNION ALL ".join(lut_unions)
+        + ")"
+    )
+    parts.append(f"""
+    pq_adc AS (
+      SELECT l.query_id, c.vec_id, sum(l.d2_micro) AS adc_micro
+      FROM pq_codes c
+      JOIN pq_lut l ON l.sub = c.sub AND l.code = c.code
+      WHERE c.vec_id <> l.query_id
+      GROUP BY 1, 2
+    )""")
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+    SELECT query_id, vec_id, CAST(rank AS INT) AS rank,
+           adc_micro / 1000000.0 AS approx_d2
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY adc_micro ASC, vec_id ASC) AS rank
+      FROM pq_adc
+    ) WHERE rank <= {topk}
+    """
+    )

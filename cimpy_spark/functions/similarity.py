@@ -1000,3 +1000,146 @@ def label_centroids(embeddings: DataFrame, scale: int = 10**9) -> DataFrame:
             F.col("n_vectors").cast("int").alias("n_vectors"),
         )
     )
+
+
+def pq_codes(
+    embeddings: DataFrame, m: int = 4, k: int = 4, iters: int = 2
+) -> tuple[DataFrame, dict]:
+    """Product-quantization codes (Jégou et al. 2011) — the memory
+    side of web-scale ANN: split each d-dim vector into m contiguous
+    subspaces and vector-quantize each with its OWN deterministic
+    Lloyd codebook (`kmeans_cells`, fixed vec_id<k seeds, no RNG), so
+    a vector compresses to m small codes (d·4 bytes → m·log2(k) bits;
+    the codebooks are m·k·(d/m) floats — catalog-sized). At 100 TB
+    the PQ code table is what fits in memory when raw vectors don't;
+    asymmetric-distance search over it is `pq_topk`.
+
+    d must be divisible by m (fail-loud — silent ragged subspaces
+    would desynchronize the codebooks from the oracle); mixed vector
+    lengths fail loud the same way. Each subspace trains
+    independently on its slice (m bounded driver iterations, each
+    the audited kmeans_cells recipe — the per-subspace codebooks live
+    in the driver like every centroid table in this engine: m·k
+    short lists, broadcast-sized by construction). Returns
+    (codes (vec_id, sub, code), books {sub: {code: centroid}})."""
+    base = embeddings.select(
+        "vec_id", _as_double("embedding").alias("emb")
+    )
+    dims = base.agg(
+        F.min(F.size("emb")).alias("lo"), F.max(F.size("emb")).alias("hi")
+    ).collect()[0]
+    if dims["lo"] is None:
+        raise ValueError("pq_codes: empty embedding input")
+    if dims["lo"] != dims["hi"]:
+        raise ValueError(
+            f"pq_codes: mixed vector lengths {dims['lo']}..{dims['hi']}"
+        )
+    d = dims["lo"]
+    if d % m != 0:
+        raise ValueError(f"pq_codes: dim {d} not divisible by m={m}")
+    w = d // m
+    parts = []
+    books: dict = {}
+    for j in range(m):
+        sub = base.select(
+            "vec_id", F.slice("emb", j * w + 1, w).alias("embedding")
+        )
+        assigned, cents = kmeans_cells(sub, k=k, iters=iters)
+        books[j] = cents
+        parts.append(
+            assigned.select(
+                "vec_id",
+                F.lit(j).alias("sub"),
+                F.col("cell").cast("int").alias("code"),
+            )
+        )
+    codes = parts[0]
+    for p in parts[1:]:
+        codes = codes.unionByName(p)
+    return codes, books
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    m: int = 4,
+    k: int = 4,
+    iters: int = 2,
+    n_queries: int = 8,
+    topk: int = 5,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k search over PQ codes — the
+    query side of product quantization: the query stays EXACT, every
+    database vector is its m codes, and the approximate distance is
+    Σ_sub d²(query_sub, codebook[sub][code]) read from an
+    (n_queries·m·k)-row lookup table. The scan is linear in codes
+    (N·m rows joined against the broadcast LUT + one sum — the
+    IVF cell-restriction composes in front of it at scale exactly
+    like kmeans_ivf_topk's probe).
+
+    Determinism contract: per-sub distances are rounded to 6dp (the
+    engine-vs-DuckDB float tolerance every kmeans gate already
+    proves) and converted to exact micro-unit BIGINTs, so the
+    cross-subspace SUM is integer — no float accumulation order
+    anywhere; ranking is (adc_micro asc, vec_id asc), self-matches
+    excluded like cosine_topk. Output: (query_id, vec_id, rank,
+    approx_d2) with approx_d2 derived from the identical integer."""
+    codes, books = pq_codes(embeddings, m=m, k=k, iters=iters)
+    base = embeddings.select(
+        "vec_id", _as_double("embedding").alias("emb")
+    )
+    w = None
+    luts = []
+    for j, cents in books.items():
+        if w is None:
+            w = len(next(iter(cents.values())))
+        qe = base.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"),
+            F.slice("emb", j * w + 1, w).alias("qe"),
+        )
+        entries = F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("code"),
+                    F.round(
+                        F.round(_dist2(F.col("qe"), cents[c]), 6)
+                        * F.lit(1_000_000.0),
+                        0,
+                    )
+                    .cast("long")
+                    .alias("d2_micro"),
+                )
+                for c in sorted(cents)
+            ]
+        )
+        luts.append(
+            qe.select(
+                "query_id", F.lit(j).alias("sub"), F.explode(entries).alias("e")
+            ).select(
+                "query_id", "sub", F.col("e.code").alias("code"),
+                F.col("e.d2_micro").alias("d2_micro"),
+            )
+        )
+    lut = luts[0]
+    for p in luts[1:]:
+        lut = lut.unionByName(p)
+    approx = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d2_micro").alias("adc_micro"))
+    )
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("query_id").orderBy(
+        F.col("adc_micro").asc(), F.col("vec_id").asc()
+    )
+    return (
+        approx.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= topk)
+        .select(
+            "query_id",
+            "vec_id",
+            F.col("rank").cast("int").alias("rank"),
+            (F.col("adc_micro") / F.lit(1_000_000.0)).alias("approx_d2"),
+        )
+    )
