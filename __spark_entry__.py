@@ -965,6 +965,12 @@ def _q_emb_pq_topk(spark, sf_dir):
     return SIM.pq_topk(_emb(spark, sf_dir))
 
 
+def _q_emb_ivfpq_topk(spark, sf_dir):
+    # the FAISS IVFADC composition: coarse probe restricts the ADC
+    # scan to nprobe cells per query
+    return SIM.ivfpq_topk(_emb(spark, sf_dir))
+
+
 def _q_stream_extract(spark, sf_dir):
     """Streaming-path extraction, oracle-gated: stage the transcripts
     as files, drain a bounded file-source stream through the SAME
@@ -1642,6 +1648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_attr_impute": _q_kg_attr_impute,
         "emb_pq_codes": _q_emb_pq_codes,
         "emb_pq_topk": _q_emb_pq_topk,
+        "emb_ivfpq_topk": _q_emb_ivfpq_topk,
     }
 
 
@@ -1883,5 +1890,6 @@ def oracle_sql() -> dict[str, str]:
         "kg_attr_impute": oracles.attr_impute_sql(),
         "emb_pq_codes": doc_oracles.pq_codes_sql(),
         "emb_pq_topk": doc_oracles.pq_topk_sql(),
+        "emb_ivfpq_topk": doc_oracles.ivfpq_topk_sql(),
         **A.ANALYTICS_ORACLES,
     }

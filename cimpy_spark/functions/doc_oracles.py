@@ -2305,3 +2305,87 @@ def pq_topk_sql(
     ) WHERE rank <= {topk}
     """
     )
+
+
+def ivfpq_topk_sql(
+    coarse_k: int = 4,
+    nprobe: int = 2,
+    m: int = 4,
+    k: int = 4,
+    iters: int = 2,
+    n_queries: int = 8,
+    topk: int = 5,
+) -> str:
+    """Oracle for similarity.ivfpq_topk: the prefixed coarse Lloyd
+    chain (cq_) buckets the corpus, per-query cell ranking on 6dp d²
+    (tie to the smaller cell) probes nprobe cells, and the PQ-ADC sum
+    runs over the probed cells' codes only — same integer discipline
+    as pq_topk_sql."""
+    parts = _pq_parts(m, k, iters)
+    parts += _lloyd_cte_parts(coarse_k, iters, src="e", prefix="cq_")
+    d2c = (
+        "round(list_dot_product(q.qe, q.qe)"
+        " - 2 * list_dot_product(q.qe, c.cemb)"
+        " + list_dot_product(c.cemb, c.cemb), 6)"
+    )
+    parts.append(f"""
+    ivq AS (SELECT vec_id AS query_id, emb AS qe FROM e
+            WHERE vec_id < {n_queries})""")
+    parts.append(f"""
+    iv_probed AS MATERIALIZED (
+      SELECT query_id, cell FROM (
+        SELECT q.query_id, c.cell,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY {d2c} ASC, c.cell ASC) AS crk
+        FROM ivq q, cq_c{iters} c
+      ) WHERE crk <= {nprobe}
+    )""")
+    dim = 64
+    w = dim // m
+    lut_unions = []
+    for j in range(m):
+        lo, hi = j * w + 1, (j + 1) * w
+        d2 = (
+            "round(list_dot_product(q.qe, q.qe)"
+            " - 2 * list_dot_product(q.qe, c.cemb)"
+            " + list_dot_product(c.cemb, c.cemb), 6)"
+        )
+        lut_unions.append(f"""
+      SELECT q.vec_id AS query_id, {j} AS sub,
+             CAST(c.cell AS INT) AS code,
+             CAST(round({d2} * 1000000.0, 0) AS BIGINT) AS d2_micro
+      FROM (SELECT vec_id, emb[{lo}:{hi}] AS qe FROM e
+            WHERE vec_id < {n_queries}) q,
+           s{j}_c{iters} c""")
+    parts.append(
+        "iv_lut AS MATERIALIZED ("
+        + "\n      UNION ALL ".join(lut_unions)
+        + ")"
+    )
+    parts.append("""
+    iv_cand AS MATERIALIZED (
+      SELECT p.query_id, a.vec_id
+      FROM iv_probed p JOIN cq_afinal a ON a.cell = p.cell
+    )""")
+    parts.append("""
+    iv_adc AS (
+      SELECT l.query_id, c.vec_id, sum(l.d2_micro) AS adc_micro
+      FROM pq_codes c
+      JOIN iv_cand d ON d.vec_id = c.vec_id
+      JOIN iv_lut l ON l.query_id = d.query_id
+                   AND l.sub = c.sub AND l.code = c.code
+      WHERE c.vec_id <> l.query_id
+      GROUP BY 1, 2
+    )""")
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+    SELECT query_id, vec_id, CAST(rank AS INT) AS rank,
+           adc_micro / 1000000.0 AS approx_d2
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY adc_micro ASC, vec_id ASC) AS rank
+      FROM iv_adc
+    ) WHERE rank <= {topk}
+    """
+    )

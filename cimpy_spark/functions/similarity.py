@@ -1087,6 +1087,15 @@ def pq_topk(
     base = embeddings.select(
         "vec_id", _as_double("embedding").alias("emb")
     )
+    lut = _pq_lut(base, books, n_queries)
+    return _adc_rank(codes, lut, topk)
+
+
+def _pq_lut(base: DataFrame, books: dict, n_queries: int) -> DataFrame:
+    """(query_id, sub, code, d2_micro) ADC lookup table — one row per
+    (query, subspace, codebook entry): per-sub d² rounded 6dp (the
+    proven kmeans float tolerance) then fix-pointed to micro-unit
+    BIGINT so every downstream sum is exact integer."""
     w = None
     luts = []
     for j, cents in books.items():
@@ -1122,9 +1131,26 @@ def pq_topk(
     lut = luts[0]
     for p in luts[1:]:
         lut = lut.unionByName(p)
+    return lut
+
+
+def _adc_rank(codes: DataFrame, lut: DataFrame, topk: int) -> DataFrame:
+    """ADC scan + per-query rank: codes ⋈ broadcast LUT, then the
+    shared sum/rank tail. Full-scan form (every query sees every
+    code) — ivfpq_topk joins its restricted stream itself and shares
+    only `_rank_adc_rows`, so the two ops' sum/rank semantics cannot
+    drift."""
+    return _rank_adc_rows(
+        codes.join(F.broadcast(lut), ["sub", "code"]), topk
+    )
+
+
+def _rank_adc_rows(joined: DataFrame, topk: int) -> DataFrame:
+    """Shared ADC tail: one integer sum per (query, vec), the
+    (adc asc, vec_id asc) rank window, self excluded, approx_d2
+    derived from the exact integer."""
     approx = (
-        codes.join(F.broadcast(lut), ["sub", "code"])
-        .filter(F.col("vec_id") != F.col("query_id"))
+        joined.filter(F.col("vec_id") != F.col("query_id"))
         .groupBy("query_id", "vec_id")
         .agg(F.sum("d2_micro").alias("adc_micro"))
     )
@@ -1143,3 +1169,73 @@ def pq_topk(
             (F.col("adc_micro") / F.lit(1_000_000.0)).alias("approx_d2"),
         )
     )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    coarse_k: int = 4,
+    nprobe: int = 2,
+    m: int = 4,
+    k: int = 4,
+    iters: int = 2,
+    n_queries: int = 8,
+    topk: int = 5,
+) -> DataFrame:
+    """IVF+PQ — the composition that actually runs at 100 TB (the
+    FAISS IVFADC layout, Jégou et al. 2011 §V): a coarse Lloyd
+    quantizer buckets the corpus into cells, each query probes only
+    its `nprobe` nearest cells, and the PQ-ADC scan runs over the
+    probed cells' codes instead of the whole table — `pq_topk`'s
+    linear scan becomes Σ(probed cell sizes), the same restriction
+    `kmeans_ivf_topk` applies to exact cosine. Cell ranking is d²
+    (rounded 6dp, tie to the smaller cell) against the coarse
+    centroid table — a per-query k-row computation, no corpus
+    contact.
+
+    Same determinism contract as pq_topk (6dp→micro-int LUT, integer
+    sums, (adc asc, vec_id asc) rank, self excluded). Recall is
+    bounded by the probe: a true neighbor in an unprobed cell is
+    unreachable — nprobe is the recall/cost dial, exactly as in the
+    exact-cosine IVF gate. Output: (query_id, vec_id, rank,
+    approx_d2)."""
+    coarse_assign, coarse_cents = kmeans_cells(
+        embeddings, k=coarse_k, iters=iters
+    )
+    codes, books = pq_codes(embeddings, m=m, k=k, iters=iters)
+    base = embeddings.select(
+        "vec_id", _as_double("embedding").alias("emb")
+    )
+    q = base.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")
+    )
+    cell_d = F.array(
+        *[
+            F.struct(
+                F.round(_dist2(F.col("qe"), coarse_cents[c]), 6).alias("d"),
+                F.lit(c).alias("cell"),
+            )
+            for c in sorted(coarse_cents)
+        ]
+    )
+    from pyspark.sql import Window
+
+    cwin = Window.partitionBy("query_id").orderBy(
+        F.col("d").asc(), F.col("cell").asc()
+    )
+    probed = (
+        q.select("query_id", F.explode(cell_d).alias("e"))
+        .select("query_id", F.col("e.d").alias("d"), F.col("e.cell").alias("cell"))
+        .withColumn("crk", F.row_number().over(cwin))
+        .filter(F.col("crk") <= nprobe)
+        .select("query_id", "cell")
+    )
+    # restrict the code table per query to its probed cells: the scan
+    # is Σ probed-cell sizes, not N
+    cand = probed.join(
+        coarse_assign.withColumnRenamed("cell", "cell"), "cell"
+    ).select("query_id", "vec_id")
+    lut = _pq_lut(base, books, n_queries)
+    restricted = codes.join(cand, "vec_id").join(
+        F.broadcast(lut), ["query_id", "sub", "code"]
+    )
+    return _rank_adc_rows(restricted, topk)

@@ -78,3 +78,52 @@ def test_pq_topk_finds_planted_near_duplicates(spark):
         top.setdefault(r["query_id"], set()).add(r["vec_id"])
     for v in (2, 13, 24):
         assert v + 1_000_000 in top[v], f"planted copy of {v} missed"
+
+
+def test_ivfpq_oracle_parity(spark):
+    assert compare(spark, SF_TINY, ["emb_ivfpq_topk"])
+
+
+def test_ivfpq_full_probe_equals_full_scan(spark):
+    # probing every coarse cell removes the restriction: IVF+PQ must
+    # reduce EXACTLY to the full ADC scan
+    emb = _emb(spark)
+    full = SIM.pq_topk(emb, m=4, k=4, n_queries=4, topk=3)
+    ivf = SIM.ivfpq_topk(
+        emb, coarse_k=4, nprobe=4, m=4, k=4, n_queries=4, topk=3
+    )
+    assert full.exceptAll(ivf).count() == 0
+    assert ivf.exceptAll(full).count() == 0
+
+
+def test_ivfpq_results_come_from_probed_cells(spark):
+    # with nprobe=1 every result vector must sit in its query's single
+    # probed (nearest) coarse cell — the restriction is real
+    emb = _emb(spark)
+    assign, cents = SIM.kmeans_cells(emb, k=4, iters=2)
+    cell_of = {r["vec_id"]: r["cell"] for r in assign.collect()}
+    res = SIM.ivfpq_topk(
+        emb, coarse_k=4, nprobe=1, m=4, k=4, n_queries=4, topk=3
+    ).collect()
+    assert res
+    for r in res:
+        # the query's own cell is its nearest (it belongs to it), so
+        # with nprobe=1 the probed cell IS the query's cell
+        assert cell_of[r["vec_id"]] == cell_of[r["query_id"]]
+
+
+def test_ivfpq_finds_planted_near_duplicates(spark):
+    # a cos≈0.98 copy lands in the same coarse cell as its source, so
+    # the probe never hides it — the composition keeps the recall
+    # that matters
+    from cimpy_spark.fixtures.organic import organic_embeddings
+
+    org = organic_embeddings(_emb(spark, SF_SMALL))
+    res = SIM.ivfpq_topk(
+        org, coarse_k=4, nprobe=2, m=4, k=4, n_queries=30, topk=5
+    ).collect()
+    top = {}
+    for r in res:
+        top.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for v in (2, 13, 24):
+        assert v + 1_000_000 in top[v], f"planted copy of {v} missed"

@@ -160,6 +160,37 @@ def main() -> None:
         lambda: force(P.attr_impute(held, ents, cmap, num=0, den=1)),
     )
 
+    # PQ at VECS 64-dim synthetic vectors: code table is VECS·m rows,
+    # ADC is that table joined to a broadcast LUT + one integer sum
+    from cimpy_spark.functions import similarity as SIM
+
+    VECS = int(os.environ.get("VECS", "500000"))
+    emb = spark.range(VECS).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[
+                (
+                    F.pmod(
+                        F.xxhash64(F.col("id") + F.lit(i * VECS)),
+                        F.lit(2_000),
+                    ).cast("double")
+                    / F.lit(1_000.0)
+                    - F.lit(1.0)
+                )
+                for i in range(64)
+            ]
+        ).alias("embedding"),
+    )
+    estage = "/tmp/scale_rank_emb"
+    emb.repartition(CORES).write.mode("overwrite").parquet(estage)
+    emb = spark.read.parquet(estage)
+    timed(
+        "pq_topk",
+        lambda: force(
+            SIM.pq_topk(emb, m=4, k=16, iters=2, n_queries=8, topk=10)
+        ),
+    )
+
     print(
         json.dumps(
             {
