@@ -1354,6 +1354,28 @@ def _q_kg_wl_colors(spark, sf_dir):
     return P.wl_colors(g.canon_edges, g.entities)
 
 
+def _q_kg_conductance(spark, sf_dir):
+    # iters=1: six communities at sf0.01 with distinct cut/volume/phi
+    # profiles (iters=2 collapses the fixture to two, which still
+    # verifies but exercises less of the accounting); the denom=0
+    # branch is pinned by the hand fixture in
+    # tests/test_kg_conductance.py
+    return P.community_conductance(
+        _graph(spark, sf_dir).canon_edges, iters=1
+    )
+
+
+def _q_doc_dup_clusters(spark, sf_dir):
+    # cluster-size histogram over dedup_corpus on the ORGANIC corpus
+    # (default xxh64 family): sizes 1..4 live at sf0.01, so singleton,
+    # pair, and transitive-cluster rows are all verified
+    return D.dup_cluster_stats(_organic_docs(spark, sf_dir))
+
+
+def _q_doc_token_entropy(spark, sf_dir):
+    return T.token_entropy(_docs(spark, sf_dir))
+
+
 def _q_kg_funcdeps(spark, sf_dir):
     # functional-dependency discovery over the canonical node table.
     # The fixture's raw attributes are mutually independent (all 30
@@ -1649,6 +1671,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_pq_codes": _q_emb_pq_codes,
         "emb_pq_topk": _q_emb_pq_topk,
         "emb_ivfpq_topk": _q_emb_ivfpq_topk,
+        # graph-QA / curation-report wave (late r7 — tail until their
+        # first driver rows; driver-style parity pinned in
+        # tests/test_kg_conductance.py / test_dup_clusters_entropy.py)
+        "kg_conductance": _q_kg_conductance,
+        "doc_dup_clusters": _q_doc_dup_clusters,
+        "doc_token_entropy": _q_doc_token_entropy,
     }
 
 
@@ -1891,5 +1919,8 @@ def oracle_sql() -> dict[str, str]:
         "emb_pq_codes": doc_oracles.pq_codes_sql(),
         "emb_pq_topk": doc_oracles.pq_topk_sql(),
         "emb_ivfpq_topk": doc_oracles.ivfpq_topk_sql(),
+        "kg_conductance": oracles.conductance_sql(iters=1),
+        "doc_dup_clusters": doc_oracles.dup_cluster_stats_sql(),
+        "doc_token_entropy": doc_oracles.token_entropy_sql(),
         **A.ANALYTICS_ORACLES,
     }

@@ -726,9 +726,11 @@ def cooccurrence_pmi_sql(min_convs: int = 2) -> str:
     """
 
 
-def lpa_sql(iters: int = 3) -> str:
-    """Mirror of pipeline.lpa_communities: the synchronous plurality-
-    label recurrence unrolled as MATERIALIZED CTE levels."""
+def _lpa_chain(iters: int) -> str:
+    """The unrolled synchronous-LPA CTE chain (und/gnodes/l0..l{k}) —
+    shared by lpa_sql and conductance_sql so the label recurrence the
+    conductance oracle consumes is BYTE-IDENTICAL to the gated one
+    (the same no-drift contract as the shared Lloyd chain)."""
     levels = []
     for i in range(iters):
         levels.append(f"""c{i + 1} AS MATERIALIZED (
@@ -748,7 +750,7 @@ l{i + 1} AS MATERIALIZED (
   FROM l{i} l LEFT JOIN p{i + 1} p ON l.node = p.node
 )""")
     chain = ",\n".join(levels)
-    return PIPELINE_CTES + f""",
+    return f""",
     und AS MATERIALIZED (
       SELECT DISTINCT a, b FROM (
         SELECT src AS a, dst AS b FROM canon_edges
@@ -765,8 +767,76 @@ l{i + 1} AS MATERIALIZED (
     ),
     l0 AS MATERIALIZED (SELECT node, node AS lab FROM gnodes),
     {chain}
-    SELECT node, lab AS community FROM l{iters}
     """
+
+
+def lpa_sql(iters: int = 3) -> str:
+    """Mirror of pipeline.lpa_communities: the synchronous plurality-
+    label recurrence unrolled as MATERIALIZED CTE levels."""
+    return (
+        PIPELINE_CTES
+        + _lpa_chain(iters)
+        + f"""SELECT node, lab AS community FROM l{iters}
+    """
+    )
+
+
+def conductance_sql(iters: int = 3) -> str:
+    """Mirror of pipeline.community_conductance: the shared LPA chain
+    at `iters` rounds, then exact integer cut/volume accounting and
+    micro-unit integer-division conductance."""
+    return (
+        PIPELINE_CTES
+        + _lpa_chain(iters)
+        + f""", lab AS MATERIALIZED (
+      SELECT node, lab AS community FROM l{iters}
+    ),
+    undp AS MATERIALIZED (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM canon_edges WHERE src <> dst
+    ),
+    et AS MATERIALIZED (
+      SELECT la.community AS ca, lb.community AS cb
+      FROM undp u
+      JOIN lab la ON u.a = la.node
+      JOIN lab lb ON u.b = lb.node
+    ),
+    mtot AS (SELECT count(*) AS m FROM undp),
+    internal AS (
+      SELECT ca AS community, count(*) AS internal_edges
+      FROM et WHERE ca = cb GROUP BY 1
+    ),
+    cut AS (
+      SELECT community, count(*) AS cut_edges FROM (
+        SELECT ca AS community FROM et WHERE ca <> cb
+        UNION ALL
+        SELECT cb FROM et WHERE ca <> cb
+      ) GROUP BY 1
+    ),
+    nn AS (
+      SELECT community, count(*) AS n_nodes FROM lab GROUP BY 1
+    ),
+    base AS (
+      SELECT nn.community, CAST(nn.n_nodes AS INT) AS n_nodes,
+             CAST(coalesce(i.internal_edges, 0) AS BIGINT) AS internal_edges,
+             CAST(coalesce(c.cut_edges, 0) AS BIGINT) AS cut_edges,
+             m
+      FROM nn
+      LEFT JOIN internal i ON nn.community = i.community
+      LEFT JOIN cut c ON nn.community = c.community
+      CROSS JOIN mtot
+    )
+    SELECT community, n_nodes, internal_edges, cut_edges,
+           CAST(2 * internal_edges + cut_edges AS BIGINT) AS volume,
+           CAST(CASE WHEN least(2 * internal_edges + cut_edges,
+                               2 * m - (2 * internal_edges + cut_edges)) > 0
+                THEN (cut_edges * 1000000)
+                     // least(2 * internal_edges + cut_edges,
+                              2 * m - (2 * internal_edges + cut_edges))
+                ELSE 0 END AS BIGINT) AS conductance_micro
+    FROM base
+    """
+    )
 
 
 def negative_samples_sql(k: int = 2) -> str:

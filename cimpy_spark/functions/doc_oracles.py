@@ -548,6 +548,53 @@ def dedup_corpus_v2_sql(threshold: float = 0.8) -> str:
     )
 
 
+def token_entropy_sql() -> str:
+    """Mirror of text.token_entropy: per-(doc, word) integer counts,
+    micro-unit fixed-point c·ln c terms, exact integer sum, integer
+    division — the dsir_sql determinism contract."""
+    return f"""
+    WITH w AS (
+      SELECT doc_id, unnest({WORDS}) AS word FROM documents
+    ),
+    c AS (
+      SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n,
+             CAST(count(*) AS INT) AS n_distinct,
+             CAST(sum(CAST(round(c * ln(c) * 1000000) AS BIGINT))
+                  AS BIGINT) AS sum_t
+      FROM c GROUP BY 1
+    )
+    SELECT doc_id, CAST(n AS INT) AS n_tokens, n_distinct,
+           CAST(round(ln(n) * 1000000) AS BIGINT) - (sum_t // n)
+             AS entropy_micro,
+           (CAST(round(ln(n) * 1000000) AS BIGINT) - (sum_t // n))
+             / 1000000.0 AS entropy
+    FROM agg
+    """
+
+
+def dup_cluster_stats_sql(threshold: float = 0.8) -> str:
+    """Mirror of dedup.dup_cluster_stats on the DEFAULT (v2/xxh64)
+    family: the whole dedup_corpus_v2_sql query nested as one
+    materialized relation, then the per-cluster count and the
+    cluster-size histogram — integer-exact end to end."""
+    return f"""
+    WITH dc AS MATERIALIZED ({dedup_corpus_v2_sql(threshold)}),
+    per AS (
+      SELECT canonical_doc_id, count(*) AS cluster_size
+      FROM dc GROUP BY 1
+    )
+    SELECT CAST(cluster_size AS INT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(cluster_size) AS BIGINT) AS n_docs,
+           CAST(sum(cluster_size - 1) AS BIGINT) AS n_removed
+    FROM per GROUP BY cluster_size
+    """
+
+
 def jac_ctes(src: str = "documents", nums_max: int = 500) -> str:
     """Candidate-pair exact-Jaccard CTE chain over `src` — the SAME
     `_JAC_TAIL` the v2 family uses, so the verify semantics cannot

@@ -459,6 +459,51 @@ def mixture_sample(
     )
 
 
+def token_entropy(docs: DataFrame) -> DataFrame:
+    """Per-document unigram Shannon entropy (nats) — the lexical-
+    diversity quality signal (low entropy = repetitive/templated
+    text, the population Gopher's dup-fraction rules aim at from the
+    other side; high entropy on short docs = noise/garble): H = ln n
+    − (Σ_w c_w ln c_w)/n over whitespace tokens.
+
+    Cross-engine determinism (the `dsir_weights` discipline): each
+    per-word term round(c·ln c · 1e6) is fixed-pointed to a BIGINT
+    from IDENTICAL integer counts, the per-doc Σ is exact integer
+    addition, and H_micro = round(ln n · 1e6) − Σ_t // n uses integer
+    division — no float accumulation anywhere, the one double per
+    term is ln of the same integer on both engines rounded at 1e-6.
+    NULL-text docs drop on both engines (split(NULL) → no rows);
+    empty text tokenizes to the single '' token (n = 1, H = 0) the
+    way `token_count` counts it.
+
+    Scale shape: one corpus-scale (doc_id, word) map-side-combinable
+    count, one per-doc aggregate — two shuffles on the same doc_id
+    key, output one row per doc. No sorts, no broadcast, nothing
+    driver-side. Output: (doc_id, n_tokens, n_distinct,
+    entropy_micro, entropy)."""
+    c = (
+        docs.select("doc_id", F.explode(_words()).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    t = F.round(F.col("c") * F.log("c") * F.lit(1_000_000)).cast("long")
+    agg = c.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("int").alias("n_distinct"),
+        F.sum(t).cast("long").alias("sum_t"),
+    )
+    h_micro = F.round(F.log("n") * F.lit(1_000_000)).cast("long") - F.expr(
+        "sum_t div n"
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n").cast("int").alias("n_tokens"),
+        "n_distinct",
+        h_micro.alias("entropy_micro"),
+        (h_micro / F.lit(1_000_000.0)).alias("entropy"),
+    )
+
+
 def dsir_weights(
     docs: DataFrame,
     target_source: str,

@@ -704,6 +704,105 @@ def lpa_communities(canon_edges: DataFrame, iters: int = 3) -> DataFrame:
     return labels.select("node", F.col("lab").alias("community"))
 
 
+def community_conductance(
+    canon_edges: DataFrame, iters: int = 3
+) -> DataFrame:
+    """Cut-quality report for the LPA partition — the QA step that
+    tells a graph-aware sampler or subgraph exporter whether the
+    communities it is about to treat as units are actually
+    well-separated: for each community, node count, internal edge
+    count, cut (boundary) edge count, volume (Σ degree = 2·internal
+    + cut), and conductance φ = cut / min(vol, 2m − vol) (Kannan/
+    Vempala/Vetta's measure) as an exact MICRO-unit integer —
+    (cut · 1e6) integer-div denom, so both engines agree bit-for-bit
+    (no float division; the `pagerank`/`dsir` fixed-point
+    discipline). denom = 0 (a community holding every edge endpoint,
+    or an edgeless graph) reports φ_micro = 0 — the denominator
+    branch is pinned by a hand fixture in tests.
+
+    Scale shape: labels come from the checkpointed `lpa_communities`
+    loop; the undirected a<b edge set joins the label frame twice
+    (both joins partition on the node key a cluster already reused
+    across LPA rounds); internal/cut counts are map-side-combinable
+    aggregates to ≤|communities| rows; the edge total is a 1-row
+    broadcast. Nothing corpus-scale ever sorts or collects. Output:
+    (community, n_nodes, internal_edges, cut_edges, volume,
+    conductance_micro)."""
+    from cimpy_spark.plans.checkpoints import checkpoint_df
+
+    labels = checkpoint_df(lpa_communities(canon_edges, iters))
+    undp = (
+        canon_edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    et = (
+        undp.join(
+            labels.select(F.col("node").alias("a"), F.col("community").alias("ca")),
+            "a",
+        )
+        .join(
+            labels.select(F.col("node").alias("b"), F.col("community").alias("cb")),
+            "b",
+        )
+    )
+    internal = (
+        et.filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.count(F.lit(1)).alias("internal_edges"))
+    )
+    cut = (
+        et.filter(F.col("ca") != F.col("cb"))
+        .select(F.col("ca").alias("community"))
+        .union(
+            et.filter(F.col("ca") != F.col("cb")).select(
+                F.col("cb").alias("community")
+            )
+        )
+        .groupBy("community")
+        .agg(F.count(F.lit(1)).alias("cut_edges"))
+    )
+    m = undp.agg(F.count(F.lit(1)).alias("m"))
+    nn = labels.groupBy("community").agg(
+        F.count(F.lit(1)).cast("int").alias("n_nodes")
+    )
+    vol = F.lit(2) * F.col("internal_edges") + F.col("cut_edges")
+    denom = F.least(vol, F.lit(2) * F.col("m") - vol)
+    return (
+        nn.join(internal, "community", "left")
+        .join(cut, "community", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "community",
+            "n_nodes",
+            F.coalesce("internal_edges", F.lit(0)).cast("long").alias(
+                "internal_edges"
+            ),
+            F.coalesce("cut_edges", F.lit(0)).cast("long").alias("cut_edges"),
+            "m",
+        )
+        .select(
+            "community",
+            "n_nodes",
+            "internal_edges",
+            "cut_edges",
+            vol.cast("long").alias("volume"),
+            F.when(
+                denom > 0,
+                F.expr("cut_edges * 1000000 div "
+                       "least(2 * internal_edges + cut_edges, "
+                       "2 * m - (2 * internal_edges + cut_edges))"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("conductance_micro"),
+        )
+    )
+
+
 def negative_samples(canon_edges: DataFrame, k: int = 2) -> DataFrame:
     """Deterministic negative sampling over the canonical graph — the
     training-pair generator for KG-embedding losses (TransE/DistMult
