@@ -1376,6 +1376,24 @@ def _q_doc_token_entropy(spark, sf_dir):
     return T.token_entropy(_docs(spark, sf_dir))
 
 
+def _q_kg_bgp_match(spark, sf_dir):
+    # typed 2-hop basic graph pattern: every T0 controller, what it
+    # controls, and what that feeds — 422 bindings at sf0.01, all
+    # three pattern kinds live (two edge patterns sharing variables +
+    # one rdf:type pattern against the canonical node attrs)
+    g = _graph(spark, sf_dir)
+    return P.bgp_match(
+        g.canon_edges,
+        [("?a", "controls", "?b"), ("?b", "feeds", "?c"),
+         ("?a", "rdf:type", "T0")],
+        nodes=g.nodes,
+    )
+
+
+def _q_doc_readability(spark, sf_dir):
+    return T.readability(_docs(spark, sf_dir))
+
+
 def _q_kg_funcdeps(spark, sf_dir):
     # functional-dependency discovery over the canonical node table.
     # The fixture's raw attributes are mutually independent (all 30
@@ -1677,6 +1695,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_conductance": _q_kg_conductance,
         "doc_dup_clusters": _q_doc_dup_clusters,
         "doc_token_entropy": _q_doc_token_entropy,
+        "kg_bgp_match": _q_kg_bgp_match,
+        "doc_readability": _q_doc_readability,
     }
 
 
@@ -1922,5 +1942,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_conductance": oracles.conductance_sql(iters=1),
         "doc_dup_clusters": doc_oracles.dup_cluster_stats_sql(),
         "doc_token_entropy": doc_oracles.token_entropy_sql(),
+        "kg_bgp_match": oracles.bgp_match_sql(),
+        "doc_readability": doc_oracles.readability_sql(),
         **A.ANALYTICS_ORACLES,
     }

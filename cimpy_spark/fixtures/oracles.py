@@ -839,6 +839,21 @@ def conductance_sql(iters: int = 3) -> str:
     )
 
 
+def bgp_match_sql() -> str:
+    """Oracle for the GATED bgp_match pattern — the typed 2-hop BGP
+    [(?a controls ?b), (?b feeds ?c), (?a rdf:type T0)] written as
+    plain SQL joins (bag semantics, no dedup), columns in sorted
+    variable order like the operator emits."""
+    return PIPELINE_CTES + """
+    SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+    FROM canon_edges e1
+    JOIN canon_edges e2 ON e2.src = e1.dst AND e2.pred = 'feeds'
+    JOIN (SELECT entity_id, value FROM nodes WHERE attr = 'rdf_type') t
+      ON t.entity_id = e1.src AND t.value = 'T0'
+    WHERE e1.pred = 'controls'
+    """
+
+
 def negative_samples_sql(k: int = 2) -> str:
     """Mirror of pipeline.negative_samples: md5-ranked entity draw,
     self/true-edge corruption filtering."""

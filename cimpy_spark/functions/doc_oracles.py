@@ -548,6 +548,32 @@ def dedup_corpus_v2_sql(threshold: float = 0.8) -> str:
     )
 
 
+def readability_sql() -> str:
+    """Mirror of text.readability: exact integer counts, micro-unit
+    fixed-point Flesch with two floor divisions in the same order."""
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(len({WORDS}) AS BIGINT) AS n_words,
+             CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+                  AS BIGINT) AS n_sentences,
+             CAST(list_sum(list_transform({WORDS},
+                    w -> greatest(1, len(regexp_extract_all(lower(w),
+                                         '[aeiouy]+')))))
+                  AS BIGINT) AS n_syllables
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           CAST(206835000 - ((1015000 * n_words) // n_sentences)
+                          - ((84600000 * n_syllables) // n_words)
+                AS BIGINT) AS flesch_micro,
+           CAST(206835000 - ((1015000 * n_words) // n_sentences)
+                          - ((84600000 * n_syllables) // n_words)
+                AS BIGINT) / 1000000.0 AS flesch
+    FROM base
+    """
+
+
 def token_entropy_sql() -> str:
     """Mirror of text.token_entropy: per-(doc, word) integer counts,
     micro-unit fixed-point c·ln c terms, exact integer sum, integer

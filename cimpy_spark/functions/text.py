@@ -504,6 +504,67 @@ def token_entropy(docs: DataFrame) -> DataFrame:
     )
 
 
+def readability(docs: DataFrame) -> DataFrame:
+    """Flesch reading-ease per document — the classic grade-level
+    curation signal (Flesch 1948; the rule-based ancestor of the
+    educational-value classifiers modern corpus builders train):
+    206.835 − 1.015·(words/sentences) − 84.6·(syllables/word), with
+    sentences = runs of [.!?] (floor 1) and syllables = per-word
+    vowel-group count (floor 1 — the standard heuristic; both
+    regexes are ASCII-literal so Java and RE2 agree).
+
+    Determinism: every count is an exact integer from the in-row
+    text, and the score is MICRO-unit fixed point — 206835000 −
+    (1015000·w) div s − (84600000·syl) div w, two integer divisions
+    in a fixed order (non-negative operands, so Spark's truncating
+    `div` equals DuckDB's flooring `//`) — no float arithmetic at
+    all. NULL-text docs are filtered on both engines (the explicit
+    contract; three-valued NULL propagation through greatest()
+    differs too subtly between engines to hash).
+
+    Scale shape: a single zero-exchange projection — word splits,
+    regex counts, and the syllable fold all run in-row over the
+    columnar scan; output one row per doc with no shuffle at any
+    size. Output: (doc_id, n_words, n_sentences, n_syllables,
+    flesch_micro, flesch)."""
+    words = _words()
+    nw = F.size(words).cast("long")
+    ns = F.greatest(
+        F.lit(1),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]+"), F.lit(0))),
+    ).cast("long")
+    syl = F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc
+        + F.greatest(
+            F.lit(1),
+            F.size(
+                F.regexp_extract_all(F.lower(w), F.lit("[aeiouy]+"), F.lit(0))
+            ),
+        ).cast("long"),
+    )
+    base = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        nw.alias("n_words"),
+        ns.alias("n_sentences"),
+        syl.alias("n_syllables"),
+    )
+    score = (
+        F.lit(206_835_000).cast("long")
+        - F.expr("(1015000 * n_words) div n_sentences")
+        - F.expr("(84600000 * n_syllables) div n_words")
+    )
+    return base.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        score.alias("flesch_micro"),
+        (score / F.lit(1_000_000.0)).alias("flesch"),
+    )
+
+
 def dsir_weights(
     docs: DataFrame,
     target_source: str,

@@ -803,6 +803,78 @@ def community_conductance(
     )
 
 
+def bgp_match(
+    canon_edges: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    nodes: DataFrame | None = None,
+) -> DataFrame:
+    """SPARQL-style basic-graph-pattern evaluation over the canonical
+    graph — the declarative query surface a KG exists to serve
+    ("every T0 controller, what it controls, and what that feeds"):
+    each pattern is (s, p, o) with a CONSTANT predicate; s/o terms
+    starting '?' are variables, anything else a constant entity id /
+    type name. p = 'rdf:type' resolves against the canonical node
+    attribute table (`nodes`, required then — attr 'rdf_type' rows),
+    mirroring how the reference answers isinstance-style queries over
+    its typed object graph. Returns one row per solution mapping
+    (bag semantics, SPARQL SELECT without DISTINCT — exact over the
+    deduplicated canonical edge set); columns = variables in sorted
+    name order. A ground pattern (no variables) fails loud — an
+    EXISTS probe is a different operator.
+
+    Scale shape: a left-deep join tree in pattern order — each
+    pattern is one predicate-filtered scan (filter pushed to the
+    parquet scan of a materialized edge table) joined on the shared
+    variables; patterns sharing no variable cross-join (documented —
+    that IS the pattern's semantics; order patterns so selective ones
+    come first). Joins shuffle on entity keys, so the wedge-class
+    hub caution of `linkpred` applies to unselective patterns: at
+    100 TB you order by ascending predicate frequency (statistics the
+    schema_induction op already computes) exactly like any BGP
+    optimizer."""
+    out = None
+    for s, p, o in patterns:
+        if p == "rdf:type":
+            if nodes is None:
+                raise ValueError(
+                    "bgp_match: rdf:type pattern requires the canonical "
+                    "nodes attribute table"
+                )
+            base = nodes.filter(F.col("attr") == "rdf_type").select(
+                F.col("entity_id").alias("__s"), F.col("value").alias("__o")
+            )
+        else:
+            base = canon_edges.filter(F.col("pred") == p).select(
+                F.col("src").alias("__s"), F.col("dst").alias("__o")
+            )
+        cols = []
+        if s.startswith("?") and o.startswith("?") and s == o:
+            base = base.filter(F.col("__s") == F.col("__o"))
+            cols.append(F.col("__s").alias(s[1:]))
+        else:
+            if s.startswith("?"):
+                cols.append(F.col("__s").alias(s[1:]))
+            else:
+                base = base.filter(F.col("__s") == F.lit(s))
+            if o.startswith("?"):
+                cols.append(F.col("__o").alias(o[1:]))
+            else:
+                base = base.filter(F.col("__o") == F.lit(o))
+        if not cols:
+            raise ValueError(
+                "bgp_match: ground pattern (no variables) unsupported"
+            )
+        step = base.select(*cols)
+        if out is None:
+            out = step
+        else:
+            shared = [c for c in step.columns if c in out.columns]
+            out = out.join(step, shared) if shared else out.crossJoin(step)
+    if out is None:
+        raise ValueError("bgp_match: empty pattern list")
+    return out.select(*sorted(out.columns))
+
+
 def negative_samples(canon_edges: DataFrame, k: int = 2) -> DataFrame:
     """Deterministic negative sampling over the canonical graph — the
     training-pair generator for KG-embedding losses (TransE/DistMult

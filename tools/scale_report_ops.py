@@ -75,6 +75,20 @@ def main() -> None:
             "conductance_i1",
             lambda: force(P.community_conductance(edges, iters=1)),
         )
+        # selective typed-free 2-hop BGP from one constant source over
+        # the hub graph — the filter-pushdown + shared-variable join
+        # shape; an UNSELECTIVE 2-hop over a power-law graph is the
+        # documented wedge blowup (Σ in·out over hubs) the docstring's
+        # ordering rule exists for, not a plan defect to measure away
+        timed(
+            "bgp_2hop_const_src",
+            lambda: force(
+                P.bgp_match(
+                    edges,
+                    [("N12345", "rel", "?b"), ("?b", "rel", "?c")],
+                )
+            ),
+        )
         shutil.rmtree(gstage, ignore_errors=True)
 
     if which in ("docs", "all"):
@@ -103,6 +117,7 @@ def main() -> None:
         docs = spark.read.parquet(dstage)
         out["n_docs"] = docs.count()
         timed("token_entropy", lambda: force(T.token_entropy(docs)))
+        timed("readability", lambda: force(T.readability(docs)))
         timed(
             "dup_cluster_stats",
             lambda: force(D.dup_cluster_stats(docs)),
