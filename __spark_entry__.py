@@ -1376,6 +1376,43 @@ def _q_doc_token_entropy(spark, sf_dir):
     return T.token_entropy(_docs(spark, sf_dir))
 
 
+def _q_doc_dedup_eval(spark, sf_dir):
+    # golden-set evaluation of the default dedup family against the
+    # organic fixture's planted-pair ground truth: exact detects 1.0,
+    # append/trunc90 (J ≈ 0.95/0.88) near 1.0, trunc60 (J ≈ 0.57)
+    # exactly 0 at the 0.8 threshold — the threshold as measured
+    # behavior, per kind
+    from cimpy_spark.fixtures.organic import organic_truth_pairs
+
+    return D.dedup_eval(
+        D.dedup_corpus(_organic_docs(spark, sf_dir)),
+        organic_truth_pairs(_docs(spark, sf_dir)),
+    )
+
+
+def _q_emb_dedup_eval(spark, sf_dir):
+    # vector-side twin: modulated cos≈0.98 copies detect at the
+    # measured 3-table LSH recall (~0.91 — the oracle runs the SAME
+    # LSH, so the number is exact cross-engine), sign-flipped hard
+    # negatives exactly 0
+    from cimpy_spark.fixtures.organic import (
+        ORGANIC_COS_THRESHOLD,
+        ORGANIC_N_TABLES,
+        organic_emb_truth_pairs,
+    )
+
+    return D.dedup_eval(
+        SIM.emb_dedup_corpus(
+            _organic_emb(spark, sf_dir),
+            threshold=ORGANIC_COS_THRESHOLD,
+            n_tables=ORGANIC_N_TABLES,
+        ),
+        organic_emb_truth_pairs(_emb(spark, sf_dir)),
+        id_col="vec_id",
+        canon_col="canonical_vec_id",
+    )
+
+
 def _q_kg_bgp_match(spark, sf_dir):
     # typed 2-hop basic graph pattern: every T0 controller, what it
     # controls, and what that feeds — 422 bindings at sf0.01, all
@@ -1697,6 +1734,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_entropy": _q_doc_token_entropy,
         "kg_bgp_match": _q_kg_bgp_match,
         "doc_readability": _q_doc_readability,
+        "doc_dedup_eval": _q_doc_dedup_eval,
+        "emb_dedup_eval": _q_emb_dedup_eval,
     }
 
 
@@ -1944,5 +1983,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_token_entropy": doc_oracles.token_entropy_sql(),
         "kg_bgp_match": oracles.bgp_match_sql(),
         "doc_readability": doc_oracles.readability_sql(),
+        "doc_dedup_eval": doc_oracles.dedup_eval_sql(),
+        "emb_dedup_eval": doc_oracles.emb_dedup_eval_sql(),
         **A.ANALYTICS_ORACLES,
     }

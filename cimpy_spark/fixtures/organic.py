@@ -182,6 +182,77 @@ eorg AS (
 """
 
 
+def organic_truth_pairs(docs: DataFrame) -> DataFrame:
+    """The planted-pair GROUND TRUTH of organic_documents, as data:
+    (doc_a, doc_b, kind) for every (original, planted copy) pair the
+    fixture manufactures — the golden set a dedup evaluation op
+    scores against. Derives from the RAW documents frame with the
+    same residue/offset rules as the corpus builder, so truth and
+    corpus cannot drift."""
+    d = docs.select("doc_id")
+
+    def mk(mod: int, res: int, off: int, kind: str) -> DataFrame:
+        return d.filter(F.col("doc_id") % mod == res).select(
+            F.col("doc_id").alias("doc_a"),
+            (F.col("doc_id") + off).alias("doc_b"),
+            F.lit(kind).alias("kind"),
+        )
+
+    return (
+        mk(17, 3, 1_000_000, "exact")
+        .unionByName(mk(13, 5, 2_000_000, "trunc90"))
+        .unionByName(mk(13, 7, 3_000_000, "trunc60"))
+        .unionByName(mk(13, 9, 4_000_000, "append"))
+    )
+
+
+def organic_emb_truth_pairs(emb: DataFrame) -> DataFrame:
+    """Planted-pair ground truth of organic_embeddings: the cos≈0.98
+    modulated copies (should be found at the 0.95 gate) and the
+    cos≈0 sign-flipped hard negatives (must NOT be found). Column
+    names match organic_truth_pairs so one evaluation operator serves
+    both sides."""
+    v = emb.select("vec_id")
+    mod = v.filter(F.col("vec_id") % 11 == 2).select(
+        F.col("vec_id").alias("doc_a"),
+        (F.col("vec_id") + 1_000_000).alias("doc_b"),
+        F.lit("modulated").alias("kind"),
+    )
+    flip = v.filter(F.col("vec_id") % 11 == 5).select(
+        F.col("vec_id").alias("doc_a"),
+        (F.col("vec_id") + 2_000_000).alias("doc_b"),
+        F.lit("flipped").alias("kind"),
+    )
+    return mod.unionByName(flip)
+
+
+ORGANIC_TRUTH_CTE = """
+orgtruth AS (
+  SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b, 'exact' AS kind
+  FROM documents WHERE doc_id % 17 = 3
+  UNION ALL
+  SELECT doc_id, doc_id + 2000000, 'trunc90'
+  FROM documents WHERE doc_id % 13 = 5
+  UNION ALL
+  SELECT doc_id, doc_id + 3000000, 'trunc60'
+  FROM documents WHERE doc_id % 13 = 7
+  UNION ALL
+  SELECT doc_id, doc_id + 4000000, 'append'
+  FROM documents WHERE doc_id % 13 = 9
+)
+"""
+
+ORGANIC_EMB_TRUTH_CTE = """
+orgembtruth AS (
+  SELECT vec_id AS doc_a, vec_id + 1000000 AS doc_b, 'modulated' AS kind
+  FROM embeddings WHERE vec_id % 11 = 2
+  UNION ALL
+  SELECT vec_id, vec_id + 2000000, 'flipped'
+  FROM embeddings WHERE vec_id % 11 = 5
+)
+"""
+
+
 def pii_documents(docs: DataFrame) -> DataFrame:
     """Planted-PII corpus for the scrubber gate: the synthetic fixture
     text carries no organic PII, so a deterministic per-doc_id

@@ -381,6 +381,61 @@ def dup_cluster_stats(
     )
 
 
+def dedup_eval(
+    clusters: DataFrame,
+    truth_pairs: DataFrame,
+    id_col: str = "doc_id",
+    canon_col: str = "canonical_doc_id",
+) -> DataFrame:
+    """Golden-set evaluation of a dedup clustering — the measurement
+    layer the reference's P/R oracle discipline (SURVEY SO3) applies
+    to the curation side: given cluster assignments (any
+    dedup_corpus/emb_dedup_corpus-shaped frame) and a ground-truth
+    pair table (doc_a, doc_b, kind), report per planted KIND how many
+    pairs landed in the same cluster. kinds at controlled similarity
+    levels turn the threshold into measured behavior: verbatim and
+    above-threshold kinds should detect ~1.0, below-threshold kinds
+    ~0.0 — a regression in either direction is a dedup-family bug
+    the row-hash gates can't localize.
+
+    A pair member absent from `clusters` counts as NOT detected
+    (left joins — an eval must never silently shrink its denominator).
+    detection_rate_micro = (n_detected·1e6) div n_pairs, exact
+    integer division on identical integer counts.
+
+    Scale shape: two hash joins of the truth table (|planted| rows)
+    against the assignment frame on the id key, then one
+    map-side-combinable per-kind aggregate to ≤|kinds| rows. Output:
+    (kind, n_pairs, n_detected, detection_rate_micro)."""
+    ca = clusters.select(
+        F.col(id_col).alias("doc_a"), F.col(canon_col).alias("__ka")
+    )
+    cb = clusters.select(
+        F.col(id_col).alias("doc_b"), F.col(canon_col).alias("__kb")
+    )
+    hit = F.when(
+        F.col("__ka").isNotNull() & (F.col("__ka") == F.col("__kb")), 1
+    ).otherwise(0)
+    return (
+        truth_pairs.join(ca, "doc_a", "left")
+        .join(cb, "doc_b", "left")
+        .select("kind", hit.alias("hit"))
+        .groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("hit").cast("long").alias("n_detected"),
+        )
+        .select(
+            "kind",
+            "n_pairs",
+            "n_detected",
+            F.expr("(n_detected * 1000000) div n_pairs")
+            .cast("long")
+            .alias("detection_rate_micro"),
+        )
+    )
+
+
 # ---- xxhash64 MinHash family (v2) ----------------------------------
 #
 # The round-6 stage breakdown (BENCH.md) put the md5 signature fold at

@@ -621,6 +621,55 @@ def dup_cluster_stats_sql(threshold: float = 0.8) -> str:
     """
 
 
+_DEDUP_EVAL_TAIL = """
+    j AS (
+      SELECT t.kind,
+             CASE WHEN ca.k IS NOT NULL AND ca.k = cb.k
+                  THEN 1 ELSE 0 END AS hit
+      FROM {truth} t
+      LEFT JOIN (SELECT {id} AS id, {canon} AS k FROM dc) ca
+        ON t.doc_a = ca.id
+      LEFT JOIN (SELECT {id} AS id, {canon} AS k FROM dc) cb
+        ON t.doc_b = cb.id
+    )
+    SELECT kind, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(hit) AS BIGINT) AS n_detected,
+           CAST((sum(hit) * 1000000) // count(*) AS BIGINT)
+             AS detection_rate_micro
+    FROM j GROUP BY kind
+"""
+
+
+def dedup_eval_sql(threshold: float = 0.8) -> str:
+    """Mirror of dedup.dedup_eval over dedup_corpus(default family)
+    on the organic corpus vs its planted-pair ground truth."""
+    from cimpy_spark.fixtures.organic import ORGANIC_TRUTH_CTE
+
+    return (
+        f"WITH dc AS MATERIALIZED ({dedup_corpus_v2_sql(threshold)}),\n"
+        + ORGANIC_TRUTH_CTE.strip()
+        + ",\n"
+        + _DEDUP_EVAL_TAIL.format(
+            truth="orgtruth", id="doc_id", canon="canonical_doc_id"
+        )
+    )
+
+
+def emb_dedup_eval_sql() -> str:
+    """Mirror of dedup.dedup_eval over emb_dedup_corpus on the
+    organic embeddings vs the modulated/flipped planted pairs."""
+    from cimpy_spark.fixtures.organic import ORGANIC_EMB_TRUTH_CTE
+
+    return (
+        f"WITH dc AS MATERIALIZED ({emb_dedup_corpus_sql()}),\n"
+        + ORGANIC_EMB_TRUTH_CTE.strip()
+        + ",\n"
+        + _DEDUP_EVAL_TAIL.format(
+            truth="orgembtruth", id="vec_id", canon="canonical_vec_id"
+        )
+    )
+
+
 def jac_ctes(src: str = "documents", nums_max: int = 500) -> str:
     """Candidate-pair exact-Jaccard CTE chain over `src` — the SAME
     `_JAC_TAIL` the v2 family uses, so the verify semantics cannot

@@ -122,6 +122,22 @@ def main() -> None:
             "dup_cluster_stats",
             lambda: force(D.dup_cluster_stats(docs)),
         )
+        # dedup_eval at scale: organic planting over the scaled base
+        # (the +1M..+4M planted offsets cannot collide with the
+        # rep*10M id lanes), truth pairs from the same frame
+        from cimpy_spark.fixtures.organic import (
+            organic_documents,
+            organic_truth_pairs,
+        )
+
+        org = organic_documents(docs)
+        out["n_docs_organic"] = org.count()
+        timed(
+            "dedup_eval",
+            lambda: force(
+                D.dedup_eval(D.dedup_corpus(org), organic_truth_pairs(docs))
+            ),
+        )
         shutil.rmtree(dstage, ignore_errors=True)
 
     out["load1"] = round(os.getloadavg()[1], 1)
