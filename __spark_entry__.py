@@ -1413,6 +1413,19 @@ def _q_emb_dedup_eval(spark, sf_dir):
     )
 
 
+def _q_emb_recall_eval(spark, sf_dir):
+    # recall@5 of the IVF probe (nprobe=2) vs the exact cosine
+    # control on the same fixture: per-query hit counts vary 0-3 of 5
+    # at sf0.01 (the label-based coarse quantizer is NOT topically
+    # aligned with cosine neighborhoods — an honest recall/cost
+    # trade-off made measurable), so the gate verifies live signal,
+    # not a degenerate all-ones report
+    return SIM.ann_recall_eval(
+        SIM.cosine_topk(_emb(spark, sf_dir)),
+        SIM.ivf_topk(_emb(spark, sf_dir), nprobe=2),
+    )
+
+
 def _q_kg_bgp_match(spark, sf_dir):
     # typed 2-hop basic graph pattern: every T0 controller, what it
     # controls, and what that feeds — 422 bindings at sf0.01, all
@@ -1736,6 +1749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_readability": _q_doc_readability,
         "doc_dedup_eval": _q_doc_dedup_eval,
         "emb_dedup_eval": _q_emb_dedup_eval,
+        "emb_recall_eval": _q_emb_recall_eval,
     }
 
 
@@ -1985,5 +1999,6 @@ def oracle_sql() -> dict[str, str]:
         "doc_readability": doc_oracles.readability_sql(),
         "doc_dedup_eval": doc_oracles.dedup_eval_sql(),
         "emb_dedup_eval": doc_oracles.emb_dedup_eval_sql(),
+        "emb_recall_eval": doc_oracles.ann_recall_eval_sql(),
         **A.ANALYTICS_ORACLES,
     }

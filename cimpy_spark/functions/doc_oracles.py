@@ -602,6 +602,41 @@ def token_entropy_sql() -> str:
     """
 
 
+def ann_recall_eval_sql(
+    n_queries: int = 8, k: int = 5, nprobe: int = 2
+) -> str:
+    """Mirror of similarity.ann_recall_eval over the gated pair
+    (cosine_topk control, ivf_topk candidate): both closed forms
+    nested as materialized relations, then query-table-sized joins."""
+    return f"""
+    WITH ex AS MATERIALIZED ({cosine_topk_sql(n_queries, k)}),
+    ap AS MATERIALIZED ({ivf_topk_sql(n_queries, k, nprobe)}),
+    pq AS (
+      SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+      FROM ex WHERE rank <= {k} GROUP BY 1
+    ),
+    ac AS (
+      SELECT query_id, CAST(count(*) AS BIGINT) AS n_approx
+      FROM ap WHERE rank <= {k} GROUP BY 1
+    ),
+    h AS (
+      SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_hits
+      FROM (SELECT query_id, neighbor_id FROM ex WHERE rank <= {k}) e
+      JOIN (SELECT query_id, neighbor_id FROM ap WHERE rank <= {k}) a
+        ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+      GROUP BY 1
+    )
+    SELECT pq.query_id, n_exact,
+           CAST(coalesce(n_approx, 0) AS BIGINT) AS n_approx,
+           CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+           CAST((coalesce(n_hits, 0) * 1000000) // n_exact AS BIGINT)
+             AS recall_micro
+    FROM pq
+    LEFT JOIN ac USING (query_id)
+    LEFT JOIN h USING (query_id)
+    """
+
+
 def dup_cluster_stats_sql(threshold: float = 0.8) -> str:
     """Mirror of dedup.dup_cluster_stats on the DEFAULT (v2/xxh64)
     family: the whole dedup_corpus_v2_sql query nested as one

@@ -219,6 +219,60 @@ def ivf_topk(
     )
 
 
+def ann_recall_eval(
+    exact: DataFrame, approx: DataFrame, k: int = 5
+) -> DataFrame:
+    """Recall@k of an approximate-nearest-neighbor result against the
+    exact control — the similarity-search twin of `dedup.dedup_eval`
+    (golden-set evaluation as a first-class operator, not a side
+    tool): both inputs are (query_id, neighbor_id, rank, …) frames
+    (cosine_topk is the control; ivf_topk / kmeans_ivf_topk /
+    pq_topk the candidates), and per query the op reports how many of
+    the exact top-k the ANN result recovered. recall_micro =
+    (n_hits·1e6) div n_exact, exact integer division. A query absent
+    from the ANN result keeps its denominator (left joins — same
+    never-shrink contract as dedup_eval); ordering differences
+    beyond rank ≤ k are invisible by construction (recall is
+    set-intersection, the published metric).
+
+    Scale shape: inputs are already top-k-bounded (≤ n_queries·k
+    rows), so every join and aggregate here is query-table-sized —
+    the evaluation costs nothing beyond the two searches it scores.
+    Output: (query_id, n_exact, n_approx, n_hits, recall_micro)."""
+    e = exact.filter(F.col("rank") <= k).select("query_id", "neighbor_id")
+    a = approx.filter(F.col("rank") <= k).select("query_id", "neighbor_id")
+    pq = e.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    )
+    ac = a.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_approx")
+    )
+    h = (
+        e.join(a, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    return (
+        pq.join(ac, "query_id", "left")
+        .join(h, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_approx", F.lit(0)).cast("long").alias("n_approx"),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            "n_approx",
+            "n_hits",
+            F.expr("(n_hits * 1000000) div n_exact")
+            .cast("long")
+            .alias("recall_micro"),
+        )
+    )
+
+
 MAX_BUCKET = 128  # max vectors per LSH bucket before it is dropped as degenerate
 
 
