@@ -1413,6 +1413,19 @@ def _q_emb_dedup_eval(spark, sf_dir):
     )
 
 
+def _q_doc_pack_stats(spark, sf_dir):
+    return T.pack_stats(_docs(spark, sf_dir))
+
+
+def _q_conv_tool_ngrams(spark, sf_dir):
+    # length-3 tool-call sequences at min_support=2: the support
+    # filter is live (singleton chains drop) and multi-conv chains
+    # separate n_occurrences from n_convs
+    from cimpy_spark.functions.conversations import conv_tool_ngrams
+
+    return conv_tool_ngrams(transcripts_from_events(spark, sf_dir))
+
+
 def _q_emb_recall_eval(spark, sf_dir):
     # recall@5 of the IVF probe (nprobe=2) vs the exact cosine
     # control on the same fixture: per-query hit counts vary 0-3 of 5
@@ -1750,6 +1763,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dedup_eval": _q_doc_dedup_eval,
         "emb_dedup_eval": _q_emb_dedup_eval,
         "emb_recall_eval": _q_emb_recall_eval,
+        "doc_pack_stats": _q_doc_pack_stats,
+        "conv_tool_ngrams": _q_conv_tool_ngrams,
     }
 
 
@@ -2000,5 +2015,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_dedup_eval": doc_oracles.dedup_eval_sql(),
         "emb_dedup_eval": doc_oracles.emb_dedup_eval_sql(),
         "emb_recall_eval": doc_oracles.ann_recall_eval_sql(),
+        "doc_pack_stats": doc_oracles.pack_stats_sql(),
+        "conv_tool_ngrams": conversations.conv_tool_ngrams_sql(),
         **A.ANALYTICS_ORACLES,
     }

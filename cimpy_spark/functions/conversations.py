@@ -253,6 +253,50 @@ def conv_tool_transitions(transcripts: DataFrame) -> DataFrame:
     )
 
 
+def conv_tool_ngrams(
+    transcripts: DataFrame, n: int = 3, min_support: int = 2
+) -> DataFrame:
+    """Frequent tool-call SEQUENCES (length-`n` n-grams over each
+    conversation's tool calls in turn order) — the sequential-pattern
+    extension of `conv_tool_transitions`' Markov bigrams: which
+    multi-step tool chains recur across the corpus (retry loops,
+    search→read→write idioms) is what trace-sampling curation and
+    agent-behavior audits select on. Sequences are counted corpus-
+    wide (`n_occurrences`, sliding window — overlapping occurrences
+    count) and by distinct conversation (`n_convs`); `min_support`
+    on occurrences drops the long tail the way every frequent-
+    sequence miner does.
+
+    One window partition per conv_id (n−1 lead() columns over the
+    tool turns — the same single-window shape as transitions), one
+    aggregate on the ≤|tools|^n sequence domain. Output: (seq,
+    n_occurrences, n_convs) with seq = 'tool1>tool2>…'."""
+    if n < 2:
+        raise ValueError("conv_tool_ngrams needs n >= 2")
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    calls = transcripts.filter(F.col("tool").isNotNull()).select(
+        "conv_id",
+        "turn_idx",
+        "tool",
+        *[F.lead("tool", j).over(w).alias(f"__t{j}") for j in range(1, n)],
+    )
+    seq = F.concat_ws(
+        ">", F.col("tool"), *[F.col(f"__t{j}") for j in range(1, n)]
+    )
+    complete = calls
+    for j in range(1, n):
+        complete = complete.filter(F.col(f"__t{j}").isNotNull())
+    return (
+        complete.select("conv_id", seq.alias("seq"))
+        .groupBy("seq")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.countDistinct("conv_id").cast("long").alias("n_convs"),
+        )
+        .filter(F.col("n_occurrences") >= min_support)
+    )
+
+
 def conv_latency(transcripts: DataFrame) -> DataFrame:
     """Per-conversation timing profile from the input_hint `ts`
     column: inter-turn gap statistics plus the assistant-response
@@ -418,6 +462,34 @@ def conv_tool_transitions_sql() -> str:
     SELECT prev_tool, tool, CAST(count(*) AS BIGINT) AS n
     FROM calls
     GROUP BY prev_tool, tool
+    """
+
+
+def conv_tool_ngrams_sql(n: int = 3, min_support: int = 2) -> str:
+    """Mirror of conv_tool_ngrams: n−1 lead() columns per conv over
+    the non-null tool turns, complete windows only, support filter."""
+    leads = ",\n             ".join(
+        f"lead(tool, {j}) OVER (PARTITION BY conv_id ORDER BY turn_idx)"
+        f" AS t{j}"
+        for j in range(1, n)
+    )
+    not_null = " AND ".join(f"t{j} IS NOT NULL" for j in range(1, n))
+    concat = " || '>' || ".join(["tool"] + [f"t{j}" for j in range(1, n)])
+    return f"""
+    WITH {_T_CTE},
+    calls AS (
+      SELECT conv_id, tool,
+             {leads}
+      FROM transcripts
+      WHERE tool IS NOT NULL
+    )
+    SELECT {concat} AS seq,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+    FROM calls
+    WHERE {not_null}
+    GROUP BY 1
+    HAVING count(*) >= {min_support}
     """
 
 

@@ -1243,6 +1243,34 @@ def pack_sequences_sql(
     """
 
 
+def pack_stats_sql(
+    budget: int = 256, n_shards: int = 8, salt: str = "pack0"
+) -> str:
+    """Mirror of text.pack_stats: the pack_sequences closed form
+    nested, then exact per-shard integer accounting."""
+    return f"""
+    WITH p AS MATERIALIZED ({pack_sequences_sql(budget, n_shards, salt)}),
+    agg AS (
+      SELECT shard,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             CAST(sum(CASE WHEN "offset" + n_tokens > {budget}
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_straddle
+      FROM p GROUP BY 1
+    )
+    SELECT shard, n_docs, total_tokens, n_straddle,
+           CAST(total_tokens // {budget}
+                + CASE WHEN total_tokens % {budget} > 0 THEN 1 ELSE 0 END
+                AS BIGINT) AS n_seqs,
+           CAST(total_tokens % {budget} AS BIGINT) AS tail_tokens,
+           CAST(CASE WHEN total_tokens % {budget} > 0
+                THEN (({budget} - total_tokens % {budget}) * 1000000)
+                     // ((total_tokens // {budget} + 1) * {budget})
+                ELSE 0 END AS BIGINT) AS pad_waste_micro
+    FROM agg
+    """
+
+
 def mixture_sample_sql(
     weights: dict[str, float] | None = None,
     budget_tokens: int = 2_000,

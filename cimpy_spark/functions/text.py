@@ -397,6 +397,62 @@ def pack_sequences(
     )
 
 
+def pack_stats(
+    docs: DataFrame,
+    budget: int = 256,
+    n_shards: int = 8,
+    salt: str = "pack0",
+) -> DataFrame:
+    """Packing-efficiency report over `pack_sequences` — the
+    dataloader-facing datasheet row per shard: how many documents and
+    tokens landed there, how many documents STRADDLE a sequence
+    boundary (the loader must handle a mid-document sequence start),
+    how many full sequences the shard fills, and the padding waste of
+    its final partial sequence as an exact micro-unit fraction of the
+    shard's padded token footprint ((budget − tail)·1e6 div
+    (n_seqs·budget); 0 when the shard chops exactly). Concatenate-
+    then-chop wastes ONLY that final partial sequence — this report
+    is what proves it against a per-document-padding baseline.
+
+    All integers from the packing's own columns — nothing to round.
+    Scale shape: pack_sequences' one per-shard window, then a
+    map-side-combinable aggregate to n_shards rows. Output: (shard,
+    n_docs, total_tokens, n_straddle, n_seqs, tail_tokens,
+    pad_waste_micro)."""
+    p = pack_sequences(docs, budget, n_shards, salt)
+    agg = p.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum(
+            F.when(F.col("offset") + F.col("n_tokens") > budget, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_straddle"),
+    )
+    tail = F.col("total_tokens") % budget
+    n_seqs = F.expr(f"total_tokens div {budget}") + F.when(
+        tail > 0, F.lit(1)
+    ).otherwise(F.lit(0))
+    return agg.select(
+        "shard",
+        "n_docs",
+        "total_tokens",
+        "n_straddle",
+        n_seqs.cast("long").alias("n_seqs"),
+        tail.cast("long").alias("tail_tokens"),
+        F.when(
+            tail > 0,
+            F.expr(
+                f"(({budget} - total_tokens % {budget}) * 1000000) div "
+                f"(((total_tokens div {budget}) + 1) * {budget})"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("pad_waste_micro"),
+    )
+
+
 def mixture_sample(
     docs: DataFrame,
     weights: dict[str, float] | None = None,
