@@ -71,34 +71,52 @@ def _trunc_expr(num: int) -> str:
     )
 
 
+# The planting recipe — (modulus, residue, id offset, kind) per
+# duplicate lane — lives HERE and only here: the corpus builders
+# (both dialects) and the ground-truth builders all derive from these
+# tables, so truth and corpus cannot drift (review finding: the same
+# numbers used to be hardcoded in four independent literals).
+ORGANIC_PLANTS = (
+    (17, 3, 1_000_000, "exact"),
+    (13, 5, 2_000_000, "trunc90"),
+    (13, 7, 3_000_000, "trunc60"),
+    (13, 9, 4_000_000, "append"),
+)
+ORGANIC_EMB_PLANTS = (
+    (11, 2, 1_000_000, "modulated"),
+    (11, 5, 2_000_000, "flipped"),
+)
+_PLANT = {k: (m, r, off) for m, r, off, k in ORGANIC_PLANTS}
+_EMB_PLANT = {k: (m, r, off) for m, r, off, k in ORGANIC_EMB_PLANTS}
+
+
+def _lane(base: DataFrame, kind: str, id_col: str = "doc_id"):
+    m, r, off = (_PLANT | _EMB_PLANT)[kind]
+    return base.filter(F.col(id_col) % m == r), off
+
+
 def organic_documents(docs: DataFrame) -> DataFrame:
     """(doc_id, text) corpus with organically-planted exact and near
     duplicates at controlled Jaccard levels (see module docstring)."""
     base = docs.select("doc_id", "text")
-    exact = (
-        base.filter(F.col("doc_id") % 17 == 3)
-        .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    lane_e, off_e = _lane(base, "exact")
+    exact = lane_e.select(
+        (F.col("doc_id") + off_e).alias("doc_id"), "text"
     )
-    trunc90 = (
-        base.filter(F.col("doc_id") % 13 == 5)
-        .select(
-            (F.col("doc_id") + 2_000_000).alias("doc_id"),
-            F.expr(_trunc_expr(9)).alias("text"),
-        )
+    lane_9, off_9 = _lane(base, "trunc90")
+    trunc90 = lane_9.select(
+        (F.col("doc_id") + off_9).alias("doc_id"),
+        F.expr(_trunc_expr(9)).alias("text"),
     )
-    trunc60 = (
-        base.filter(F.col("doc_id") % 13 == 7)
-        .select(
-            (F.col("doc_id") + 3_000_000).alias("doc_id"),
-            F.expr(_trunc_expr(6)).alias("text"),
-        )
+    lane_6, off_6 = _lane(base, "trunc60")
+    trunc60 = lane_6.select(
+        (F.col("doc_id") + off_6).alias("doc_id"),
+        F.expr(_trunc_expr(6)).alias("text"),
     )
-    appended = (
-        base.filter(F.col("doc_id") % 13 == 9)
-        .select(
-            (F.col("doc_id") + 4_000_000).alias("doc_id"),
-            F.concat(F.col("text"), F.lit(APPEND_SUFFIX)).alias("text"),
-        )
+    lane_a, off_a = _lane(base, "append")
+    appended = lane_a.select(
+        (F.col("doc_id") + off_a).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(APPEND_SUFFIX)).alias("text"),
     )
     return base.unionByName(exact).unionByName(trunc90).unionByName(
         trunc60
@@ -112,16 +130,18 @@ def organic_embeddings(emb: DataFrame) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     # ±20% amplitude modulation by coordinate parity: cos ≈ 0.98
-    modulated = base.filter(F.col("vec_id") % 11 == 2).select(
-        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+    lane_m, off_m = _lane(base, "modulated", id_col="vec_id")
+    modulated = lane_m.select(
+        (F.col("vec_id") + off_m).alias("vec_id"),
         F.transform(
             "embedding",
             lambda x, i: x * F.when(i % 2 == 0, F.lit(1.2)).otherwise(F.lit(0.8)),
         ).alias("embedding"),
     )
     # alternating sign flip: cos ≈ 0 — the planted hard negative
-    flipped = base.filter(F.col("vec_id") % 11 == 5).select(
-        (F.col("vec_id") + 2_000_000).alias("vec_id"),
+    lane_f, off_f = _lane(base, "flipped", id_col="vec_id")
+    flipped = lane_f.select(
+        (F.col("vec_id") + off_f).alias("vec_id"),
         F.transform(
             "embedding",
             lambda x, i: x * F.when(i % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0)),
@@ -182,6 +202,34 @@ eorg AS (
 """
 
 
+def _truth_pairs(ids: DataFrame, plants, id_col: str) -> DataFrame:
+    out = None
+    for m, r, off, kind in plants:
+        lane = ids.filter(F.col(id_col) % m == r).select(
+            F.col(id_col).alias("doc_a"),
+            (F.col(id_col) + off).alias("doc_b"),
+            F.lit(kind).alias("kind"),
+        )
+        out = lane if out is None else out.unionByName(lane)
+    return out
+
+
+def _truth_cte(name: str, table: str, id_col: str, plants) -> str:
+    arms = "\n  UNION ALL\n  ".join(
+        (f"SELECT {id_col} AS doc_a, {id_col} + {off} AS doc_b, "
+         f"'{kind}' AS kind\n  FROM {table} WHERE {id_col} % {m} = {r}")
+        if i == 0
+        else (f"SELECT {id_col}, {id_col} + {off}, '{kind}'\n"
+              f"  FROM {table} WHERE {id_col} % {m} = {r}")
+        for i, (m, r, off, kind) in enumerate(plants)
+    )
+    return f"""
+{name} AS (
+  {arms}
+)
+"""
+
+
 def organic_truth_pairs(docs: DataFrame) -> DataFrame:
     """The planted-pair GROUND TRUTH of organic_documents, as data:
     (doc_a, doc_b, kind) for every (original, planted copy) pair the
@@ -189,21 +237,7 @@ def organic_truth_pairs(docs: DataFrame) -> DataFrame:
     scores against. Derives from the RAW documents frame with the
     same residue/offset rules as the corpus builder, so truth and
     corpus cannot drift."""
-    d = docs.select("doc_id")
-
-    def mk(mod: int, res: int, off: int, kind: str) -> DataFrame:
-        return d.filter(F.col("doc_id") % mod == res).select(
-            F.col("doc_id").alias("doc_a"),
-            (F.col("doc_id") + off).alias("doc_b"),
-            F.lit(kind).alias("kind"),
-        )
-
-    return (
-        mk(17, 3, 1_000_000, "exact")
-        .unionByName(mk(13, 5, 2_000_000, "trunc90"))
-        .unionByName(mk(13, 7, 3_000_000, "trunc60"))
-        .unionByName(mk(13, 9, 4_000_000, "append"))
-    )
+    return _truth_pairs(docs.select("doc_id"), ORGANIC_PLANTS, "doc_id")
 
 
 def organic_emb_truth_pairs(emb: DataFrame) -> DataFrame:
@@ -212,45 +246,16 @@ def organic_emb_truth_pairs(emb: DataFrame) -> DataFrame:
     cos≈0 sign-flipped hard negatives (must NOT be found). Column
     names match organic_truth_pairs so one evaluation operator serves
     both sides."""
-    v = emb.select("vec_id")
-    mod = v.filter(F.col("vec_id") % 11 == 2).select(
-        F.col("vec_id").alias("doc_a"),
-        (F.col("vec_id") + 1_000_000).alias("doc_b"),
-        F.lit("modulated").alias("kind"),
-    )
-    flip = v.filter(F.col("vec_id") % 11 == 5).select(
-        F.col("vec_id").alias("doc_a"),
-        (F.col("vec_id") + 2_000_000).alias("doc_b"),
-        F.lit("flipped").alias("kind"),
-    )
-    return mod.unionByName(flip)
+    return _truth_pairs(emb.select("vec_id"), ORGANIC_EMB_PLANTS, "vec_id")
 
 
-ORGANIC_TRUTH_CTE = """
-orgtruth AS (
-  SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b, 'exact' AS kind
-  FROM documents WHERE doc_id % 17 = 3
-  UNION ALL
-  SELECT doc_id, doc_id + 2000000, 'trunc90'
-  FROM documents WHERE doc_id % 13 = 5
-  UNION ALL
-  SELECT doc_id, doc_id + 3000000, 'trunc60'
-  FROM documents WHERE doc_id % 13 = 7
-  UNION ALL
-  SELECT doc_id, doc_id + 4000000, 'append'
-  FROM documents WHERE doc_id % 13 = 9
+ORGANIC_TRUTH_CTE = _truth_cte(
+    "orgtruth", "documents", "doc_id", ORGANIC_PLANTS
 )
-"""
 
-ORGANIC_EMB_TRUTH_CTE = """
-orgembtruth AS (
-  SELECT vec_id AS doc_a, vec_id + 1000000 AS doc_b, 'modulated' AS kind
-  FROM embeddings WHERE vec_id % 11 = 2
-  UNION ALL
-  SELECT vec_id, vec_id + 2000000, 'flipped'
-  FROM embeddings WHERE vec_id % 11 = 5
+ORGANIC_EMB_TRUTH_CTE = _truth_cte(
+    "orgembtruth", "embeddings", "vec_id", ORGANIC_EMB_PLANTS
 )
-"""
 
 
 def pii_documents(docs: DataFrame) -> DataFrame:

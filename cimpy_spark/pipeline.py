@@ -749,21 +749,31 @@ def community_conductance(
             "b",
         )
     )
-    internal = (
-        et.filter(F.col("ca") == F.col("cb"))
-        .groupBy(F.col("ca").alias("community"))
-        .agg(F.count(F.lit(1)).alias("internal_edges"))
-    )
-    cut = (
-        et.filter(F.col("ca") != F.col("cb"))
-        .select(F.col("ca").alias("community"))
-        .union(
-            et.filter(F.col("ca") != F.col("cb")).select(
-                F.col("cb").alias("community")
+    # ONE pass over the joined edge stream (review finding: the
+    # internal + two-branch-union shape executed the edge-scale
+    # double join three times): each edge explodes to its per-side
+    # contributions — internal edges one (ca, internal) row, cut
+    # edges a (ca, cut) and a (cb, cut) row — then one
+    # map-side-combinable aggregate
+    contrib = et.select(
+        F.explode(
+            F.when(
+                F.col("ca") == F.col("cb"),
+                F.array(F.struct(F.col("ca").alias("community"),
+                                 F.lit(1).alias("internal"))),
+            ).otherwise(
+                F.array(
+                    F.struct(F.col("ca").alias("community"),
+                             F.lit(0).alias("internal")),
+                    F.struct(F.col("cb").alias("community"),
+                             F.lit(0).alias("internal")),
+                )
             )
-        )
-        .groupBy("community")
-        .agg(F.count(F.lit(1)).alias("cut_edges"))
+        ).alias("c")
+    ).select("c.community", "c.internal")
+    counts = contrib.groupBy("community").agg(
+        F.sum("internal").alias("internal_edges"),
+        F.sum(F.lit(1) - F.col("internal")).alias("cut_edges"),
     )
     m = undp.agg(F.count(F.lit(1)).alias("m"))
     nn = labels.groupBy("community").agg(
@@ -772,8 +782,7 @@ def community_conductance(
     vol = F.lit(2) * F.col("internal_edges") + F.col("cut_edges")
     denom = F.least(vol, F.lit(2) * F.col("m") - vol)
     return (
-        nn.join(internal, "community", "left")
-        .join(cut, "community", "left")
+        nn.join(counts, "community", "left")
         .crossJoin(F.broadcast(m))
         .select(
             "community",

@@ -60,7 +60,7 @@ def main() -> None:
     if which in ("semdedup", "all"):
         _semdedup(spark, F, S, out)
 
-    out["load1"] = round(os.getloadavg()[1], 1)
+    out["load1"] = round(os.getloadavg()[0], 1)
     print(json.dumps(out), flush=True)
     spark.stop()
 

@@ -140,7 +140,7 @@ def main() -> None:
         )
         shutil.rmtree(dstage, ignore_errors=True)
 
-    out["load1"] = round(os.getloadavg()[1], 1)
+    out["load1"] = round(os.getloadavg()[0], 1)
     print(json.dumps(out), flush=True)
     spark.stop()
 
