@@ -1752,9 +1752,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_pq_codes": _q_emb_pq_codes,
         "emb_pq_topk": _q_emb_pq_topk,
         "emb_ivfpq_topk": _q_emb_ivfpq_topk,
-        # graph-QA / curation-report wave (late r7 — tail until their
-        # first driver rows; driver-style parity pinned in
-        # tests/test_kg_conductance.py / test_dup_clusters_entropy.py)
+        # graph-QA / report / query / eval waves (late r7 — tail
+        # until their first driver rows; driver-style parity pinned
+        # in tests/test_kg_conductance.py, test_dup_clusters_entropy
+        # .py, test_bgp_readability.py, test_dedup_eval.py,
+        # test_ann_recall_eval.py, test_pack_tool_ngrams.py — each
+        # runs tools.compare at sf0.001 plus invariant/hand-value
+        # tests; all ten also compare-verified at sf0.01 on arrival)
         "kg_conductance": _q_kg_conductance,
         "doc_dup_clusters": _q_doc_dup_clusters,
         "doc_token_entropy": _q_doc_token_entropy,
