@@ -1413,6 +1413,23 @@ def _q_emb_dedup_eval(spark, sf_dir):
     )
 
 
+def _q_doc_corpus_diff(spark, sf_dir):
+    # documents vs its "next release" (versioned_documents: %13==0
+    # removed, %7==1 changed, %11==3 re-published as +5M adds) — all
+    # three delta statuses live; unchanged docs never emitted
+    from cimpy_spark.fixtures.organic import versioned_documents
+
+    docs = _docs(spark, sf_dir)
+    return T.corpus_diff(docs, versioned_documents(docs))
+
+
+def _q_kg_skew_report(spark, sf_dir):
+    # top-10 hubs by endpoint-incidence degree with exact integer
+    # edge shares — the pre-join skew measurement the hub-cap
+    # operators assume someone ran
+    return P.skew_report(_graph(spark, sf_dir).canon_edges)
+
+
 def _q_doc_pack_stats(spark, sf_dir):
     return T.pack_stats(_docs(spark, sf_dir))
 
@@ -1769,6 +1786,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_recall_eval": _q_emb_recall_eval,
         "doc_pack_stats": _q_doc_pack_stats,
         "conv_tool_ngrams": _q_conv_tool_ngrams,
+        "doc_corpus_diff": _q_doc_corpus_diff,
+        "kg_skew_report": _q_kg_skew_report,
     }
 
 
@@ -2021,5 +2040,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_recall_eval": doc_oracles.ann_recall_eval_sql(),
         "doc_pack_stats": doc_oracles.pack_stats_sql(),
         "conv_tool_ngrams": conversations.conv_tool_ngrams_sql(),
+        "doc_corpus_diff": doc_oracles.corpus_diff_sql(),
+        "kg_skew_report": oracles.skew_report_sql(),
         **A.ANALYTICS_ORACLES,
     }

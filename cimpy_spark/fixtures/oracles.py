@@ -839,6 +839,27 @@ def conductance_sql(iters: int = 3) -> str:
     )
 
 
+def skew_report_sql(k: int = 10) -> str:
+    """Mirror of pipeline.skew_report: endpoint-incidence degrees,
+    deterministic (degree desc, node asc) top-k, exact integer
+    shares."""
+    return PIPELINE_CTES + f""",
+    degs AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+        SELECT src AS node FROM canon_edges
+        UNION ALL
+        SELECT dst FROM canon_edges
+      ) GROUP BY 1
+    ),
+    mm AS (SELECT CAST(2 * count(*) AS BIGINT) AS tot FROM canon_edges)
+    SELECT node, degree,
+           CAST((degree * 1000000) // tot AS BIGINT) AS share_micro
+    FROM degs, mm
+    ORDER BY degree DESC, node
+    LIMIT {k}
+    """
+
+
 def bgp_match_sql() -> str:
     """Oracle for the GATED bgp_match pattern — the typed 2-hop BGP
     [(?a controls ?b), (?b feeds ?c), (?a rdf:type T0)] written as

@@ -258,6 +258,46 @@ ORGANIC_EMB_TRUTH_CTE = _truth_cte(
 )
 
 
+VERSION_SUFFIX = " v2"
+ADDED_SUFFIX = " addendum"
+
+
+def versioned_documents(docs: DataFrame) -> DataFrame:
+    """The "next release" of the documents corpus for the
+    corpus_diff gate: %13==0 docs removed, %7==1 survivors' text
+    suffixed (changed), %11==3 docs re-published under +5M ids
+    (added) — same residue style as the organic planting, derived
+    identically by VERSIONED_DOCS_CTE."""
+    base = docs.select("doc_id", "text")
+    kept = base.filter(F.col("doc_id") % 13 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 1,
+            F.concat(F.col("text"), F.lit(VERSION_SUFFIX)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    added = base.filter(F.col("doc_id") % 11 == 3).select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(ADDED_SUFFIX)).alias("text"),
+    )
+    return kept.unionByName(added)
+
+
+VERSIONED_DOCS_CTE = f"""
+verdocs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 1 THEN text || '{VERSION_SUFFIX}'
+              ELSE text END AS text
+  FROM documents WHERE doc_id % 13 <> 0
+  UNION ALL
+  SELECT doc_id + 5000000, text || '{ADDED_SUFFIX}'
+  FROM documents WHERE doc_id % 11 = 3
+)
+"""
+
+
 def pii_documents(docs: DataFrame) -> DataFrame:
     """Planted-PII corpus for the scrubber gate: the synthetic fixture
     text carries no organic PII, so a deterministic per-doc_id

@@ -1243,6 +1243,28 @@ def pack_sequences_sql(
     """
 
 
+def corpus_diff_sql() -> str:
+    """Mirror of text.corpus_diff over the versioned-corpus fixture:
+    content-hash projections, one full outer join, delta rows only."""
+    from cimpy_spark.fixtures.organic import VERSIONED_DOCS_CTE
+
+    return f"""
+    WITH {VERSIONED_DOCS_CTE.strip()},
+    o AS (
+      SELECT doc_id, md5(coalesce(text, '')) AS oh FROM documents
+    ),
+    n AS (
+      SELECT doc_id, md5(coalesce(text, '')) AS nh FROM verdocs
+    )
+    SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                ELSE 'changed' END AS status
+    FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+    WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.oh <> n.nh
+    """
+
+
 def pack_stats_sql(
     budget: int = 256, n_shards: int = 8, salt: str = "pack0"
 ) -> str:

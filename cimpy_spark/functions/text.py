@@ -397,6 +397,42 @@ def pack_sequences(
     )
 
 
+def corpus_diff(old_docs: DataFrame, new_docs: DataFrame) -> DataFrame:
+    """Dataset-version diff — the provenance record between two
+    corpus snapshots (a recrawl, a re-curation pass, an incremental
+    ingest): per doc_id, `added` (only in new), `removed` (only in
+    old), or `changed` (both, content hash differs); unchanged docs
+    are NOT emitted, so the output is delta-sized — the property that
+    makes a 100 TB-corpus diff a small artifact. Content equality is
+    md5 over coalesce(text, '') on both engines (a NULL-text doc
+    compares equal to an empty-text doc — the documented contract;
+    ids, not text, are the identity). The graph twin is
+    `kg_graph_diff`; this is the document-side version a dataset
+    card's "what changed since v1" section consumes.
+
+    Scale shape: two content-hash projections (in-row md5 over the
+    columnar scan) and ONE full outer join on doc_id — both sides
+    shuffle once on the id key, output only the delta. Output:
+    (doc_id, status)."""
+    o = old_docs.select(
+        "doc_id", F.md5(F.coalesce("text", F.lit(""))).alias("__oh")
+    )
+    n = new_docs.select(
+        "doc_id", F.md5(F.coalesce("text", F.lit(""))).alias("__nh")
+    )
+    j = o.join(n, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("__oh").isNull(), F.lit("added"))
+        .when(F.col("__nh").isNull(), F.lit("removed"))
+        .when(F.col("__oh") != F.col("__nh"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select("doc_id", status.alias("status"))
+        .filter(F.col("status") != "unchanged")
+    )
+
+
 def pack_stats(
     docs: DataFrame,
     budget: int = 256,

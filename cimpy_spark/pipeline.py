@@ -812,6 +812,45 @@ def community_conductance(
     )
 
 
+def skew_report(canon_edges: DataFrame, k: int = 10) -> DataFrame:
+    """Know-your-skew report — the top-`k` hub entities by total
+    degree (in + out, self-loops counted on both ends) with each
+    hub's exact integer share of all edge-endpoint incidences: the
+    number you read BEFORE sizing a join strategy (salting, hub caps,
+    broadcast thresholds) on a power-law graph, and the one this
+    repo's own hub-cap operators (adjacency, linkpred, wl_colors)
+    assume someone measured. share_micro = (degree·1e6) div (2m) —
+    exact division of identical integers.
+
+    Scale shape: one map-side-combinable degree count, then top-k via
+    orderBy(…).limit(k) — Spark compiles that to TakeOrderedAndProject
+    (per-partition partial top-k merged on the driver, k rows moved),
+    NOT a global sort; the (degree desc, node asc) key makes the cut
+    deterministic under ties. The edge total is a 1-row broadcast.
+    Output: (node, degree, share_micro)."""
+    deg = (
+        canon_edges.select(F.col("src").alias("node"))
+        .union(canon_edges.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    tot = canon_edges.agg(
+        (F.lit(2) * F.count(F.lit(1))).cast("long").alias("tot")
+    )
+    return (
+        deg.orderBy(F.col("degree").desc(), F.col("node").asc())
+        .limit(k)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "node",
+            "degree",
+            F.expr("(degree * 1000000) div tot").cast("long").alias(
+                "share_micro"
+            ),
+        )
+    )
+
+
 def bgp_match(
     canon_edges: DataFrame,
     patterns: list[tuple[str, str, str]],
