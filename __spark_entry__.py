@@ -1775,7 +1775,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # .py, test_bgp_readability.py, test_dedup_eval.py,
         # test_ann_recall_eval.py, test_pack_tool_ngrams.py — each
         # runs tools.compare at sf0.001 plus invariant/hand-value
-        # tests; all ten also compare-verified at sf0.01 on arrival)
+        # tests (+ test_diff_skew.py for the last two); all twelve
+        # also compare-verified at sf0.01 on arrival)
         "kg_conductance": _q_kg_conductance,
         "doc_dup_clusters": _q_doc_dup_clusters,
         "doc_token_entropy": _q_doc_token_entropy,
