@@ -182,14 +182,53 @@ def late_window_counts_sql(
 def transcripts_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark-side transcripts derivation.
 
-    Narrow (no shuffle except the per-conversation row_number window,
-    which partitions by the same key the downstream pipeline groups
-    by). At cluster scale the input would be an Iceberg table already
+    Restructured round 8 (optimization guide §2.3/§8 — shuffle keys,
+    not payloads): the naive ``spark.sql(transcripts_select_sql(...))``
+    plan let Catalyst push the (huge) text projection BELOW the
+    row_number window's exchange, so the generated text — ~10× the
+    width of the key columns — was computed at scan parallelism and
+    shuffled in full. Here the window runs over just ``(event_id,
+    user_id, ts)`` (~24 B/row crosses the network), the narrow result
+    is materialized as a plan barrier (checkpoint_df — Catalyst cannot
+    push a projection below a materialized boundary), and the text is
+    generated AFTER the shuffle, in the already-partitioned layout.
+    The explicit ``repartition(n, user_id)`` pins the exchange the
+    window reuses (same key ⇒ one exchange, guide §2.4) at the
+    session's shuffle width so text generation keeps full parallelism
+    even when AQE would coalesce the tiny narrow shuffle to one
+    partition. Output is row-identical to the oracle SQL
+    (tests/test_extract.py::test_transcripts_match_sql_derivation).
+
+    At cluster scale the input would be an Iceberg table already
     carrying (conv_id, turn_idx); this derivation stands in for it.
     """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from cimpy_spark.plans.checkpoints import checkpoint_df
+
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
-    events.createOrReplaceTempView("__cimpy_events")
-    return spark.sql(transcripts_select_sql("div", "__cimpy_events"))
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    narrow = (
+        events.select("event_id", "user_id", "ts")
+        .repartition(n_parts, "user_id")
+        .withColumn("turn_idx", (F.row_number().over(w) - 1).cast("int"))
+    )
+    barrier = checkpoint_df(narrow, eager=False)
+    # the projection snippets below must stay expression-identical to
+    # transcripts_select_sql (the shared Spark/DuckDB derivation) —
+    # equivalence is pinned row-for-row by the parity test above
+    return barrier.selectExpr(
+        "'c' || CAST(user_id AS STRING) AS conv_id",
+        "turn_idx",
+        "CASE event_id % 4 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' "
+        "WHEN 2 THEN 'tool' ELSE 'system' END AS role",
+        f"{_text_sql('div')} AS text",
+        "CASE WHEN event_id % 4 = 2 THEN 'tool_' || CAST(event_id % 7 AS STRING) "
+        "ELSE NULL END AS tool",
+        "ts",
+    )
 
 
 # --------------------------------------------------------------------------

@@ -153,6 +153,52 @@ def minhash_band_keys(
     )
 
 
+def bucket_pairs(
+    keys: DataFrame,
+    key_cols: list[str],
+    max_bucket: int,
+    id_col: str = "doc_id",
+    keep_keys: bool = False,
+) -> DataFrame:
+    """(doc_a < doc_b) candidate pairs per bucket of size ≤ max_bucket
+    — ONE grouped aggregation with in-row pair generation (r8, guide
+    §2.4): collect the bucket's ids (bounded by the cap contract),
+    drop oversize buckets with a plain filter on the collected size,
+    and emit the sorted-id i<j pairs from array expressions.
+
+    Replaces the previous 4-consumer shape (bucket-size aggregation +
+    broadcast anti-join + two-sided self-join) — two shuffles of the
+    key set, a broadcast build and a join — with one shuffle. Per-row
+    state is ≤ max_bucket ids and ≤ max_bucket² pairs, exactly the
+    bound the old self-join enforced per bucket; callers that raise
+    max_bucket to pathological values get the same pair count either
+    way, just materialized per bucket row.
+
+    `keep_keys=True` keeps the bucket key columns on each pair row
+    (the ingest snapshot's provenance schema). Pairs are NOT
+    deduplicated across buckets here — same as the raw self-join."""
+    grouped = keys.groupBy(*key_cols).agg(
+        F.sort_array(F.collect_list(id_col)).alias("__ids")
+    )
+    small = grouped.filter(F.size("__ids") <= max_bucket)
+    ids = F.col("__ids")
+    pairs_arr = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    out_keys = list(key_cols) if keep_keys else []
+    return small.select(*out_keys, F.explode(pairs_arr).alias("__p")).select(
+        *out_keys,
+        F.col("__p.a").alias("doc_a"),
+        F.col("__p.b").alias("doc_b"),
+    )
+
+
 def drop_oversize_buckets(
     keys: DataFrame, key_cols: list[str], max_bucket: int
 ) -> DataFrame:
@@ -210,24 +256,16 @@ def minhash_candidates(
     family: str = "xxh64",
 ) -> DataFrame:
     """Near-duplicate candidate pairs (doc_a < doc_b) sharing any LSH
-    band bucket of size ≤ max_bucket. Oversize buckets (boilerplate)
-    are excluded via a broadcast anti-join on the (tiny) oversize set,
-    bounding the self-join at n_buckets × max_bucket² pairs."""
-    # materialize the band keys ONCE: the plan is consumed four times
-    # (bucket-size count, anti-join, both self-join sides) and the
-    # signature computation is the expensive part (measured 4x
-    # recompute without this). At cluster scale this is the stage-1
-    # checkpoint of the dedup pipeline.
-    keys = checkpoint_df(_band_keys_fn(family)(docs, n_hashes, n_bands))
-    ok = drop_oversize_buckets(keys, ["band", "band_key"], max_bucket)
-    a = ok.select("band", "band_key", F.col("doc_id").alias("doc_a"))
-    b = ok.select("band", "band_key", F.col("doc_id").alias("doc_b"))
-    return (
-        a.join(b, ["band", "band_key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    band bucket of size ≤ max_bucket. Since r8 the bucket machinery is
+    `bucket_pairs` — one grouped aggregation with in-row pair
+    generation and an inline size-cap filter (the previous shape
+    shuffled the key set twice through a count + broadcast anti-join +
+    self-join; same pairs, same n_buckets × max_bucket² bound)."""
+    # the signature fold is consumed ONCE by the grouped aggregation,
+    # so no checkpoint here: consumers that reuse the pair set
+    # (ngram_jaccard, dedup_corpus) checkpoint the PAIRS instead
+    keys = _band_keys_fn(family)(docs, n_hashes, n_bands)
+    return bucket_pairs(keys, ["band", "band_key"], max_bucket).distinct()
 
 
 def ngram_jaccard(docs: DataFrame, pairs: DataFrame) -> DataFrame:
@@ -235,43 +273,50 @@ def ngram_jaccard(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     the verify stage after LSH: (doc_a, doc_b, jaccard).
 
     Verify cost is O(candidates), NOT O(corpus): docs are semi-joined
-    to the candidate id set BEFORE the shingle explode, so the ~50×
-    row amplification only touches documents that actually appear in a
-    pair (at 100 TB the explode over the full corpus would shuffle
-    ~50× the text volume to verify a tiny candidate fraction). The
-    candidate id set is bounded by the LSH bucket cap (≤ 2·|pairs|
-    distinct ids, pairs ≤ n_buckets × max_bucket²), so it broadcasts;
-    `pairs` is materialized once since this plan consumes it four
-    times (two id projections, the intersection join, the final
-    left join)."""
+    to the candidate id set BEFORE the shingle arrays are built, so
+    only documents that actually appear in a pair are touched (at
+    100 TB shingling the full corpus would shuffle ~50× the text
+    volume to verify a tiny candidate fraction). The candidate id set
+    is bounded by the LSH bucket cap (≤ 2·|pairs| distinct ids,
+    pairs ≤ n_buckets × max_bucket²), so it broadcasts; `pairs` is
+    materialized once since this plan consumes it three times (two id
+    projections, the verify join). The intersection itself is in-row
+    (array_intersect over the two shingle arrays — no explode, no
+    per-shingle join; r8, same discipline as setsim_join)."""
     pairs = checkpoint_df(pairs)
     cand_ids = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .union(pairs.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    cand_docs = docs.join(F.broadcast(cand_ids), "doc_id", "left_semi")
-    sh = cand_docs.select("doc_id", F.explode(shingle_array(3)).alias("shingle"))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    inter = (
-        pairs.join(sa, "doc_a")
-        .join(sb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    # r8: in-row array intersection (the setsim_join discipline) —
+    # the previous shape exploded candidate shingles and ran FIVE
+    # joins (two on the exploded stream, one left-join for zero-
+    # intersection pairs, two size joins); now each candidate doc's
+    # shingle set is built once as an array and a pair's Jaccard is
+    # computed in-row after two id-keyed joins. Per-pair state is two
+    # ≤doc-sized arrays, and the pair count is LSH-cap-bounded, so
+    # nothing here exceeds what the old exploded join already
+    # shuffled. Pairs with an unshingled/absent member drop via the
+    # inner joins, exactly as the old inner size-join dropped them;
+    # empty intersections yield 0/(na+nb) = 0.0 like the old fillna.
+    arrays = (
+        docs.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+        .select("doc_id", shingle_array(3).alias("__sh"))
+        .filter(F.size("__sh") >= 1)
     )
+    ja = arrays.select(F.col("doc_id").alias("doc_a"), F.col("__sh").alias("__sha"))
+    jb = arrays.select(F.col("doc_id").alias("doc_b"), F.col("__sh").alias("__shb"))
+    n_inter = F.size(F.array_intersect("__sha", "__shb"))
     return (
-        pairs.join(inter, ["doc_a", "doc_b"], "left")
-        .fillna(0, ["n_inter"])
-        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        pairs.join(ja, "doc_a")
+        .join(jb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
             F.round(
-                F.col("n_inter") * F.lit(1.0)
-                / (F.col("na") + F.col("nb") - F.col("n_inter")),
+                n_inter * F.lit(1.0)
+                / (F.size("__sha") + F.size("__shb") - n_inter),
                 6,
             ).alias("jaccard"),
         )
@@ -306,7 +351,7 @@ def dedup_corpus(
     dedup work is scheduled. Output: (doc_id, canonical_doc_id,
     is_kept).
     """
-    from cimpy_spark.operators.canonicalize import canonical_labels
+    from cimpy_spark.operators.canonicalize import canonical_map
 
     if docs.filter(F.col("doc_id") < 0).limit(1).count() > 0:
         raise ValueError(
@@ -328,10 +373,16 @@ def dedup_corpus(
         )
     )
     ids = docs.select(F.format_string(pad, "doc_id").alias("entity_id"))
-    labels = canonical_labels(ids, links)
+    # r8: canonical_map, not canonical_labels + rejoin — every link
+    # endpoint IS a corpus doc_id, so the lossless all-vertex labeling
+    # restricted back to `ids` equals the declared-only map, and the
+    # declared path is ONE broadcast join over ONE scan of `ids`
+    # (the labels+rejoin shape re-scanned the corpus ~3× and built two
+    # extra broadcasts for an endpoint_only set that is empty here by
+    # construction). Row-identical (pinned by the unchanged oracle).
+    labels = canonical_map(ids, links)
     return (
-        ids.join(labels, "entity_id")
-        .select(
+        labels.select(
             F.col("entity_id").cast("bigint").alias("doc_id"),
             F.col("canonical_id").cast("bigint").alias("canonical_doc_id"),
         )
@@ -775,7 +826,7 @@ def dedup_ingest(
     read the other family's parquet with the wrong schema and fail
     loudly at the scan, never silently).
     """
-    from cimpy_spark.operators.canonicalize import canonical_labels
+    from cimpy_spark.operators.canonicalize import canonical_map
     from cimpy_spark.plans.lineage import LineageLedger
 
     if docs.filter(F.col("doc_id") < 0).limit(1).count() > 0:
@@ -864,14 +915,12 @@ def dedup_ingest(
         # of the (corpus-sized) bucket list, the keys ARE the input
         carried = spark.createDataFrame([], pair_schema)
         in_touched = all_keys
-    ok = drop_oversize_buckets(
-        checkpoint_df(in_touched), ["band", "band_key"], max_bucket
-    )
-    a = ok.select("band", "band_key", F.col("doc_id").alias("doc_a"))
-    b = ok.select("band", "band_key", F.col("doc_id").alias("doc_b"))
-    recomputed = (
-        a.join(b, ["band", "band_key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
+    # r8: in-row pair generation with inline cap filter (bucket_pairs)
+    # — in_touched is consumed once, so the previous 4-consumer
+    # checkpoint + count/anti-join/self-join machinery collapses to
+    # one grouped aggregation; provenance keys kept for the snapshot
+    recomputed = bucket_pairs(
+        in_touched, ["band", "band_key"], max_bucket, keep_keys=True
     )
 
     def _pairs():
@@ -909,10 +958,12 @@ def dedup_ingest(
     ids = arrivals.select("doc_id").distinct().select(
         F.format_string(pad, "doc_id").alias("entity_id")
     )
-    labels = canonical_labels(ids, links_p)
+    # r8: canonical_map, not canonical_labels + rejoin — pair
+    # endpoints are always seen doc_ids, so the declared-only map is
+    # the same row set with one broadcast join less (see dedup_corpus)
+    labels = canonical_map(ids, links_p)
     return (
-        ids.join(labels, "entity_id")
-        .select(
+        labels.select(
             F.col("entity_id").cast("bigint").alias("doc_id"),
             F.col("canonical_id").cast("bigint").alias("canonical_doc_id"),
         )

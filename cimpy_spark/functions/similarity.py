@@ -524,7 +524,7 @@ def emb_dedup_corpus(
     lexicographic == numeric ordering), enforced with the same
     limit-1 fail-fast probe. Output: (vec_id, canonical_vec_id,
     is_kept)."""
-    from cimpy_spark.operators.canonicalize import canonical_labels
+    from cimpy_spark.operators.canonicalize import canonical_map
 
     if embeddings.filter(F.col("vec_id") < 0).limit(1).count() > 0:
         raise ValueError(
@@ -540,10 +540,13 @@ def emb_dedup_corpus(
         )
     )
     ids = embeddings.select(F.format_string(pad, "vec_id").alias("entity_id"))
-    labels = canonical_labels(ids, links)
+    # r8: canonical_map, not canonical_labels + rejoin — pair
+    # endpoints are corpus vec_ids, so the declared-only map is the
+    # same row set with one scan + broadcast join less (see
+    # dedup.dedup_corpus for the argument)
+    labels = canonical_map(ids, links)
     return (
-        ids.join(labels, "entity_id")
-        .select(
+        labels.select(
             F.col("entity_id").cast("bigint").alias("vec_id"),
             F.col("canonical_id").cast("bigint").alias("canonical_vec_id"),
         )
@@ -594,7 +597,7 @@ def emb_ingest(
         _touched_joins,
         drop_oversize_buckets,
     )
-    from cimpy_spark.operators.canonicalize import canonical_labels
+    from cimpy_spark.operators.canonicalize import canonical_map
     from cimpy_spark.plans.lineage import LineageLedger
 
     if embeddings.filter(F.col("vec_id") < 0).limit(1).count() > 0:
@@ -712,10 +715,11 @@ def emb_ingest(
     ids = all_keys.select("vec_id").distinct().select(
         F.format_string(pad, "vec_id").alias("entity_id")
     )
-    labels = canonical_labels(ids, links_p)
+    # r8: canonical_map, not canonical_labels + rejoin (see
+    # dedup.dedup_corpus — endpoints are seen vec_ids by construction)
+    labels = canonical_map(ids, links_p)
     return (
-        ids.join(labels, "entity_id")
-        .select(
+        labels.select(
             F.col("entity_id").cast("bigint").alias("vec_id"),
             F.col("canonical_id").cast("bigint").alias("canonical_vec_id"),
         )

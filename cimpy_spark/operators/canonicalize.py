@@ -138,11 +138,21 @@ def _declared_labels(entities: DataFrame, ep_map: DataFrame | None) -> DataFrame
 
 
 def _sym_links(same_links: DataFrame) -> DataFrame:
-    """Undirected, deduped link set (a, b)."""
+    """Undirected, deduped link set (a, b).
+
+    ONE scan of the input: both edge directions come from exploding a
+    2-element struct array per row (r8 optimization, guide §2.4 — the
+    previous union-of-two-selects scanned the upstream plan twice,
+    and the upstream here is typically a filter over the full cached
+    triple corpus). Same rows as union(fwd, swapped).distinct()."""
     fwd = same_links.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    return fwd.union(
-        fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct()
+    both = F.explode(
+        F.array(
+            F.struct("a", "b"),
+            F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+        )
+    )
+    return fwd.select(both.alias("e")).select("e.a", "e.b").distinct()
 
 
 def _collect_if_small(edges_plan: DataFrame, threshold: int):
@@ -178,6 +188,11 @@ def _union_find_df(spark, pairs) -> DataFrame | None:
 
     if not parent:
         return None
+    # NB (r8, measured): do NOT coalesce(1) this local-collection
+    # DataFrame — collapsing the default slices into one task made a
+    # downstream broadcast build ~9× slower (0.8 s → 7 s repeatably);
+    # the near-empty extra tasks are cheaper than whatever the
+    # single-task parent-partition computation pays.
     return spark.createDataFrame(
         [(v, find(v)) for v in parent], "entity_id string, canonical_id string"
     )
@@ -586,20 +601,24 @@ def canonical_nodes(
     )
     order_key = F.struct("conv_id", "turn_idx", "mention_idx")
     is_type = F.col("attr") == "rdf_type"
+    # ONE min_by + ONE max_by over an (obj, role) payload struct
+    # instead of four separate struct-keyed aggregates (r8): the
+    # mention order key is unique per row, so the payload pair always
+    # comes from the same elected mention — identical values, half
+    # the aggregate evaluations per row.
+    payload = F.struct(F.col("obj").alias("v"), F.col("role").alias("p"))
     return (
         merged.groupBy(
             F.col("canonical_id").alias("entity_id"), F.col("pred").alias("attr")
         )
         .agg(
-            F.min_by("obj", order_key).alias("__first_v"),
-            F.max_by("obj", order_key).alias("__last_v"),
-            F.min_by("role", order_key).alias("__first_p"),
-            F.max_by("role", order_key).alias("__last_p"),
+            F.min_by(payload, order_key).alias("__first"),
+            F.max_by(payload, order_key).alias("__last"),
         )
         .select(
             "entity_id",
             "attr",
-            F.when(is_type, F.col("__first_v")).otherwise(F.col("__last_v")).alias("value"),
-            F.when(is_type, F.col("__first_p")).otherwise(F.col("__last_p")).alias("profile"),
+            F.when(is_type, F.col("__first.v")).otherwise(F.col("__last.v")).alias("value"),
+            F.when(is_type, F.col("__first.p")).otherwise(F.col("__last.p")).alias("profile"),
         )
     )

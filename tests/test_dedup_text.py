@@ -248,19 +248,22 @@ def test_dedup_corpus_rejects_negative_doc_ids(spark):
 
 
 def test_jaccard_explode_restricted_to_candidates(spark, docs):
-    """Plan regression: the shingle explode must run over the
-    candidate SUBSET (broadcast semi-join upstream of Generate), not
-    the whole corpus — verify-stage cost is O(candidates)."""
+    """Plan regression: the shingle arrays must be built over the
+    candidate SUBSET (broadcast semi-join upstream), not the whole
+    corpus — verify-stage cost is O(candidates) — and since r8 the
+    intersection is IN-ROW (array_intersect): reintroducing a
+    per-shingle explode into the verify would put a corpus-shaped
+    Generate back into the plan."""
     sample = docs.select("doc_id", "text").limit(20)
     pairs = sample.limit(3).select(
         F.col("doc_id").alias("doc_a"), (F.col("doc_id") + 1000000).alias("doc_b")
     )
     jac = D.ngram_jaccard(_with_copies(sample, "doc_id"), pairs)
     plan = jac._jdf.queryExecution().executedPlan().toString()
-    # the only LeftSemi in this plan is the candidate restriction, and
-    # the plan must still contain the explode it feeds
+    # the only LeftSemi in this plan is the candidate restriction;
+    # the in-row verify has NO explode (r8)
     assert "LeftSemi" in plan, plan
-    assert "Generate" in plan, plan
+    assert "Generate" not in plan, plan
     # semantics: only candidate docs are verified, all planted
     # identical pairs score 1.0
     rows = jac.collect()

@@ -21,6 +21,25 @@ def test_transcripts_shape_and_order(spark):
     assert mins.count() == 0
 
 
+def test_transcripts_match_sql_derivation(spark):
+    """The r8 narrow-shuffle derivation (window over keys, text
+    generated post-exchange behind a checkpoint barrier) must be
+    row-identical to the plain shared-SQL derivation the DuckDB
+    oracle uses — the projection snippets are duplicated between the
+    two, so this pins them together."""
+    from cimpy_spark.fixtures.events_transcripts import transcripts_select_sql
+
+    fast = transcripts_from_events(spark, SF_TINY)
+    spark.read.parquet(f"{SF_TINY}/events.parquet").createOrReplaceTempView(
+        "__parity_events"
+    )
+    ref = spark.sql(transcripts_select_sql("div", "__parity_events"))
+    assert fast.columns == ref.columns
+    assert fast.schema == ref.schema
+    assert fast.exceptAll(ref).count() == 0
+    assert ref.exceptAll(fast).count() == 0
+
+
 def test_extract_kinds(spark):
     t = transcripts_from_events(spark, SF_TINY)
     triples = extract_triples(t).cache()
