@@ -39,12 +39,10 @@ def _ratio(hits, total):
     return F.round(hits * F.lit(1.0) / total, 6)
 
 
-def quality_score(docs: DataFrame) -> DataFrame:
-    """Heuristic quality features + composite score.
-
-    Deterministic arithmetic only (same association order as the SQL
-    oracle, rounded to 6 decimals so both engines hash-match).
-    """
+def _quality_cols() -> dict:
+    """The quality-score feature Columns, shared by `quality_score`
+    and the fused `corpus_filter` pass (r8) — one definition so the
+    two can never diverge."""
     w = _words()
     n_tok = F.size(w)
     stop_hits = F.size(F.filter(w, lambda x: x.isin(EN_STOPWORDS)))
@@ -58,18 +56,29 @@ def quality_score(docs: DataFrame) -> DataFrame:
         + F.least(avg_word_len / 10, F.lit(1.0)) * 0.2,
         6,
     )
+    return {
+        "n_tokens": n_tok,
+        "stopword_ratio": stop_ratio,
+        "avg_word_len": avg_word_len,
+        "quality": score,
+    }
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic quality features + composite score.
+
+    Deterministic arithmetic only (same association order as the SQL
+    oracle, rounded to 6 decimals so both engines hash-match).
+    """
+    cols = _quality_cols()
     return docs.select(
-        "doc_id",
-        n_tok.alias("n_tokens"),
-        stop_ratio.alias("stopword_ratio"),
-        avg_word_len.alias("avg_word_len"),
-        score.alias("quality"),
+        "doc_id", *[c.alias(name) for name, c in cols.items()]
     )
 
 
-def lang_id(docs: DataFrame) -> DataFrame:
-    """n-gram/stopword language-ID heuristic (the real thing would
-    score character n-grams per language; same plumbing)."""
+def _lang_pred_col():
+    """The language-ID prediction Column (shared with the fused
+    `corpus_filter` pass, r8)."""
     w = _words()
     en_hits = F.size(F.filter(w, lambda x: x.isin(EN_STOPWORDS)))
     data_hits = F.size(F.filter(w, lambda x: x.isin(DATA_STOPWORDS)))
@@ -78,6 +87,13 @@ def lang_id(docs: DataFrame) -> DataFrame:
         .when(data_hits >= 3, F.lit("dataese"))
         .otherwise(F.lit("unk"))
     )
+    return en_hits, data_hits, pred
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """n-gram/stopword language-ID heuristic (the real thing would
+    score character n-grams per language; same plumbing)."""
+    en_hits, data_hits, pred = _lang_pred_col()
     return docs.select(
         "doc_id",
         en_hits.alias("en_hits"),
@@ -173,14 +189,21 @@ def corpus_filter(
     joins are on doc_id (co-partitioned aggregations, no skew)."""
     from cimpy_spark.functions.dedup import dedup_corpus
 
-    q = quality_score(docs).select("doc_id", "quality")
-    lang = lang_id(docs).select("doc_id", "lang_pred")
+    # r8: quality + lang are per-row projections of the SAME doc row —
+    # ONE narrow pass computes both instead of joining two derivations
+    # of the same table (guide §2.4: that join was a pure-overhead
+    # shuffle at every scale; doc_id is the corpus key, so the fused
+    # row set is identical)
+    ql = docs.select(
+        "doc_id",
+        _quality_cols()["quality"].alias("quality"),
+        _lang_pred_col()[2].alias("lang_pred"),
+    )
     keep = dedup_corpus(docs, threshold=dedup_threshold).select(
         "doc_id", "is_kept"
     )
     return (
-        q.join(lang, "doc_id")
-        .join(keep, "doc_id")
+        ql.join(keep, "doc_id")
         .select(
             "doc_id",
             "quality",

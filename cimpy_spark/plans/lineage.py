@@ -96,6 +96,28 @@ class LineageLedger:
     # two leaves an orphan dir that the retry overwrites in place
     # (same index), so resume is idempotent.
 
+    def _per_file_rows(self, scan_dir: str, rel_base: str) -> dict[str, int]:
+        """Per-file row counts for a just-written parquet dir, read
+        from the parquet FOOTERS on the driver (r8): the previous
+        implementation ran a full Spark scan + groupBy(input_file_name)
+        job per stage commit — a second read of every byte just
+        written. Footer metadata is the same row count at O(files)
+        metadata reads instead of O(rows). Keys are paths relative to
+        `rel_base`, matching the old input_file_name()-derived keys.
+        (On Iceberg the manifest carries these counts natively.)"""
+        import glob as _glob
+
+        import pyarrow.parquet as _pq
+
+        out: dict[str, int] = {}
+        for p in sorted(
+            _glob.glob(os.path.join(scan_dir, "**", "*.parquet"), recursive=True)
+        ):
+            out[os.path.relpath(p, rel_base)] = _pq.ParquetFile(
+                p
+            ).metadata.num_rows
+        return out
+
     def append_increments(self, stage: str) -> list[str]:
         """Committed increment dirs for an append stage (absolute)."""
         rec = self.records().get(stage)
@@ -172,20 +194,7 @@ class LineageLedger:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(inc_dir)
-        out_inc = spark.read.schema(df.schema).parquet(inc_dir)
-
-        from pyspark.sql import functions as F
-
-        def _rel(p: str) -> str:
-            p = p.removeprefix("file://").removeprefix("file:")
-            return os.path.relpath(p, d)
-
-        per_file = {
-            _rel(r["f"]): r["n"]
-            for r in out_inc.groupBy(F.input_file_name().alias("f"))
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
+        per_file = self._per_file_rows(inc_dir, d)
         inc_rows = sum(per_file.values())
         incs.append(inc_name)
         with open(self.path, "a") as f:
@@ -233,19 +242,8 @@ class LineageLedger:
         # schema inference would fail on read-back
         out = spark.read.schema(df.schema).parquet(d)
         # per-partition lineage (north_rule): row counts per committed
-        # file/partition in one aggregation pass; the total is their sum
-        from pyspark.sql import functions as F
-
-        def _rel(p: str) -> str:
-            p = p.removeprefix("file://").removeprefix("file:")
-            return os.path.relpath(p, d)
-
-        per_file = {
-            _rel(r["f"]): r["n"]
-            for r in out.groupBy(F.input_file_name().alias("f"))
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
+        # file/partition, from the parquet footers (no re-scan job)
+        per_file = self._per_file_rows(d, d)
         rows = sum(per_file.values())
         self.commit(stage, out, rows, len(per_file), per_file)
         return out
