@@ -1487,7 +1487,11 @@ def _q_kg_funcdeps(spark, sf_dir):
     parity = g.nodes.filter(F.col("attr") == "p_int").select(
         "entity_id",
         F.lit("p_int_parity").alias("attr"),
-        F.pmod(F.col("value").cast("bigint"), F.lit(2))
+        # truncating % (not pmod): the DuckDB oracle derives parity
+        # with value::BIGINT % 2, and pmod disagrees with % on
+        # negative inputs (pmod(-3,2)=1 vs -3%2=-1). Safe today only
+        # because the fixture's p_int is d%97 ≥ 0; ADVICE r7 low #1.
+        F.expr("CAST(value AS BIGINT) % 2")
         .cast("string")
         .alias("value"),
         "profile",

@@ -175,9 +175,6 @@ def _parse_batch(pdf: pd.DataFrame) -> pd.DataFrame:
 # RE2-compiled named-group regexes; ~2x the pandas-path throughput.
 # ---------------------------------------------------------------------------
 
-_A_BODY = "^(?P<m>[^«»]*)»"  # body may not contain « — keeps the
-# split-based scan and the regex-scan (pandas/oracle) semantics identical
-# on pathological nested-« input
 _A_DECL = r"^decl (?P<subj>E\d+) type:(?P<typ>T\d+)(?P<attrs>(?: \w+=[^ ]+)*)$"
 _A_ABOUT = r"^about (?P<subj>E\d+)(?P<attrs>(?: \w+=[^ ]+)*)$"
 _A_REL = r"^rel (?P<subj>E\d+) (?P<pred>\w+) (?P<dst>[EX]\d+)$"
@@ -216,14 +213,23 @@ def _mention_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
     parts = pc.split_pattern(text, "«")
     flat = pc.list_flatten(parts)  # drops null lists, keeps row order
     parents = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False)
-    body = pc.struct_field(pc.extract_regex(flat, _A_BODY), "m")
+    # body = chars before the FIRST » of the fragment, valid iff a »
+    # exists — a max_splits=1 split, NOT a regex (r8: the anchored
+    # `^(?P<m>[^«»]*)»` RE2 pass over every fragment was the single
+    # hottest kernel op, ~2/3 of _mention_batch; a fragment can
+    # contain no « by construction of the outer split, so the two
+    # formulations are value-identical, including on pathological
+    # nested-« input)
+    body_parts = pc.split_pattern(flat, "»", max_splits=1)
+    has_close = pc.equal(pc.list_value_length(body_parts), 2)
+    body = pc.list_element(body_parts, 0)
     # fragment 0 of each row is the pre-first-« prefix and is NEVER a
     # mention (even if it happens to contain a stray » — without this
     # guard, "»x «..." would mint a phantom empty mention the regex
     # scan does not see); fragments without a closing » are malformed
     # and skipped, like the reference skipping unparseable elements
     frag_pos = _group_cumcount(parents)
-    valid = pc.is_valid(body).to_numpy(zero_copy_only=False)
+    valid = has_close.to_numpy(zero_copy_only=False)
     keep = np.flatnonzero(valid & (frag_pos > 0))
     m_parents = parents[keep]
     mention_idx = pa.array(_group_cumcount(m_parents), type=pa.int32())
@@ -255,13 +261,47 @@ def _attr_batches(mentions, idx, subj, attrs) -> list[pa.RecordBatch]:
     kv = pc.split_pattern(flat, "=", max_splits=1)
     k = pc.list_element(kv, 0)
     v = pc.list_element(kv, 1)
-    suf = pc.struct_field(pc.extract_regex(v, _A_ENUM), "suf")
+    # prefix-gate the enum regex (r8): only values carrying the
+    # "kind:" URL prefix can match _A_ENUM, so run the RE2 on that
+    # subset and scatter the suffixes back — same values as regexing
+    # every attribute
+    enum_mask = pc.fill_null(pc.starts_with(v, "kind:"), False)
+    suf_sub = pc.struct_field(
+        pc.extract_regex(pc.filter(v, enum_mask), _A_ENUM), "suf"
+    )
+    suf = pc.replace_with_mask(
+        pa.nulls(len(v), pa.string()), enum_mask, suf_sub
+    )
     is_enum = pc.is_valid(suf)
     obj = pc.if_else(is_enum, suf, v)
     kind = pc.if_else(is_enum, _const("enum", len(flat)), _const("literal", len(flat)))
     row_idx = pc.take(idx, parents)
     prov = {c: pc.take(mentions.column(c), row_idx) for c in _PROV_COLS}
     return [_out_batch(prov, pc.take(subj, parents), k, obj, kind)]
+
+
+def _extract_kind(m: pa.Array, prefix: str, pattern: str, groups: list[str]):
+    """Prefix-dispatched regex extraction (r8, guide §4.2): test every
+    mention with a vectorized starts_with (a memcmp, not a regex), and
+    run the kind's anchored RE2 only on the matching subset. Every
+    mention that matches `pattern` necessarily carries `prefix`, so
+    the result set is identical to regexing all mentions — the
+    previous shape ran all four kind regexes over every mention (4
+    full regex passes); this runs ~1 regex evaluation per mention
+    plus four cheap prefix scans. Returns (row_indices, group_arrays)
+    or None when nothing matched; prefix-matched but malformed
+    mentions fail the regex and are skipped, as before."""
+    cand = pc.indices_nonzero(pc.starts_with(m, prefix))
+    if len(cand) == 0:
+        return None
+    ex = pc.extract_regex(pc.take(m, cand), pattern)
+    ok = pc.is_valid(pc.struct_field(ex, groups[0]))
+    keep = pc.indices_nonzero(ok)
+    if len(keep) == 0:
+        return None
+    idx = pc.take(cand, keep)
+    cols = {g: pc.take(pc.struct_field(ex, g), keep) for g in groups}
+    return idx, cols
 
 
 def _parse_arrow_batch(batch: pa.RecordBatch) -> list[pa.RecordBatch]:
@@ -273,63 +313,40 @@ def _parse_arrow_batch(batch: pa.RecordBatch) -> list[pa.RecordBatch]:
         return {c: pc.take(mentions.column(c), idx) for c in _PROV_COLS}
 
     # decl — rdf:ID analog
-    decl = pc.extract_regex(m, _A_DECL)
-    subj_all = pc.struct_field(decl, "subj")
-    idx = pc.indices_nonzero(pc.is_valid(subj_all))
-    if len(idx):
-        subj = pc.take(subj_all, idx)
-        typ = pc.take(pc.struct_field(decl, "typ"), idx)
-        n = len(idx)
-        out.append(
-            _out_batch(prov_at(idx), subj, _const("rdf_type", n), typ, _const("type", n))
-        )
-        out.extend(
-            _attr_batches(mentions, idx, subj, pc.take(pc.struct_field(decl, "attrs"), idx))
-        )
-
-    # about — rdf:about analog
-    about = pc.extract_regex(m, _A_ABOUT)
-    subj_all = pc.struct_field(about, "subj")
-    idx = pc.indices_nonzero(pc.is_valid(subj_all))
-    if len(idx):
-        out.extend(
-            _attr_batches(
-                mentions,
-                idx,
-                pc.take(subj_all, idx),
-                pc.take(pc.struct_field(about, "attrs"), idx),
-            )
-        )
-
-    # rel — rdf:resource analog (may dangle)
-    rel = pc.extract_regex(m, _A_REL)
-    subj_all = pc.struct_field(rel, "subj")
-    idx = pc.indices_nonzero(pc.is_valid(subj_all))
-    if len(idx):
+    hit = _extract_kind(m, "decl ", _A_DECL, ["subj", "typ", "attrs"])
+    if hit:
+        idx, g = hit
         n = len(idx)
         out.append(
             _out_batch(
-                prov_at(idx),
-                pc.take(subj_all, idx),
-                pc.take(pc.struct_field(rel, "pred"), idx),
-                pc.take(pc.struct_field(rel, "dst"), idx),
-                _const("ref", n),
+                prov_at(idx), g["subj"], _const("rdf_type", n), g["typ"], _const("type", n)
             )
+        )
+        out.extend(_attr_batches(mentions, idx, g["subj"], g["attrs"]))
+
+    # about — rdf:about analog
+    hit = _extract_kind(m, "about ", _A_ABOUT, ["subj", "attrs"])
+    if hit:
+        idx, g = hit
+        out.extend(_attr_batches(mentions, idx, g["subj"], g["attrs"]))
+
+    # rel — rdf:resource analog (may dangle)
+    hit = _extract_kind(m, "rel ", _A_REL, ["subj", "pred", "dst"])
+    if hit:
+        idx, g = hit
+        n = len(idx)
+        out.append(
+            _out_batch(prov_at(idx), g["subj"], g["pred"], g["dst"], _const("ref", n))
         )
 
     # same — canonicalization link
-    same = pc.extract_regex(m, _A_SAME)
-    a_all = pc.struct_field(same, "a")
-    idx = pc.indices_nonzero(pc.is_valid(a_all))
-    if len(idx):
+    hit = _extract_kind(m, "same ", _A_SAME, ["a", "b"])
+    if hit:
+        idx, g = hit
         n = len(idx)
         out.append(
             _out_batch(
-                prov_at(idx),
-                pc.take(a_all, idx),
-                _const("sameAs", n),
-                pc.take(pc.struct_field(same, "b"), idx),
-                _const("ref", n),
+                prov_at(idx), g["a"], _const("sameAs", n), g["b"], _const("ref", n)
             )
         )
     return out

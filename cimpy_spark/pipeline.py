@@ -2156,7 +2156,7 @@ def walk_corpus(
         .unionByName(edges.select(F.col("dst").alias("id")))
         .distinct()
     )
-    replicas = spark_range_union(nodes, walks_per_node)
+    replicas = _replicate_with_index(nodes, walks_per_node)
     frontier = replicas.select(
         F.concat_ws("#", "id", "k").alias("walk_id"),
         F.col("id").alias("node"),
@@ -2187,10 +2187,13 @@ def walk_corpus(
     return res
 
 
-def spark_range_union(nodes: DataFrame, k: int) -> DataFrame:
-    """Replicate a node frame k times with a replica index column —
-    explode over a literal array (one projection, no shuffle, no
-    Python), the walk-id fan-out for walk_corpus."""
+def _replicate_with_index(nodes: DataFrame, k: int) -> DataFrame:
+    """Replicate a node frame k times with a STRING replica index
+    column `k` — explode over a literal array (one projection, no
+    shuffle, no Python), the walk-id fan-out for walk_corpus.
+    walk_corpus-specific (module-private; renamed from
+    spark_range_union, ADVICE r7 low #3 — the old name suggested a
+    spark.range-based general utility)."""
     return nodes.select(
         "id",
         F.explode(
