@@ -683,19 +683,24 @@ def simhash_candidates(
             for b in range(n_bands)
         ]
     )
-    keys = sh.select("doc_id", "simhash", F.explode(bands).alias("bk")).select(
-        "doc_id", "simhash", "bk.band", "bk.band_key"
-    )
-    ok = drop_oversize_buckets(keys, ["band", "band_key"], max_bucket)
-    a = ok.select("band", "band_key", F.col("doc_id").alias("doc_a"),
-                  F.col("simhash").alias("sha"))
-    b = ok.select("band", "band_key", F.col("doc_id").alias("doc_b"),
-                  F.col("simhash").alias("shb"))
-    ham = F.expr("bit_count(sha ^ shb)")
+    # r8: in-row pair generation via bucket_pairs over a (doc_id,
+    # simhash) struct id — the struct sorts by its first field, and
+    # doc_id is unique per bucket, so pair order matches the old
+    # doc_a < doc_b filter; the fingerprint rides along for the
+    # in-row Hamming verify. One shuffle instead of the old
+    # count + broadcast anti-join + self-join.
+    keys = sh.select(
+        F.explode(bands).alias("bk"),
+        F.struct("doc_id", "simhash").alias("ds"),
+    ).select("bk.band", "bk.band_key", "ds")
+    pairs = bucket_pairs(keys, ["band", "band_key"], max_bucket, id_col="ds")
+    ham = F.expr("bit_count(doc_a.simhash ^ doc_b.simhash)")
     return (
-        a.join(b, ["band", "band_key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
+        pairs.select(
+            F.col("doc_a.doc_id").alias("doc_a"),
+            F.col("doc_b.doc_id").alias("doc_b"),
+            ham.cast("int").alias("hamming"),
+        )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )

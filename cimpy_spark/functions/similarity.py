@@ -472,20 +472,20 @@ def neardup_pairs(
     one 8-plane table and ~0.95 by three (measured, BENCH.md); the cap
     applies per (table, bucket) and the pair set is deduped across
     tables. Output: (vec_a, vec_b, sim)."""
-    from cimpy_spark.functions.dedup import drop_oversize_buckets
+    from cimpy_spark.functions.dedup import bucket_pairs
 
-    # checkpoint only (vec_id, tbl, bucket) — the bucket folds would
-    # be re-evaluated per consumer otherwise, but the (wide)
-    # embeddings themselves must NOT be copied into checkpoint
-    # storage; the capped candidate pairs fetch them back by key
-    v = checkpoint_df(multi_table_buckets(embeddings, n_tables))
-    ok = drop_oversize_buckets(v, ["tbl", "bucket"], max_bucket)
-    a = ok.select(F.col("vec_id").alias("vec_a"), "tbl", "bucket")
-    b = ok.select(F.col("vec_id").alias("vec_b"), "tbl", "bucket")
+    # only (vec_id, tbl, bucket) enters the pair machinery — the
+    # (wide) embeddings are fetched back by key for the capped
+    # candidates. r8: in-row bucket pair generation (bucket_pairs) —
+    # the bucket fold is consumed ONCE by the grouped aggregation, so
+    # the old 4-consumer checkpoint + anti-join + self-join collapse
+    # to one shuffle.
+    v = multi_table_buckets(embeddings, n_tables)
     cand = (
-        a.join(b, ["tbl", "bucket"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
+        bucket_pairs(v, ["tbl", "bucket"], max_bucket, id_col="vec_id")
+        .select(
+            F.col("doc_a").alias("vec_a"), F.col("doc_b").alias("vec_b")
+        )
         .distinct()
     )
     e = embeddings.select("vec_id", _as_double("embedding").alias("emb"))
@@ -595,7 +595,7 @@ def emb_ingest(
         BROADCAST_TOUCHED_MAX,
         _require_widest_corpus,
         _touched_joins,
-        drop_oversize_buckets,
+        bucket_pairs,
     )
     from cimpy_spark.operators.canonicalize import canonical_map
     from cimpy_spark.plans.lineage import LineageLedger
@@ -662,12 +662,15 @@ def emb_ingest(
         # bootstrap or recovery: every bucket re-pairs
         carried = spark.createDataFrame([], pair_schema)
         in_touched = all_keys
-    ok = drop_oversize_buckets(
-        checkpoint_df(in_touched), ["tbl", "bucket"], max_bucket
+    # r8: in-row pair generation with inline cap (see dedup_ingest)
+    recomputed = bucket_pairs(
+        in_touched, ["tbl", "bucket"], max_bucket, id_col="vec_id", keep_keys=True
+    ).select(
+        "tbl",
+        "bucket",
+        F.col("doc_a").alias("vec_a"),
+        F.col("doc_b").alias("vec_b"),
     )
-    a = ok.select("tbl", "bucket", F.col("vec_id").alias("vec_a"))
-    b = ok.select("tbl", "bucket", F.col("vec_id").alias("vec_b"))
-    recomputed = a.join(b, ["tbl", "bucket"]).filter(F.col("vec_a") < F.col("vec_b"))
 
     pairs_prov = ledger.run_stage(
         spark, "emb_pairs", lambda: carried.unionByName(recomputed), force=True
