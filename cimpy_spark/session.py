@@ -49,7 +49,17 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_ARROW_BATCH", "10000"),
         )
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # 24g default (was 8g), measured r8: in local[N] mode ONE JVM
+        # holds every executor, all in-memory caches AND any
+        # memory-sink tables. At 4x the r7 bench scale the streaming
+        # memory-sink table count (9.3M collected rows re-parallelized
+        # into ~39MB task closures) OOM-killed the dispatcher thread
+        # at 8g and HUNG the scheduler forever — a silent deadlock,
+        # not a failure. 24g clears it with headroom (128 GiB box);
+        # at sf<=1 the 8g-vs-16g-vs-24g A/B is neutral. On a real
+        # cluster the driver size is a deployment setting and
+        # executors hold the data; override via SPARK_GRAFT_DRIVER_MEM.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
