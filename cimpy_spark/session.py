@@ -51,14 +51,19 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         # 24g default (was 8g), measured r8: in local[N] mode ONE JVM
         # holds every executor, all in-memory caches AND any
-        # memory-sink tables. At 4x the r7 bench scale the streaming
-        # memory-sink table count (9.3M collected rows re-parallelized
-        # into ~39MB task closures) OOM-killed the dispatcher thread
-        # at 8g and HUNG the scheduler forever — a silent deadlock,
-        # not a failure. 24g clears it with headroom (128 GiB box);
-        # at sf<=1 the 8g-vs-16g-vs-24g A/B is neutral. On a real
-        # cluster the driver size is a deployment setting and
-        # executors hold the data; override via SPARK_GRAFT_DRIVER_MEM.
+        # memory-sink tables. Above the r7 bench scale the streaming
+        # memory-sink table count (collected rows re-parallelized
+        # into tens-of-MB task closures) OOM-kills the dispatcher
+        # thread and HANGS the scheduler forever — a silent deadlock,
+        # not a failure. Measured ladder on the 128 GiB sandbox:
+        # 8g hangs at 4x bench scale (9.3M sink rows); 24g clears 4x
+        # (and matches 8g at sf<=1, interleaved A/B) but hangs at 8x
+        # (18.5M rows); 48g clears 8x BUT costs ~1.5-2x on the cold
+        # allocation-heavy md5-fold stage in full-bench context
+        # (interleaved A/B: v1 20.8/10.1s at 48g vs 12.8/6.6s at 24g)
+        # — so 24g is the default and larger escalations opt in via
+        # SPARK_GRAFT_DRIVER_MEM. On a real cluster the driver size
+        # is a deployment setting and executors hold the data.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
     )
